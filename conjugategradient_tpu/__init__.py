@@ -1,0 +1,62 @@
+"""conjugategradient_tpu — a TPU-native conjugate-gradient framework.
+
+Brand-new JAX/XLA/Pallas rebuild of the capabilities of
+XeniaHerr/ConjugateGradient (a header-only C++17/SYCL CG solver for SPD CSR
+systems), redesigned TPU-first:
+
+* operators: CSR, blocked-ELL (HBM-tiled), dense, matrix-free 7-point stencil
+  (``types``);
+* kernels: segment-sum / einsum / Pallas SpMV, fused BLAS-1 (``ops``);
+* solver: one jitted ``lax.while_loop`` per solve — zero host syncs
+  (``solver.cg``), Jacobi PCG (``solver.precond``);
+* multi-chip: row-sharded CG over a 1-D mesh, psum'd dot products
+  (``parallel``);
+* I/O: MatrixMarket (Python + native C++), problem generators (``io``);
+* oracle: pure-NumPy float64 replica of the reference semantics for
+  iteration-for-iteration parity testing (``oracle``).
+"""
+
+from .types import (
+    BlockedEllMatrix,
+    CSRMatrix,
+    DenseOperator,
+    LinearOperator,
+    MatrixFreeOperator,
+    StencilOperator,
+    as_linear_operator,
+)
+from .solver import (
+    CGInfo,
+    CGState,
+    accuracy,
+    cg_init,
+    cg_solve,
+    cg_step,
+    jacobi_preconditioner,
+    memory_footprint,
+)
+from .io import load_matrix, read_mtx_csr, write_mtx
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BlockedEllMatrix",
+    "CSRMatrix",
+    "DenseOperator",
+    "LinearOperator",
+    "MatrixFreeOperator",
+    "StencilOperator",
+    "as_linear_operator",
+    "CGInfo",
+    "CGState",
+    "accuracy",
+    "cg_init",
+    "cg_solve",
+    "cg_step",
+    "jacobi_preconditioner",
+    "memory_footprint",
+    "load_matrix",
+    "read_mtx_csr",
+    "write_mtx",
+    "__version__",
+]

@@ -1,0 +1,109 @@
+"""ctypes bindings to the native C++ MatrixMarket parser (native/mm_reader.cpp).
+
+The reference's parser is native C++ (test/mm_reader.cpp); ours is too, but
+exposed through a minimal C ABI instead of being compiled into a harness
+binary.  Two-call protocol:
+
+1. ``cg_mm_open(path, &handle, &nrows, &ncols, &nnz_expanded)`` parses the
+   file, expands symmetry, sorts, and builds CSR in native memory.
+2. ``cg_mm_fill(handle, data*, indices*, indptr*)`` copies into caller
+   buffers; ``cg_mm_close(handle)`` frees.
+
+If the shared library hasn't been built (``make -C native``), ``available()``
+returns False and callers fall back to the pure-Python reader.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_NAME = "libcgtpu_io.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _lib_path() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(here, "native", _LIB_NAME)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    path = _lib_path()
+    if not os.path.exists(path):
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.cg_mm_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.cg_mm_open.restype = ctypes.c_int
+        lib.cg_mm_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.cg_mm_fill.restype = ctypes.c_int
+        lib.cg_mm_close.argtypes = [ctypes.c_void_p]
+        lib.cg_mm_close.restype = None
+        lib.cg_mm_error.argtypes = [ctypes.c_void_p]
+        lib.cg_mm_error.restype = ctypes.c_char_p
+        _lib = lib
+    except OSError:
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_mtx_csr_native(path, dtype=np.float64):
+    """Parse via the C++ library. Returns (data, indices, indptr, shape)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native mm_reader library not built (run `make -C native`)")
+    handle = ctypes.c_void_p()
+    nrows = ctypes.c_int64()
+    ncols = ctypes.c_int64()
+    nnz = ctypes.c_int64()
+    rc = lib.cg_mm_open(
+        str(path).encode(),
+        ctypes.byref(handle),
+        ctypes.byref(nrows),
+        ctypes.byref(ncols),
+        ctypes.byref(nnz),
+    )
+    if rc != 0:
+        msg = lib.cg_mm_error(handle) if handle else b"open failed"
+        lib.cg_mm_close(handle)
+        raise ValueError(f"mm_reader: {msg.decode() if msg else 'parse error'}: {path}")
+    try:
+        data = np.empty(nnz.value, dtype=np.float64)
+        indices = np.empty(nnz.value, dtype=np.int32)
+        indptr = np.empty(nrows.value + 1, dtype=np.int64)
+        rc = lib.cg_mm_fill(
+            handle,
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rc != 0:
+            raise ValueError(f"mm_reader: fill failed for {path}")
+    finally:
+        lib.cg_mm_close(handle)
+    if dtype is not np.float64:
+        data = data.astype(dtype)
+    return data, indices, indptr, (nrows.value, ncols.value)

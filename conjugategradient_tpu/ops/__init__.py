@@ -1,0 +1,16 @@
+from .blas import dot, norm_sq, norm, saxpby, sapbx, sambx
+from .spmv import csr_spmv, bell_spmv, dense_spmv
+from .stencil import stencil7_matvec
+
+__all__ = [
+    "dot",
+    "norm_sq",
+    "norm",
+    "saxpby",
+    "sapbx",
+    "sambx",
+    "csr_spmv",
+    "bell_spmv",
+    "dense_spmv",
+    "stencil7_matvec",
+]

@@ -1,0 +1,95 @@
+"""Matrix-free 3-D 7-point stencil operator (north-star config 4).
+
+``y = center·x + off·(x[i±1] + x[j±1] + x[k±1])`` with zero-Dirichlet
+boundaries.  The jnp implementation below expresses the six neighbor shifts
+as padded slices; XLA fuses them into a single pass over the volume, which is
+already close to streaming speed.  A hand-tiled Pallas version lives in
+``ops/pallas/stencil.py`` and is selected on TPU for large grids.
+
+The reference has no matrix-free path at all (its only operator is CSR,
+LinearAlgebraTypes.hpp:57-132) — this subsystem is the BASELINE.json
+extension.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _neighbor_sum(u: jax.Array) -> jax.Array:
+    """Sum of the six axis neighbors with zero boundaries, via shifted pads."""
+    z = jnp.zeros_like
+    s = jnp.pad(u, ((1, 1), (0, 0), (0, 0)))[2:, :, :] + jnp.pad(
+        u, ((1, 1), (0, 0), (0, 0))
+    )[:-2, :, :]
+    s = s + jnp.pad(u, ((0, 0), (1, 1), (0, 0)))[:, 2:, :] + jnp.pad(
+        u, ((0, 0), (1, 1), (0, 0))
+    )[:, :-2, :]
+    s = s + jnp.pad(u, ((0, 0), (0, 0), (1, 1)))[:, :, 2:] + jnp.pad(
+        u, ((0, 0), (0, 0), (1, 1))
+    )[:, :, :-2]
+    return s
+
+
+def stencil7_matvec(op, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
+    """Apply the 7-point operator to a flat vector."""
+    nx, ny, nz = op.grid_shape
+    u = x.reshape(nx, ny, nz)
+
+    pick_pallas = False
+    if use_pallas == "always":
+        pick_pallas = True
+    elif use_pallas == "auto":
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover
+            backend = "cpu"
+        # Pallas path wants lane-aligned inner dims.
+        pick_pallas = backend == "tpu" and nz % 128 == 0 and ny % 8 == 0
+
+    if pick_pallas:
+        from .pallas.stencil import stencil7_pallas
+
+        y = stencil7_pallas(u, op.center, op.off)
+    else:
+        y = op.center * u + op.off * _neighbor_sum(u)
+    return y.reshape(-1)
+
+
+def poisson7_csr(grid_shape, dtype=np.float64):
+    """Explicit CSR assembly of the same operator (for cross-checking the
+    matrix-free path against the sparse path on small grids)."""
+    nx, ny, nz = grid_shape
+    n = nx * ny * nz
+
+    def idx(i, j, k):
+        return (i * ny + j) * nz + k
+
+    rows, cols, vals = [], [], []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                r = idx(i, j, k)
+                rows.append(r)
+                cols.append(r)
+                vals.append(6.0)
+                for di, dj, dk in (
+                    (-1, 0, 0),
+                    (1, 0, 0),
+                    (0, -1, 0),
+                    (0, 1, 0),
+                    (0, 0, -1),
+                    (0, 0, 1),
+                ):
+                    ii, jj, kk = i + di, j + dj, k + dk
+                    if 0 <= ii < nx and 0 <= jj < ny and 0 <= kk < nz:
+                        rows.append(r)
+                        cols.append(idx(ii, jj, kk))
+                        vals.append(-1.0)
+    from ..types import CSRMatrix
+
+    return CSRMatrix.from_coo(
+        np.array(rows), np.array(cols), np.array(vals, dtype=dtype), (n, n)
+    )

@@ -1,0 +1,257 @@
+"""The CG driver — TPU-native rebuild of ``src/CG.hpp`` (class CG, :53-601).
+
+Design: the reference submits ~9 dependent SYCL tasks per iteration and
+synchronizes the host once per iteration (CG.hpp:359-436, ``executeQueue()``
+at :425).  Here the *entire* solve — init, iteration loop, termination test —
+is one jitted ``lax.while_loop``: zero host round-trips, the event DAG
+becomes XLA data flow, and α/β never leave the device (matching the
+reference's device-resident ``Scalar`` contract, LinearAlgebraTypes.hpp:210-250).
+
+Numerical semantics reproduce SURVEY.md §2.3 exactly:
+
+* classic unpreconditioned CG with the recurrence residual and
+  Hestenes–Stiefel α/β (CG.hpp:386,414);
+* x₀ defaults to 0 (CG.hpp:291-297);
+* ``tol`` is an **absolute** tolerance on ‖r‖₂; an iteration k tests the
+  *pre-update* residual ρ_k = r_kᵀr_k: done ⇔ isnan(ρ_k) or √ρ_k ≤ tol
+  (CG.hpp:401-402).  The reference evaluates this test *after* performing
+  update k (its data race resolved to the deterministic interpretation per
+  SURVEY §2.3(5)), so convergence is observed one update late — we replicate
+  that to get iteration-for-iteration parity;
+* iteration cap: the reference's ``do {…} while (counter++ < N)`` executes at
+  most N+1 iterations (CG.hpp:436), hence ``maxiter`` defaults to N+1;
+* the per-iteration residual observable is ρ_k (the device scalar ``rxr``),
+  returned as ``CGInfo.rho_history``.
+
+Preconditioning (Jacobi & friends) is the PCG generalization the reference
+lacks; with ``M=None`` the recurrences reduce bit-for-bit to plain CG.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import LinearOperator, as_linear_operator
+from ..ops.blas import dot
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CGInfo:
+    """Solve metadata (replaces the reference's side-channel clog prints,
+    CG.hpp:428-434, with returned data)."""
+
+    iterations: jax.Array  # int32 — number of loop bodies executed
+    converged: jax.Array  # bool — tolerance met (not the iteration cap)
+    rho: jax.Array  # final r·r (or r·z in PCG — see rnorm_sq)
+    rnorm_sq: jax.Array  # final ‖r‖² (== rho when unpreconditioned)
+    rho_history: jax.Array  # (maxiter+1,) ‖r_k‖² per iteration; NaN-padded
+
+    def tree_flatten(self):
+        return (
+            self.iterations,
+            self.converged,
+            self.rho,
+            self.rnorm_sq,
+            self.rho_history,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def residual_norms(self):
+        return jnp.sqrt(self.rho_history)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CGState:
+    """Explicit solver carry — checkpointable pytree (SURVEY §5: the rebuild
+    exposes ``(x, r, p, rho, k)`` so checkpoint/resume falls out for free)."""
+
+    k: jax.Array
+    done: jax.Array
+    x: jax.Array
+    r: jax.Array
+    p: jax.Array
+    rho: jax.Array  # r·z (== r·r unpreconditioned)
+    rnorm_sq: jax.Array  # r·r, the termination/history observable
+    hist: jax.Array
+
+    def tree_flatten(self):
+        return (
+            self.k,
+            self.done,
+            self.x,
+            self.r,
+            self.p,
+            self.rho,
+            self.rnorm_sq,
+            self.hist,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _identity_precond(r):
+    return r
+
+
+def cg_init(
+    A: LinearOperator,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    maxiter: int = 0,
+) -> CGState:
+    """Build the initial carry: r₀ = b − A·x₀, p₀ = z₀ = M⁻¹r₀.
+
+    Mirrors the reference's fused init kernel ``r = b − A·x₀; p = r``
+    (CG.hpp:314-333) — under jit, XLA fuses the subtraction into the SpMV
+    epilogue exactly like the reference's hand-fused kernel.
+    """
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - A.matvec(x0)
+    z0 = r0 if M is None else M(r0)
+    rnorm0 = dot(r0, r0)
+    rho0 = rnorm0 if M is None else dot(r0, z0)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=rnorm0.dtype)
+    hist = hist.at[0].set(rnorm0)
+    return CGState(
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        x=x0,
+        r=r0,
+        p=z0,
+        rho=rho0,
+        rnorm_sq=rnorm0,
+        hist=hist,
+    )
+
+
+def cg_step(
+    A: LinearOperator,
+    state: CGState,
+    tol: jax.Array,
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    dot_fn: Callable[[jax.Array, jax.Array], jax.Array] = dot,
+) -> CGState:
+    """One CG iteration — the rebuild of the reference's per-iteration task
+    DAG (CG.hpp:359-425; see SURVEY §2.3(6) for the edge list).
+
+    ``dot_fn`` is injectable so the sharded solver can drop in a
+    psum-reducing dot (parallel/sharded_cg.py) without touching this code.
+    """
+    q = A.matvec(state.p)  # spmv                     (CG.hpp:374)
+    pap = dot_fn(state.p, q)  # dot(Ap, p) -> value2     (CG.hpp:378)
+    alpha = state.rho / pap  # α = rxr/value2           (CG.hpp:386)
+    x = state.x + alpha * state.p  # sapbx                (CG.hpp:390)
+    r = state.r - alpha * q  # sambx                      (CG.hpp:392)
+    # Termination tests the PRE-update residual ρ_k (CG.hpp:401-402, race
+    # resolved deterministically per SURVEY §2.3(5)).
+    done = jnp.isnan(state.rnorm_sq) | (jnp.sqrt(state.rnorm_sq) <= tol)
+    z = r if M is None else M(r)
+    rnorm_next = dot_fn(r, r) if M is not None else dot_fn(r, z)
+    rho_next = rnorm_next if M is None else dot_fn(r, z)
+    beta = rho_next / state.rho  # β = value3/rxr          (CG.hpp:414)
+    p = z + beta * state.p  # sapbx                        (CG.hpp:418)
+    k = state.k + 1
+    hist = state.hist.at[k].set(rnorm_next)
+    return CGState(
+        k=k,
+        done=done,
+        x=x,
+        r=r,
+        p=p,
+        rho=rho_next,
+        rnorm_sq=rnorm_next,
+        hist=hist,
+    )
+
+
+def cg_solve(
+    A: Any,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    tol: float = 0.0,
+    maxiter: Optional[int] = None,
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    n: Optional[int] = None,
+) -> Tuple[jax.Array, CGInfo]:
+    """Solve the SPD system ``A x = b`` with (preconditioned) CG.
+
+    Functional replacement for the reference's stateful
+    ``setMatrix/setTarget/setInitial/solve/extract`` object API
+    (CG.hpp:87-255,517-532): one call in, ``(x, info)`` out.
+
+    Args:
+      A: LinearOperator / dense array / callable (with ``n=``).
+      b: right-hand side.
+      x0: initial guess; defaults to zeros (CG.hpp:291-297).
+      tol: ABSOLUTE tolerance on ‖r‖₂ — the reference's ``improvement``
+        argument (CG.hpp:255,401-402).  0 runs to the iteration cap, like the
+        harness's 1e-24 (test/Tester.cpp:45).
+      maxiter: iteration cap; defaults to N+1 (the reference's do-while
+        executes at most N+1 bodies, CG.hpp:436).
+      M: preconditioner apply ``r -> M⁻¹ r`` (extension; None = plain CG).
+
+    Jit-compatible: ``jax.jit(cg_solve, static_argnames=("maxiter", "n"))``
+    works, and the body is a single ``lax.while_loop`` either way.
+    """
+    op = as_linear_operator(A, n=n, dtype=getattr(b, "dtype", None))
+    N = op.shape[0]
+    if maxiter is None:
+        maxiter = N + 1
+    maxiter = int(maxiter)
+    tol_arr = jnp.asarray(tol, dtype=b.dtype)
+
+    state0 = cg_init(op, b, x0, M=M, maxiter=maxiter)
+
+    def cond(s: CGState):
+        return (s.k < maxiter) & (~s.done)
+
+    def body(s: CGState):
+        return cg_step(op, s, tol_arr, M=M)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    info = CGInfo(
+        iterations=s.k,
+        converged=s.done,
+        rho=s.rho,
+        rnorm_sq=s.rnorm_sq,
+        rho_history=s.hist,
+    )
+    return s.x, info
+
+
+def accuracy(A: Any, b: jax.Array, x: jax.Array, n: Optional[int] = None) -> jax.Array:
+    """|Σ(b−Ax)² / Σx²| — the reference's ``accuracy()`` verification pass
+    (CG.hpp:463-515): a ratio of SQUARED norms, no sqrt (CG.hpp:510).  Kept
+    bug-for-bug identical because the harness prints it as "relative error"
+    (test/Tester.cpp:53-54) and parity tests compare it."""
+    op = as_linear_operator(A, n=n)
+    res = b - op.matvec(x)
+    return jnp.abs(dot(res, res) / dot(x, x))
+
+
+def memory_footprint(n: int, nnz: int, dtype=jnp.float32, index_bytes: int = 4) -> int:
+    """The reference's analytic workspace estimate
+    ``(2·NNZ + 4·N)·sizeof(DT) + 2·N·sizeof(int)`` (CG.hpp:555-558).
+
+    Interpretation: matrix values + columns (2·NNZ), x/b plus the four solve
+    workspace vectors folded to 4·N, and rows+one more int vector (2·N ints).
+    We reproduce the same formula for parity; real per-operator byte counts
+    come from ``LinearOperator.memory_footprint()``.
+    """
+    itemsize = jnp.dtype(dtype).itemsize
+    return (2 * nnz + 4 * n) * itemsize + 2 * n * index_bytes

@@ -1,0 +1,493 @@
+"""Operator containers: the TPU-native rebuild of the reference's device types.
+
+The reference (``src/LinearAlgebraTypes.hpp``) holds a CSR matrix as three raw
+USM device arrays (``Matrix<DT>``, LinearAlgebraTypes.hpp:57-132) plus
+``Vector``/``Scalar`` containers.  On TPU all of that collapses into JAX device
+arrays living in HBM; what remains worth designing is the *layout*:
+
+* :class:`CSRMatrix` — faithful CSR (data/indices/indptr), with a
+  precomputed ``row_ids`` array so SpMV is a single gather + segment-sum.
+  This is the portable / oracle layout.
+* :class:`BlockedEllMatrix` — the TPU-fast layout: rows padded to blocks of
+  ``bm``, columns grouped into blocks of ``bn``; each row-block stores a fixed
+  number ``kmax`` of dense ``(bm, bn)`` tiles plus the column-block index of
+  each tile.  SpMV becomes dense tile × vector products that the MXU/VPU can
+  stream at HBM bandwidth (see ``ops/pallas/ell_spmv.py``).
+* :class:`DenseOperator` — dense SPD systems ride the MXU directly.
+* :class:`StencilOperator` — matrix-free 3-D 7-point stencil (no matrix in
+  memory at all; the reference has no equivalent, it is a north-star
+  extension).
+* :class:`MatrixFreeOperator` — wraps any ``x -> Ax`` callable.
+
+All containers are registered pytrees, so they pass through ``jit``,
+``lax.while_loop`` carries, and ``shard_map`` untouched.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class LinearOperator:
+    """Minimal abstract operator: ``y = A @ x`` plus metadata.
+
+    Mirrors the role of the reference's ``Matrix<DT>`` (the only operator it
+    supports, LinearAlgebraTypes.hpp:57-132) but generalized so the CG driver
+    (solver/cg.py) is agnostic to storage: CSR, blocked-ELL, dense, stencil,
+    or an arbitrary callable.
+    """
+
+    shape: Tuple[int, int]
+
+    def matvec(self, x: jax.Array) -> jax.Array:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def diagonal(self) -> jax.Array:
+        """diag(A), used by the Jacobi preconditioner. Optional."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not expose a diagonal; "
+            "pass an explicit preconditioner instead."
+        )
+
+    @property
+    def dtype(self):  # pragma: no cover - trivial
+        raise NotImplementedError
+
+    def memory_footprint(self) -> int:
+        """Bytes of device memory this operator occupies. 0 for matrix-free."""
+        return 0
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CSRMatrix(LinearOperator):
+    """CSR sparse matrix (the reference's storage, LinearAlgebraTypes.hpp:57-132).
+
+    ``data[nnz]`` values, ``indices[nnz]`` column indices, ``indptr[n+1]`` row
+    offsets — exactly the three device arrays the reference's ``Matrix<DT>``
+    owns.  ``row_ids[nnz]`` is additionally precomputed (host-side, once) so
+    that SpMV on TPU is ``segment_sum(data * x[indices], row_ids)`` — one
+    gather and one sorted segmented reduction instead of the reference's
+    one-work-item-per-row serial loop (VectorOperations.hpp:438-466).
+    """
+
+    data: jax.Array
+    indices: jax.Array
+    indptr: jax.Array
+    row_ids: jax.Array
+    shape: Tuple[int, int]
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return (self.data, self.indices, self.indptr, self.row_ids), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, indices, indptr, row_ids = children
+        return cls(data, indices, indptr, row_ids, aux)
+
+    # -- constructors --------------------------------------------------------
+    @staticmethod
+    def from_arrays(
+        data: np.ndarray,
+        indices: np.ndarray,
+        indptr: np.ndarray,
+        shape: Optional[Tuple[int, int]] = None,
+        dtype=None,
+    ) -> "CSRMatrix":
+        """Build from host CSR arrays (the reference's ``setMatrix``, CG.hpp:87-93)."""
+        data = np.asarray(data)
+        if dtype is not None:
+            data = data.astype(dtype)
+        indices = np.asarray(indices, dtype=np.int32)
+        indptr = np.asarray(indptr, dtype=np.int32)
+        n = len(indptr) - 1
+        if shape is None:
+            ncols = int(indices.max()) + 1 if len(indices) else n
+            shape = (n, max(n, ncols))
+        row_ids = np.repeat(
+            np.arange(n, dtype=np.int32), np.diff(indptr).astype(np.int64)
+        )
+        return CSRMatrix(
+            jnp.asarray(data),
+            jnp.asarray(indices),
+            jnp.asarray(indptr),
+            jnp.asarray(row_ids),
+            tuple(shape),
+        )
+
+    @staticmethod
+    def from_coo(
+        rows: np.ndarray,
+        cols: np.ndarray,
+        vals: np.ndarray,
+        shape: Tuple[int, int],
+        dtype=None,
+        sum_duplicates: bool = True,
+    ) -> "CSRMatrix":
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        if sum_duplicates and len(rows):
+            keep = np.ones(len(rows), dtype=bool)
+            dup = (rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1])
+            if dup.any():
+                # accumulate duplicate entries into the first of each run
+                out_vals = vals.copy()
+                for i in np.nonzero(dup)[0]:
+                    out_vals[i + 1] += out_vals[i]
+                    keep[i] = False
+                vals = out_vals[keep]
+                rows, cols = rows[keep], cols[keep]
+        indptr = np.zeros(shape[0] + 1, dtype=np.int64)
+        np.add.at(indptr, rows + 1, 1)
+        indptr = np.cumsum(indptr)
+        return CSRMatrix.from_arrays(vals, cols, indptr, shape, dtype=dtype)
+
+    @staticmethod
+    def from_dense(a: np.ndarray, dtype=None) -> "CSRMatrix":
+        a = np.asarray(a)
+        rows, cols = np.nonzero(a)
+        return CSRMatrix.from_coo(rows, cols, a[rows, cols], a.shape, dtype=dtype)
+
+    # -- properties ----------------------------------------------------------
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    # -- ops -------------------------------------------------------------
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from .ops.spmv import csr_spmv
+
+        return csr_spmv(self, x)
+
+    def diagonal(self) -> jax.Array:
+        on_diag = self.indices == self.row_ids
+        return jax.ops.segment_sum(
+            jnp.where(on_diag, self.data, jnp.zeros_like(self.data)),
+            self.row_ids,
+            num_segments=self.shape[0],
+            indices_are_sorted=True,
+        )
+
+    def to_dense(self) -> jax.Array:
+        out = jnp.zeros(self.shape, dtype=self.dtype)
+        return out.at[self.row_ids, self.indices].add(self.data)
+
+    def memory_footprint(self) -> int:
+        return (
+            self.data.size * self.data.dtype.itemsize
+            + self.indices.size * self.indices.dtype.itemsize
+            + self.indptr.size * self.indptr.dtype.itemsize
+            + self.row_ids.size * self.row_ids.dtype.itemsize
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BlockedEllMatrix(LinearOperator):
+    """Blocked-ELL layout: the TPU-fast sparse format.
+
+    Rows are grouped into ``nrb = ceil(n / bm)`` row-blocks; columns into
+    ``ncb = ceil(ncols / bn)`` column-blocks.  Every row-block stores exactly
+    ``kmax`` dense ``(bm, bn)`` tiles (``blocks``) and, per tile, the index of
+    the column-block it multiplies (``block_cols``).  Padding tiles are zero
+    and point at column-block 0, so no masking is needed in the hot loop.
+
+    SpMV = for each row-block: sum_k blocks[i, k] @ x_blocks[block_cols[i, k]]
+    — dense (bm, bn) x (bn,) products, MXU/VPU-friendly, streaming ``blocks``
+    from HBM exactly once.  This replaces the reference's scalar-row CSR
+    kernel (VectorOperations.hpp:438-466) with a layout the hardware likes.
+    """
+
+    blocks: jax.Array  # (nrb, kmax, bm, bn)
+    block_cols: jax.Array  # (nrb, kmax) int32
+    shape: Tuple[int, int]
+    nnz: int  # true nnz (pre-padding), static metadata
+
+    def tree_flatten(self):
+        return (self.blocks, self.block_cols), (self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        blocks, block_cols = children
+        return cls(blocks, block_cols, aux[0], aux[1])
+
+    @staticmethod
+    def from_csr_host(
+        data: np.ndarray,
+        indices: np.ndarray,
+        indptr: np.ndarray,
+        shape: Tuple[int, int],
+        bm: int = 128,
+        bn: int = 128,
+        dtype=None,
+    ) -> "BlockedEllMatrix":
+        """Host-side CSR -> blocked-ELL conversion (done once at ingest)."""
+        n, ncols = shape
+        nrb = _cdiv(n, bm)
+        ncb = _cdiv(ncols, bn)
+        data = np.asarray(data)
+        if dtype is not None:
+            data = data.astype(dtype)
+        indices = np.asarray(indices, dtype=np.int64)
+        indptr = np.asarray(indptr, dtype=np.int64)
+        nnz = int(len(data))
+
+        # which column-blocks does each row-block touch?
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        rb = row_ids // bm
+        cb = indices // bn
+        per_block_cols = [np.unique(cb[rb == i]) for i in range(nrb)]
+        kmax = max((len(c) for c in per_block_cols), default=1)
+        kmax = max(kmax, 1)
+
+        blocks = np.zeros((nrb, kmax, bm, bn), dtype=data.dtype)
+        block_cols = np.zeros((nrb, kmax), dtype=np.int32)
+        for i in range(nrb):
+            cols_i = per_block_cols[i]
+            block_cols[i, : len(cols_i)] = cols_i
+            sel = rb == i
+            r_local = row_ids[sel] - i * bm
+            c_global = indices[sel]
+            slot = np.searchsorted(cols_i, c_global // bn)
+            np.add.at(
+                blocks, (i, slot, r_local, c_global - (c_global // bn) * bn), data[sel]
+            )
+        return BlockedEllMatrix(
+            jnp.asarray(blocks), jnp.asarray(block_cols), (n, ncols), nnz
+        )
+
+    @staticmethod
+    def from_csr(csr: CSRMatrix, bm: int = 128, bn: int = 128) -> "BlockedEllMatrix":
+        return BlockedEllMatrix.from_csr_host(
+            np.asarray(csr.data),
+            np.asarray(csr.indices),
+            np.asarray(csr.indptr),
+            csr.shape,
+            bm=bm,
+            bn=bn,
+        )
+
+    @property
+    def bm(self) -> int:
+        return int(self.blocks.shape[2])
+
+    @property
+    def bn(self) -> int:
+        return int(self.blocks.shape[3])
+
+    @property
+    def kmax(self) -> int:
+        return int(self.blocks.shape[1])
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    @property
+    def padded_shape(self) -> Tuple[int, int]:
+        return (
+            self.blocks.shape[0] * self.bm,
+            _cdiv(self.shape[1], self.bn) * self.bn,
+        )
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from .ops.spmv import bell_spmv
+
+        return bell_spmv(self, x)
+
+    def diagonal(self) -> jax.Array:
+        n = self.shape[0]
+        nrb, kmax, bm, bn = self.blocks.shape
+        # row r (global) lives in row-block r//bm at local row r%bm; its
+        # diagonal element sits in the tile whose block_col == r//bn.
+        rows = jnp.arange(nrb * bm)
+        rb = rows // bm
+        rl = rows % bm
+        target_cb = rows // bn
+        cl = rows % bn
+        tiles_cols = self.block_cols[rb]  # (nrb*bm, kmax)
+        hit = tiles_cols == target_cb[:, None]  # (nrb*bm, kmax)
+        vals = self.blocks[rb, :, rl, :]  # (nrb*bm, kmax, bn)
+        picked = vals[jnp.arange(nrb * bm)[:, None], jnp.arange(kmax)[None, :], cl[:, None]]
+        diag_padded = jnp.sum(jnp.where(hit, picked, 0), axis=1)
+        return diag_padded[:n]
+
+    def to_dense(self) -> jax.Array:
+        nrb, kmax, bm, bn = self.blocks.shape
+        np_, mp = self.padded_shape
+        out = jnp.zeros((np_, mp), dtype=self.dtype)
+        for i in range(nrb):
+            for k in range(kmax):
+                c = self.block_cols[i, k]
+                out = jax.lax.dynamic_update_slice(
+                    out,
+                    jax.lax.dynamic_slice(out, (i * bm, c * bn), (bm, bn))
+                    + self.blocks[i, k],
+                    (i * bm, c * bn),
+                )
+        return out[: self.shape[0], : self.shape[1]]
+
+    def memory_footprint(self) -> int:
+        return (
+            self.blocks.size * self.blocks.dtype.itemsize
+            + self.block_cols.size * self.block_cols.dtype.itemsize
+        )
+
+    def padding_ratio(self) -> float:
+        """Stored slots / true nnz — the bandwidth overhead of the layout."""
+        return float(self.blocks.size) / max(self.nnz, 1)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DenseOperator(LinearOperator):
+    """Dense SPD operator; SpMV is a plain MXU matvec."""
+
+    a: jax.Array
+
+    def tree_flatten(self):
+        return (self.a,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    @property
+    def shape(self):
+        return tuple(self.a.shape)
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    def matvec(self, x):
+        return self.a @ x
+
+    def diagonal(self):
+        return jnp.diagonal(self.a)
+
+    def memory_footprint(self) -> int:
+        return self.a.size * self.a.dtype.itemsize
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class StencilOperator(LinearOperator):
+    """Matrix-free 3-D 7-point stencil (north-star config 4).
+
+    ``y = center * x + off * (sum of 6 axis neighbors)`` on a ``grid_shape``
+    box with homogeneous Dirichlet (zero) boundaries.  For the standard
+    Poisson operator use ``center=6, off=-1`` (SPD).  The reference has no
+    matrix-free path; this is the extension mandated by BASELINE.json.
+    Vectors are flat ``(nx*ny*nz,)``; ``matvec`` reshapes internally.
+    """
+
+    center: jax.Array  # scalar
+    off: jax.Array  # scalar
+    grid_shape: Tuple[int, int, int]
+
+    def tree_flatten(self):
+        return (self.center, self.off), self.grid_shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+    @staticmethod
+    def poisson(grid_shape: Tuple[int, int, int], dtype=jnp.float32) -> "StencilOperator":
+        return StencilOperator(
+            jnp.asarray(6.0, dtype=dtype), jnp.asarray(-1.0, dtype=dtype), tuple(grid_shape)
+        )
+
+    @property
+    def shape(self):
+        n = int(np.prod(self.grid_shape))
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.center.dtype
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from .ops.stencil import stencil7_matvec
+
+        return stencil7_matvec(self, x)
+
+    def diagonal(self) -> jax.Array:
+        n = int(np.prod(self.grid_shape))
+        return jnp.full((n,), self.center, dtype=self.dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+class MatrixFreeOperator(LinearOperator):
+    """Wrap an arbitrary ``x -> Ax`` callable (must be jit-traceable)."""
+
+    def __init__(self, fn: Callable[[jax.Array], jax.Array], n: int, dtype=jnp.float32):
+        self.fn = fn
+        self._n = int(n)
+        self._dtype = jnp.dtype(dtype)
+
+    @property
+    def shape(self):
+        return (self._n, self._n)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def matvec(self, x):
+        return self.fn(x)
+
+    def tree_flatten(self):
+        return (), (self.fn, self._n, self._dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], aux[2])
+
+
+def as_linear_operator(a: Any, n: Optional[int] = None, dtype=None) -> LinearOperator:
+    """Coerce common inputs into a LinearOperator.
+
+    Accepts LinearOperator instances, dense 2-D arrays, and callables
+    (requires ``n``).  This is the rebuild of the reference's family of
+    ``setMatrix`` overloads (CG.hpp:87-151) as one functional ingest point.
+    """
+    if isinstance(a, LinearOperator):
+        return a
+    if callable(a) and not isinstance(a, (jnp.ndarray, np.ndarray)):
+        if n is None:
+            raise ValueError("matrix-free callables need n= (system dimension)")
+        return MatrixFreeOperator(a, n, dtype or jnp.float32)
+    arr = jnp.asarray(a)
+    if arr.ndim != 2 or arr.shape[0] != arr.shape[1]:
+        raise ValueError(f"expected a square 2-D operator, got shape {arr.shape}")
+    return DenseOperator(arr)

@@ -1,0 +1,12 @@
+from .timing import Timer
+from .logging import get_logger, set_verbosity
+from .profiling import hbm_bandwidth_gbps, spmv_bytes, roofline_fraction
+
+__all__ = [
+    "Timer",
+    "get_logger",
+    "set_verbosity",
+    "hbm_bandwidth_gbps",
+    "spmv_bytes",
+    "roofline_fraction",
+]

@@ -1,0 +1,43 @@
+"""Wall-clock timer — rebuild of the harness Timer (test/utils.hpp:24-51).
+
+Same contract: steady-clock stopwatch reporting milliseconds as float.  Adds
+a context-manager form and a ``block_until_ready`` hook because JAX dispatch
+is async (the reference's SYCL queue is too — it calls ``queue.wait`` before
+stopping; we do the JAX equivalent).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+
+
+class Timer:
+    def __init__(self):
+        self._t0: Optional[float] = None
+        self._t1: Optional[float] = None
+
+    def start_measure(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def stop_measure(self, sync: Optional[object] = None):
+        if sync is not None:
+            jax.block_until_ready(sync)
+        self._t1 = time.perf_counter()
+        return self
+
+    def get_duration(self) -> float:
+        """Milliseconds, like the reference (test/utils.hpp:38-43)."""
+        if self._t0 is None or self._t1 is None:
+            raise RuntimeError("Timer not started/stopped")
+        return (self._t1 - self._t0) * 1e3
+
+    def __enter__(self):
+        return self.start_measure()
+
+    def __exit__(self, *exc):
+        self.stop_measure()
+        return False

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""End-to-end harness — the rebuild of the reference's ``tester`` CLI
+(test/Tester.cpp:12-57).
+
+Usage: ``python tester.py <file.mtx> [options]``
+
+Reproduces the reference's protocol exactly:
+
+* load the MatrixMarket matrix (symmetric storage expanded, test/mm_reader.cpp);
+* build the RHS ``b[i] = i + 1`` (test/Tester.cpp:27-30);
+* solve with absolute tolerance 1e-24 — effectively run-to-cap
+  (test/Tester.cpp:45) — timing the solve with a wall-clock stopwatch;
+* print one line: ``dim NNZ time_ms rel_error`` where rel_error is the
+  squared-norm ratio |Σ(b−Ax)²/Σx²| (CG.hpp:463-515, test/Tester.cpp:54).
+
+Extensions over the reference (all off by default so the default output is
+drop-in comparable): ``--layout bell`` for the TPU-fast blocked-ELL path,
+``--precond jacobi``, ``--tol/--maxiter``, ``--dtype``, ``--history`` to dump
+the per-iteration residual history the reference only holds on-device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("mtx", help="MatrixMarket .mtx file (SPD)")
+    ap.add_argument("--tol", type=float, default=1e-24,
+                    help="absolute tolerance on ||r||2 (reference: 1e-24)")
+    ap.add_argument("--maxiter", type=int, default=None,
+                    help="iteration cap (reference: N+1)")
+    ap.add_argument("--layout", choices=("csr", "bell"), default="csr",
+                    help="device operator layout (bell = blocked-ELL TPU fast path)")
+    ap.add_argument("--dtype", choices=("float32", "float64", "bfloat16"),
+                    default="float64",
+                    help="solve dtype (float64 matches the reference's double)")
+    ap.add_argument("--precond", choices=("none", "jacobi"), default="none")
+    ap.add_argument("--bm", type=int, default=128, help="blocked-ELL row tile")
+    ap.add_argument("--bn", type=int, default=128, help="blocked-ELL col tile")
+    ap.add_argument("--history", action="store_true",
+                    help="also print the residual-norm history as JSON")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import accuracy, cg_solve, load_matrix
+    from conjugategradient_tpu.solver import jacobi_preconditioner
+    from conjugategradient_tpu.utils import Timer, get_logger, set_verbosity
+
+    set_verbosity("verbose" if args.verbose else "info")
+    log = get_logger()
+
+    dtype = jnp.dtype(args.dtype)
+    A = load_matrix(args.mtx, layout=args.layout, dtype=dtype,
+                    bm=args.bm, bn=args.bn)
+    n = A.shape[0]
+    nnz = A.nnz
+    if args.verbose:
+        log.debug("loaded %s: n=%d nnz=%d layout=%s", args.mtx, n, nnz, args.layout)
+
+    # b[i] = i+1, the reference harness RHS (test/Tester.cpp:27-30)
+    b = jnp.arange(1, n + 1, dtype=dtype)
+    M = jacobi_preconditioner(A) if args.precond == "jacobi" else None
+
+    # Warm-up compile outside the timed region: the reference times only
+    # solve() (its kernels are compiled at build time); we match by excluding
+    # the one-time XLA compile.
+    solve = jax.jit(
+        lambda b_: cg_solve(A, b_, tol=args.tol, maxiter=args.maxiter, M=M)
+    )
+    solve(b)[0].block_until_ready()
+
+    t = Timer().start_measure()
+    x, info = solve(b)
+    t.stop_measure(sync=x)
+
+    rel_err = float(accuracy(A, b, x))
+    # The reference's output line "dim NNZ time_ms rel_error",
+    # space-separated (test/Tester.cpp:54).
+    print(f"{n} {nnz} {t.get_duration()} {rel_err}")
+    if args.history:
+        k = int(info.iterations)
+        hist = np.sqrt(np.asarray(info.rho_history)[: k + 1])
+        print(json.dumps({
+            "iterations": k,
+            "converged": bool(info.converged),
+            "residual_norms": hist.tolist(),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Generate SPD MatrixMarket problems for the harness and benchmarks.
+
+The reference vendors no matrices (users pass SuiteSparse .mtx files to
+``tester``, test/Tester.cpp:14-21); this environment has no network, so we
+generate structurally similar SPD problems deterministically and write them
+in the SuiteSparse convention (coordinate real symmetric, lower triangle).
+
+  python tools/make_problem.py poisson2d --nx 64 -o problems/poisson2d_64.mtx
+  python tools/make_problem.py banded --n 1138 --bandwidth 6 -o problems/banded_1138.mtx
+  python tools/make_problem.py poisson3d --nx 32 -o problems/poisson3d_32.mtx
+  python tools/make_problem.py dense --n 256 -o problems/dense_256.mtx
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from conjugategradient_tpu.io.mtx import write_mtx
+from conjugategradient_tpu.problems import banded_spd_coo, poisson2d_coo, random_spd_dense
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("kind", choices=("poisson2d", "poisson3d", "banded", "dense"))
+    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--ny", type=int, default=None)
+    ap.add_argument("--nz", type=int, default=None)
+    ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--bandwidth", type=int, default=6)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-o", "--out", required=True)
+    args = ap.parse_args(argv)
+
+    if args.kind == "poisson2d":
+        rows, cols, vals, shape = poisson2d_coo(args.nx, args.ny)
+        comment = f"2-D 5-point Poisson, {args.nx}x{args.ny or args.nx}"
+    elif args.kind == "poisson3d":
+        from conjugategradient_tpu.ops.stencil import poisson7_csr
+
+        nx = args.nx
+        ny = args.ny or nx
+        nz = args.nz or nx
+        csr = poisson7_csr((nx, ny, nz))
+        rows = np.repeat(
+            np.arange(csr.shape[0]), np.diff(np.asarray(csr.indptr))
+        )
+        cols = np.asarray(csr.indices)
+        vals = np.asarray(csr.data)
+        shape = csr.shape
+        comment = f"3-D 7-point Poisson, {nx}x{ny}x{nz}"
+    elif args.kind == "banded":
+        rows, cols, vals, shape = banded_spd_coo(
+            args.n, bandwidth=args.bandwidth, seed=args.seed
+        )
+        comment = f"random banded SPD, n={args.n} bw={args.bandwidth} seed={args.seed}"
+    else:  # dense
+        a = random_spd_dense(args.n, seed=args.seed)
+        rows, cols = np.nonzero(a)
+        vals = a[rows, cols]
+        shape = a.shape
+        comment = f"dense random SPD, n={args.n} seed={args.seed}"
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    write_mtx(args.out, rows, cols, vals, shape, symmetric=True, comment=comment)
+    nnz_lower = int(np.sum(np.asarray(rows) >= np.asarray(cols)))
+    print(f"wrote {args.out}: n={shape[0]} nnz(stored,lower)={nnz_lower}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
