@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line.
+
+Metric (from BASELINE.md): effective bandwidth in GB/s of the blocked-ELL
+SpMV — the hot kernel of the CG solve (reference: VectorOperations.hpp:438-466)
+— measured inside a jitted loop on the device, against the measured HBM
+streaming roofline of the same device.  ``vs_baseline`` is achieved/roofline;
+the north-star target is ≥ 0.9.
+
+The reference publishes no numbers (BASELINE.md); its harness measures only
+wall-clock per solve (test/Tester.cpp:43-47).  This bench reports the
+quantity that determines solve time for a memory-bound Krylov method.
+
+Default problem: block-tridiagonal SPD with dense 128x128 tiles, n=131072
+(201 MB tile stream), f32.  Other configs:
+  --config stencil   matrix-free 7-point 256^3 Poisson matvec (config 4)
+  --config cg        time-per-CG-iteration, whole loop jitted
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def block_tridiag_bell(n: int, bm: int, bn: int, dtype):
+    """Block-tridiagonal SPD operator directly in blocked-ELL form.
+
+    Dense (bm, bn) tiles: SPD diagonally-dominant diagonal tiles, symmetric
+    off-diagonal couplings.  kmax = 3 with zero padding waste — measures the
+    kernel's streaming speed at its layout-best.
+    """
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.types import BlockedEllMatrix
+
+    assert bm == bn, "square tiles for this generator"
+    nrb = n // bm
+    rng = np.random.default_rng(0)
+    off = (0.1 * rng.standard_normal((bm, bn))).astype(np.float32)
+    off = 0.5 * (off + off.T)
+    diag = np.eye(bm, dtype=np.float32) * (2.0 + 2.0 * np.abs(off).sum())
+
+    blocks = np.zeros((nrb, 3, bm, bn), dtype=np.float32)
+    block_cols = np.zeros((nrb, 3), dtype=np.int32)
+    for i in range(nrb):
+        blocks[i, 0] = diag
+        block_cols[i, 0] = i
+        k = 1
+        if i > 0:
+            blocks[i, k] = off
+            block_cols[i, k] = i - 1
+            k += 1
+        if i + 1 < nrb:
+            blocks[i, k] = off
+            block_cols[i, k] = i + 1
+            k += 1
+    nnz = nrb * 3 * bm * bn
+    return BlockedEllMatrix(
+        jnp.asarray(blocks, dtype=dtype),
+        jnp.asarray(block_cols),
+        (n, n),
+        nnz,
+    )
+
+
+def bench_spmv_bell(n: int = 131072, bm: int = 128, bn: int = 128):
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.utils.benchmarking import (
+        rpc_overhead_s,
+        stream_roofline_gbps,
+        time_loop_s,
+    )
+
+    a = block_tridiag_bell(n, bm, bn, jnp.float32)
+    x2d = jnp.ones((n // bn, bn), jnp.float32)
+
+    from conjugategradient_tpu.ops.spmv import bell_spmv
+
+    ovh = rpc_overhead_s()
+    # the *1e-3 keeps the iterate bounded so the chained loop can't overflow
+    t = time_loop_s(
+        lambda v: bell_spmv(a, v.reshape(-1))[: v.size].reshape(v.shape) * 1e-3,
+        x2d,
+        K=64,
+        overhead_s=ovh,
+    )
+    tile_bytes = a.blocks.size * a.blocks.dtype.itemsize
+    vec_bytes = 2 * n * 4  # x read + y write (compulsory)
+    gbps = (tile_bytes + vec_bytes) / t / 1e9
+    roofline = stream_roofline_gbps()
+    return {
+        "metric": "bell_spmv_effective_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / roofline, 4),
+        "detail": {
+            "n": n,
+            "tile_MB": round(tile_bytes / 1e6, 1),
+            "time_ms": round(t * 1e3, 4),
+            "stream_roofline_gbps": round(roofline, 1),
+        },
+    }
+
+
+def bench_stencil(nx: int = 256):
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.types import StencilOperator
+    from conjugategradient_tpu.utils.benchmarking import (
+        rpc_overhead_s,
+        stream_roofline_gbps,
+        time_loop_s,
+    )
+
+    op = StencilOperator.poisson((nx, nx, nx), dtype=jnp.float32)
+    n = nx**3
+    x = jnp.ones((n,), jnp.float32)
+    ovh = rpc_overhead_s()
+    t = time_loop_s(lambda v: op.matvec(v) * 1e-2, x, K=32, overhead_s=ovh)
+    bytes_moved = 2 * n * 4  # read x once + write y once (ideal)
+    gbps = bytes_moved / t / 1e9
+    roofline = stream_roofline_gbps()
+    return {
+        "metric": "stencil7_256_effective_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / roofline, 4),
+        "detail": {"grid": nx, "time_ms": round(t * 1e3, 4),
+                   "stream_roofline_gbps": round(roofline, 1)},
+    }
+
+
+def bench_cg(n: int = 131072, iters: int = 64):
+    """Per-iteration time of the fully jitted CG while_loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import cg_solve
+    from conjugategradient_tpu.utils.benchmarking import (
+        rpc_overhead_s,
+        stream_roofline_gbps,
+    )
+    import time
+
+    a = block_tridiag_bell(n, 128, 128, jnp.float32)
+    b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+
+    def run(K):
+        f = jax.jit(lambda b_: cg_solve(a, b_, tol=0.0, maxiter=K)[0][:1])
+        float(f(b)[0])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(b)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    ovh = rpc_overhead_s()
+    t = (run(iters) - ovh) / iters
+    tile_bytes = a.blocks.size * 4
+    # per-iteration traffic: tiles once + ~7 n-vector streams
+    bytes_it = tile_bytes + 7 * n * 4
+    gbps = bytes_it / t / 1e9
+    roofline = stream_roofline_gbps()
+    return {
+        "metric": "cg_iteration_effective_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / roofline, 4),
+        "detail": {"n": n, "time_per_iter_us": round(t * 1e6, 2),
+                   "stream_roofline_gbps": round(roofline, 1)},
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="spmv", choices=("spmv", "stencil", "cg"))
+    args = ap.parse_args(argv)
+    out = {"spmv": bench_spmv_bell, "stencil": bench_stencil, "cg": bench_cg}[
+        args.config
+    ]()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,15 +1,24 @@
-"""Pallas blocked-ELL SpMV — the speed-of-light rebuild of the reference's
-CSR kernel (VectorOperations.hpp:438-466).
+"""Pallas blocked-ELL SpMV — hand-scheduled rebuild of the reference's CSR
+kernel (VectorOperations.hpp:438-466).
 
 Layout (types.BlockedEllMatrix): ``blocks (nrb, kmax, bm, bn)`` dense tiles,
-``block_cols (nrb, kmax)`` column-block index per tile.  The kernel grid is
-``(nrb, kmax)``; ``block_cols`` is a scalar-prefetch operand so the x-block
-each tile needs is DMA'd HBM→VMEM by the pipeline itself (the index map reads
-the prefetched indices) — no gathered copy of x is ever materialized.
+``block_cols (nrb, kmax)`` column-block index per tile.
 
-SpMV is bandwidth-bound: the tile stream ``blocks`` is read exactly once at
-HBM speed and multiplied on the fly (MXU for the (bm,bn)·(bn,1) products),
-so the roofline target is ~HBM bandwidth × 1/padding_ratio.
+Design (v2): the grid iterates over *groups* of R row-blocks so each grid
+step streams ``R * kmax * bm * bn`` tile bytes — megabyte-scale DMAs that
+saturate HBM (v1 fetched one (bm, bn) tile per step: 64 KB DMAs ran at ~20%
+of peak).  The operand ``x`` lives wholly in VMEM (it is (ncols_padded,)
+floats — ≤ a few MB for every target problem), so the per-tile column gather
+is a VMEM dynamic-row read, free of HBM traffic.  ``block_cols`` is a
+scalar-prefetch operand read from SMEM.
+
+The tile product runs on the VPU (multiply + lane-sum) in full f32: the
+MXU's default-precision f32 matmul rounds operands through bf16, which
+costs CG iterations, and the kernel is bandwidth-bound anyway.
+
+Note: the XLA einsum path (ops/spmv._bell_spmv_jnp) measures ~91% of HBM
+peak on v5e and is the default; this kernel is kept at parity as the basis
+for fused SpMV+dot variants where XLA cannot fuse across the collective.
 """
 
 from __future__ import annotations
@@ -22,48 +31,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(cols_ref, block_ref, x_ref, y_ref):
-    k = pl.program_id(1)
+def _make_kernel(R: int, kmax: int):
+    def _kernel(cols_ref, block_ref, x_ref, y_ref):
+        g = pl.program_id(0)
+        # block_ref: (R, kmax, bm, bn) tiles for row-blocks [g*R, (g+1)*R)
+        # x_ref:     (ncb, bn) — the whole operand, resident in VMEM
+        # y_ref:     (R, bm)
+        for r in range(R):
+            acc = None
+            for k in range(kmax):
+                c = cols_ref[g * R + r, k]
+                xb = x_ref[c, :].astype(jnp.float32)  # (bn,) VMEM row
+                blk = block_ref[r, k].astype(jnp.float32)  # (bm, bn)
+                part = jnp.sum(blk * xb[None, :], axis=1)  # (bm,) VPU
+                acc = part if acc is None else acc + part
+            y_ref[r, :] = acc.astype(y_ref.dtype)
 
-    @pl.when(k == 0)
-    def _():
-        y_ref[...] = jnp.zeros_like(y_ref)
-
-    blk = block_ref[0, 0]  # (bm, bn)
-    xb = x_ref[...].reshape(-1, 1)  # (bn, 1)
-    prod = jnp.dot(blk, xb, preferred_element_type=jnp.float32)  # (bm, 1)
-    y_ref[...] += prod.reshape(1, -1).astype(y_ref.dtype)
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "row_group"))
 def bell_spmv_pallas(
-    blocks: jax.Array, block_cols: jax.Array, x2d: jax.Array, interpret: bool = False
+    blocks: jax.Array,
+    block_cols: jax.Array,
+    x2d: jax.Array,
+    interpret: bool = False,
+    row_group: int = 8,
 ) -> jax.Array:
     """y (nrb*bm,) = blocked-ELL(blocks, block_cols) @ x2d.reshape(-1).
 
-    ``x2d`` is the padded operand reshaped to (ncb, bn).  Output is float32
-    (accumulator precision) regardless of tile dtype.
+    ``x2d`` is the padded operand reshaped to (ncb, bn); it must fit VMEM
+    (≲ 2M float32 elements).  Output is float32 (accumulator precision).
     """
     nrb, kmax, bm, bn = blocks.shape
+    ncb = x2d.shape[0]
+    R = row_group
+    while nrb % R:
+        R //= 2
+    R = max(R, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nrb, kmax),
+        grid=(nrb // R,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, bm, bn),
-                lambda i, k, cols: (i, k, 0, 0),
+                (R, kmax, bm, bn),
+                lambda g, cols: (g, 0, 0, 0),
             ),
-            pl.BlockSpec(
-                (1, bn),
-                lambda i, k, cols: (cols[i, k], 0),
-            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole x
         ],
-        out_specs=pl.BlockSpec((1, bm), lambda i, k, cols: (i, 0)),
+        out_specs=pl.BlockSpec((R, bm), lambda g, cols: (g, 0)),
     )
 
     y = pl.pallas_call(
-        _kernel,
+        _make_kernel(R, kmax),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
         interpret=interpret,

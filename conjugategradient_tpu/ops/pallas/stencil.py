@@ -1,14 +1,22 @@
-"""Pallas 3-D 7-point stencil kernel (north-star config 4, 256³ grid).
+"""Pallas 3-D 7-point stencil kernel (north-star config 4, 256^3 grid).
 
-Grid over x-slabs: program ``i`` owns slice ``u[i, :, :]`` and reads its two
-x-neighbors.  The input is zero-padded by one slab on each x side so the
-boundary needs no branches; y/z neighbor shifts happen in-register on the
-(ny, nz) tile via concatenation with a zero edge (Dirichlet).
+Design: the grid iterates over groups of SX x-slabs.  Each step DMAs one
+(SX+2, ny, nz) halo-inclusive window of the zero-padded input from HBM into
+VMEM — a single megabyte-scale contiguous stream — and computes SX output
+slabs entirely on-chip: the x-neighbors are adjacent slabs of the loaded
+window, and the y/z neighbor shifts are in-register concatenations with a
+zero edge (Dirichlet).  Adjacent windows re-read 2 halo slabs, so HBM
+traffic is (1 + 2/SX) reads + 1 write per point — ~1.25x compulsory at
+SX = 8.
 
-Per slab the kernel reads 3·ny·nz and writes ny·nz floats, but consecutive
-programs re-read overlapping slabs from the pipeline's VMEM windows, so the
-effective HBM traffic approaches read-once + write-once — the stencil
-analogue of streaming SpMV at roofline.
+The halo window starts at element offset g*SX, which is not a multiple of
+the window length; BlockSpec index maps work in block units, so the input
+stays in HBM (memory_space ANY) and the kernel issues its own DMA.
+
+A first version streamed prev/cur/next as three separate (1, ny, nz) block
+inputs; that triple-fetched every slab in 256 KB DMAs and ran ~1000x off
+the roofline.  Lesson: one big overlapping manual window beats many aliased
+pipeline blocks.
 """
 
 from __future__ import annotations
@@ -21,49 +29,94 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(prev_ref, cur_ref, next_ref, c_ref, off_ref, y_ref):
-    cur = cur_ref[0]  # (ny, nz)
-    ny, nz = cur.shape
-    zrow = jnp.zeros((1, nz), dtype=cur.dtype)
-    zcol = jnp.zeros((ny, 1), dtype=cur.dtype)
-    up = jnp.concatenate([cur[1:, :], zrow], axis=0)
-    down = jnp.concatenate([zrow, cur[:-1, :]], axis=0)
-    right = jnp.concatenate([cur[:, 1:], zcol], axis=1)
-    left = jnp.concatenate([zcol, cur[:, :-1]], axis=1)
-    nb = prev_ref[0] + next_ref[0] + up + down + left + right
-    y_ref[0] = c_ref[0] * cur + off_ref[0] * nb
+def _make_kernel(sx: int):
+    def _window_dma(u_hbm, u_vmem, sems, g, slot):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(g * sx, sx + 2)],
+            u_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    def _kernel(u_hbm, c_ref, off_ref, y_ref, u_vmem, sems):
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
+        slot = jax.lax.rem(g, 2)
+        nslot = jax.lax.rem(g + 1, 2)
+
+        # double buffering: window g was started at step g-1 (or here for
+        # g == 0); start window g+1 before computing on window g.
+        @pl.when(g == 0)
+        def _():
+            _window_dma(u_hbm, u_vmem, sems, 0, 0).start()
+
+        @pl.when(g + 1 < ng)
+        def _():
+            _window_dma(u_hbm, u_vmem, sems, g + 1, nslot).start()
+
+        _window_dma(u_hbm, u_vmem, sems, g, slot).wait()
+
+        c = c_ref[0]
+        w = off_ref[0]
+        blk = u_vmem[slot]  # (sx+2, ny, nz)
+        cur = blk[1:-1]  # (sx, ny, nz)
+        xm = blk[:-2]
+        xp = blk[2:]
+        ny, nz = cur.shape[1], cur.shape[2]
+        zrow = jnp.zeros((sx, 1, nz), dtype=cur.dtype)
+        zcol = jnp.zeros((sx, ny, 1), dtype=cur.dtype)
+        yp = jnp.concatenate([cur[:, 1:, :], zrow], axis=1)
+        ym = jnp.concatenate([zrow, cur[:, :-1, :]], axis=1)
+        zp = jnp.concatenate([cur[:, :, 1:], zcol], axis=2)
+        zm = jnp.concatenate([zcol, cur[:, :, :-1]], axis=2)
+        y_ref[...] = c * cur + w * (xm + xp + yp + ym + zp + zm)
+
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def stencil7_pallas(u: jax.Array, center, off, interpret: bool = False) -> jax.Array:
-    """y = center·u + off·(6-neighbor sum), zero Dirichlet boundaries.
+@functools.partial(jax.jit, static_argnames=("interpret", "slab_group"))
+def stencil7_pallas(
+    u: jax.Array, center, off, interpret: bool = False, slab_group: int = 8
+) -> jax.Array:
+    """y = center*u + off*(6-neighbor sum), zero Dirichlet boundaries.
 
-    u: (nx, ny, nz); nz should be a multiple of 128 and ny of 8 for clean
-    tiling (the dispatcher in ops/stencil.py enforces this).
+    u: (nx, ny, nz); nz % 128 == 0, ny % 8 == 0 for clean tiling (the
+    dispatcher in ops/stencil.py enforces alignment).
     """
     nx, ny, nz = u.shape
     dtype = u.dtype
+    sx = slab_group
+    while nx % sx:
+        sx //= 2
+    sx = max(sx, 1)
+    # VMEM budget: 2 input windows (sx+2 slabs each) + double-buffered output
+    # blocks (2*sx slabs) must stay under the ~16 MB scoped limit.
+    slab_bytes = ny * nz * jnp.dtype(dtype).itemsize
+    while sx > 1 and (4 * sx + 4) * slab_bytes > 10 * 1024 * 1024:
+        sx //= 2
+
     up = jnp.pad(u, ((1, 1), (0, 0), (0, 0)))
     c = jnp.full((1,), center, dtype=dtype)
     o = jnp.full((1,), off, dtype=dtype)
 
     y = pl.pallas_call(
-        _kernel,
-        grid=(nx,),
+        _make_kernel(sx),
+        grid=(nx // sx,),
         in_specs=[
-            pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0)),  # prev (padded idx i)
-            pl.BlockSpec((1, ny, nz), lambda i: (i + 1, 0, 0)),  # cur
-            pl.BlockSpec((1, ny, nz), lambda i: (i + 2, 0, 0)),  # next
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded u stays in HBM
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((sx, ny, nz), lambda g: (g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nx, ny, nz), dtype),
         interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((2, sx + 2, ny, nz), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=8 * nx * ny * nz,
             bytes_accessed=2 * nx * ny * nz * u.dtype.itemsize,
             transcendentals=0,
         ),
-    )(up, up, up, c, o)
+    )(up, c, o)
     return y

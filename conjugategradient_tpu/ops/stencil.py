@@ -46,8 +46,10 @@ def stencil7_matvec(op, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
             backend = jax.default_backend()
         except Exception:  # pragma: no cover
             backend = "cpu"
-        # Pallas path wants lane-aligned inner dims.
-        pick_pallas = backend == "tpu" and nz % 128 == 0 and ny % 8 == 0
+        # Pallas path wants lane-aligned inner dims and x-slab groups.
+        pick_pallas = (
+            backend == "tpu" and nz % 128 == 0 and ny % 8 == 0 and nx % 8 == 0
+        )
 
     if pick_pallas:
         from .pallas.stencil import stencil7_pallas

@@ -105,7 +105,13 @@ def _local_bell_matvec(blocks, block_cols, p_full_2d):
     """Local row-block SpMV against the gathered operand."""
     gathered = p_full_2d[block_cols]  # (nrb, kmax, bn)
     acc = jnp.promote_types(blocks.dtype, jnp.float32)
-    y = jnp.einsum("rkmn,rkn->rm", blocks, gathered, preferred_element_type=acc)
+    y = jnp.einsum(
+        "rkmn,rkn->rm",
+        blocks,
+        gathered,
+        preferred_element_type=acc,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return y.reshape(-1).astype(blocks.dtype)
 
 
