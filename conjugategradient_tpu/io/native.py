@@ -60,6 +60,35 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cg_mm_close.restype = None
         lib.cg_mm_error.argtypes = [ctypes.c_void_p]
         lib.cg_mm_error.restype = ctypes.c_char_p
+        lib.cg_ell_plan.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.cg_ell_plan.restype = ctypes.c_int
+        for name, valty in (
+            ("cg_ell_pack_f32", ctypes.c_float),
+            ("cg_ell_pack_f64", ctypes.c_double),
+        ):
+            fn = getattr(lib, name)
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(valty),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            fn.restype = ctypes.c_int
         _lib = lib
     except OSError:
         _load_failed = True
@@ -107,3 +136,48 @@ def read_mtx_csr_native(path, dtype=np.float64):
     if dtype is not np.float64:
         data = data.astype(dtype)
     return data, indices, indptr, (nrows.value, ncols.value)
+
+
+def ell_pack_native(data, indices, indptr, shape, bm: int, bn: int, dtype=np.float32):
+    """Native CSR -> blocked-ELL pack.  Returns (blocks, block_cols, nnz).
+
+    blocks: (nrb, kmax, bm, bn) ``dtype``; block_cols: (nrb, kmax) int32.
+    Falls back is the caller's job (``available()`` gate).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run `make -C native`)")
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    nrows, ncols = shape
+    nrb = ctypes.c_int64()
+    kmax = ctypes.c_int64()
+    rc = lib.cg_ell_plan(
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nrows, ncols, bm, bn,
+        ctypes.byref(nrb), ctypes.byref(kmax),
+    )
+    if rc != 0:
+        raise ValueError("cg_ell_plan failed")
+    out_dtype = np.dtype(dtype)
+    if out_dtype == np.float32:
+        pack, cty = lib.cg_ell_pack_f32, ctypes.c_float
+    elif out_dtype == np.float64:
+        pack, cty = lib.cg_ell_pack_f64, ctypes.c_double
+    else:
+        raise ValueError(f"native pack supports f32/f64, not {out_dtype}")
+    blocks = np.empty((nrb.value, kmax.value, bm, bn), dtype=out_dtype)
+    block_cols = np.empty((nrb.value, kmax.value), dtype=np.int32)
+    rc = pack(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nrows, ncols, bm, bn, kmax.value,
+        blocks.ctypes.data_as(ctypes.POINTER(cty)),
+        block_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError("cg_ell_pack failed (plan/pack mismatch)")
+    return blocks, block_cols, int(len(data))

@@ -40,8 +40,9 @@ def _make_kernel(sx: int):
     def _kernel(u_hbm, c_ref, off_ref, y_ref, u_vmem, sems):
         g = pl.program_id(0)
         ng = pl.num_programs(0)
-        slot = jax.lax.rem(g, 2)
-        nslot = jax.lax.rem(g + 1, 2)
+        two = jnp.asarray(2, g.dtype)
+        slot = jax.lax.rem(g, two)
+        nslot = jax.lax.rem(g + 1, two)
 
         # double buffering: window g was started at step g-1 (or here for
         # g == 0); start window g+1 before computing on window g.
@@ -102,7 +103,7 @@ def stencil7_pallas(
         _make_kernel(sx),
         grid=(nx // sx,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded u stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # padded u stays in HBM
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],

@@ -76,15 +76,15 @@ def reference_cg(
     done = False
     while k < maxiter and not done:
         q = matvec(p)
-        pap = float(p @ q)
+        pap = np.float64(p @ q)
         with np.errstate(divide="ignore", invalid="ignore"):
-            alpha = rho / pap
+            alpha = np.float64(rho) / pap  # 0/0 -> NaN like the device path
         x = x + alpha * p
         r = r - alpha * q
         done = bool(np.isnan(rho) or np.sqrt(rho) <= tol)
         rho_next = float(r @ r)
         with np.errstate(divide="ignore", invalid="ignore"):
-            beta = rho_next / rho
+            beta = np.float64(rho_next) / np.float64(rho)
         p = r + beta * p
         rho = rho_next
         hist.append(rho)
@@ -121,8 +121,9 @@ def reference_pcg(
     done = False
     while k < maxiter and not done:
         q = matvec(p)
-        pap = float(p @ q)
-        alpha = rho / pap
+        pap = np.float64(p @ q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha = np.float64(rho) / pap
         x = x + alpha * p
         r = r - alpha * q
         done = bool(np.isnan(rnorm) or np.sqrt(rnorm) <= tol)

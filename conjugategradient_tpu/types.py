@@ -245,7 +245,11 @@ class BlockedEllMatrix(LinearOperator):
         bn: int = 128,
         dtype=None,
     ) -> "BlockedEllMatrix":
-        """Host-side CSR -> blocked-ELL conversion (done once at ingest)."""
+        """Host-side CSR -> blocked-ELL conversion (done once at ingest).
+
+        Uses the native C++ packer (native/ell_pack.cpp) when built — an
+        O(nnz) single pass — else a vectorizable NumPy fallback.
+        """
         n, ncols = shape
         nrb = _cdiv(n, bm)
         ncb = _cdiv(ncols, bn)
@@ -255,6 +259,17 @@ class BlockedEllMatrix(LinearOperator):
         indices = np.asarray(indices, dtype=np.int64)
         indptr = np.asarray(indptr, dtype=np.int64)
         nnz = int(len(data))
+
+        if data.dtype in (np.float32, np.float64):
+            from .io import native as _native
+
+            if _native.available():
+                blocks, block_cols, _ = _native.ell_pack_native(
+                    data, indices, indptr, shape, bm, bn, dtype=data.dtype
+                )
+                return BlockedEllMatrix(
+                    jnp.asarray(blocks), jnp.asarray(block_cols), (n, ncols), nnz
+                )
 
         # which column-blocks does each row-block touch?
         row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
@@ -347,11 +362,11 @@ class BlockedEllMatrix(LinearOperator):
         for i in range(nrb):
             for k in range(kmax):
                 c = self.block_cols[i, k]
+                idx = (jnp.asarray(i * bm, c.dtype), c * jnp.asarray(bn, c.dtype))
                 out = jax.lax.dynamic_update_slice(
                     out,
-                    jax.lax.dynamic_slice(out, (i * bm, c * bn), (bm, bn))
-                    + self.blocks[i, k],
-                    (i * bm, c * bn),
+                    jax.lax.dynamic_slice(out, idx, (bm, bn)) + self.blocks[i, k],
+                    idx,
                 )
         return out[: self.shape[0], : self.shape[1]]
 

@@ -1,0 +1,74 @@
+"""Preconditioning tests (north-star config 3; the reference is
+unpreconditioned, so the oracle is oracle.reference_pcg)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from conjugategradient_tpu import CSRMatrix, cg_solve, jacobi_preconditioner
+from conjugategradient_tpu.oracle import csr_matvec_np_fast, reference_pcg
+from conjugategradient_tpu.problems import banded_spd_coo, reference_rhs
+from conjugategradient_tpu.solver.precond import identity_preconditioner
+
+
+def _problem(n=500, bw=6, seed=11):
+    rows, cols, vals, shape = banded_spd_coo(n, bandwidth=bw, seed=seed)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    b = reference_rhs(shape[0])
+    d, i, p = np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr)
+    return A, b, (lambda x: csr_matvec_np_fast(d, i, p, x))
+
+
+def test_jacobi_parity_with_pcg_oracle():
+    A, b, mv = _problem()
+    diag = np.asarray(A.diagonal())
+    ora = reference_pcg(mv, b, lambda r: r / diag, tol=1e-9)
+    M = jacobi_preconditioner(A)
+    x, info = cg_solve(A, jnp.asarray(b), tol=1e-9, M=M)
+    assert int(info.iterations) == ora.iterations
+    k = int(info.iterations)
+    got = np.asarray(info.rho_history)[: k + 1]
+    want = ora.rho_history[: k + 1]
+    sel = want > want[0] * 1e-24
+    np.testing.assert_allclose(got[sel], want[sel], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(x), ora.x, rtol=1e-7, atol=1e-9)
+
+
+def test_jacobi_speeds_up_badly_scaled_problem():
+    """Jacobi must cut iterations when the diagonal varies wildly."""
+    n = 400
+    rows, cols, vals, shape = banded_spd_coo(n, bandwidth=4, seed=3)
+    scale = np.geomspace(1.0, 1e4, n)
+    A0 = CSRMatrix.from_coo(rows, cols, vals, shape)
+    # symmetric scaling D A D keeps SPD but wrecks the diagonal
+    d_, i_, p_ = np.asarray(A0.data), np.asarray(A0.indices), np.asarray(A0.indptr)
+    row_ids = np.repeat(np.arange(n), np.diff(p_))
+    A = CSRMatrix.from_arrays(d_ * scale[row_ids] * scale[i_], i_, p_, shape)
+    b = reference_rhs(n)
+
+    x_plain, info_plain = cg_solve(A, jnp.asarray(b), tol=1e-6, maxiter=4 * n)
+    x_pcg, info_pcg = cg_solve(
+        A, jnp.asarray(b), tol=1e-6, maxiter=4 * n, M=jacobi_preconditioner(A)
+    )
+    assert int(info_pcg.iterations) < int(info_plain.iterations)
+    assert bool(info_pcg.converged)
+
+
+def test_identity_preconditioner_equals_plain_cg():
+    A, b, _ = _problem(n=200)
+    x1, i1 = cg_solve(A, jnp.asarray(b), tol=1e-8)
+    x2, i2 = cg_solve(A, jnp.asarray(b), tol=1e-8, M=identity_preconditioner())
+    assert int(i1.iterations) == int(i2.iterations)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-10)
+    k = int(i1.iterations)
+    np.testing.assert_allclose(
+        np.asarray(i1.rho_history)[: k + 1],
+        np.asarray(i2.rho_history)[: k + 1],
+        rtol=1e-10,
+    )
+
+
+def test_jacobi_eps_guard():
+    diag_zero = jnp.asarray(np.array([[0.0, 1.0], [1.0, 2.0]]))
+    M = jacobi_preconditioner(diag_zero, eps=1e-3)
+    out = np.asarray(M(jnp.ones(2)))
+    assert np.all(np.isfinite(out))

@@ -1,0 +1,113 @@
+"""Solver API contract tests (the functional rebuild of CG.hpp's object API:
+setters -> cg_solve args, extract -> return value, memoryFootprint ->
+memory_footprint, checkpointable CGState)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conjugategradient_tpu import CSRMatrix, cg_solve
+from conjugategradient_tpu.problems import poisson2d_coo, reference_rhs
+from conjugategradient_tpu.solver import memory_footprint
+from conjugategradient_tpu.solver.cg import CGState, cg_init, cg_step
+
+
+def _problem(nx=12):
+    rows, cols, vals, shape = poisson2d_coo(nx)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    return A, jnp.asarray(reference_rhs(shape[0]))
+
+
+def test_cg_solve_is_jittable():
+    A, b = _problem()
+    jitted = jax.jit(lambda b_: cg_solve(A, b_, tol=1e-9))
+    x1, i1 = jitted(b)
+    x2, i2 = cg_solve(A, b, tol=1e-9)
+    assert int(i1.iterations) == int(i2.iterations)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-12)
+
+
+def test_deterministic_bitwise():
+    """Same input => bit-identical residual history (SURVEY §5: determinism
+    replaces the reference's race-prone event DAG)."""
+    A, b = _problem()
+    _, i1 = cg_solve(A, b, tol=1e-10)
+    _, i2 = cg_solve(A, b, tol=1e-10)
+    np.testing.assert_array_equal(
+        np.asarray(i1.rho_history), np.asarray(i2.rho_history)
+    )
+
+
+def test_maxiter_cap():
+    A, b = _problem()
+    x, info = cg_solve(A, b, tol=0.0, maxiter=7)
+    assert int(info.iterations) == 7
+    assert not bool(info.converged)
+
+
+def test_checkpoint_resume_equivalence():
+    """Stopping at k and resuming from the carry must equal an uninterrupted
+    run (SURVEY §5 checkpoint/resume: the carry is the checkpoint)."""
+    A, b = _problem()
+    tol = jnp.asarray(0.0, b.dtype)
+
+    full = cg_init(A, b, maxiter=20)
+    for _ in range(20):
+        full = cg_step(A, full, tol)
+
+    half = cg_init(A, b, maxiter=20)
+    for _ in range(10):
+        half = cg_step(A, half, tol)
+    # "checkpoint": round-trip the carry through host numpy (like orbax would)
+    leaves, treedef = jax.tree_util.tree_flatten(half)
+    restored = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(np.asarray(l)) for l in leaves]
+    )
+    for _ in range(10):
+        restored = cg_step(A, restored, tol)
+
+    np.testing.assert_array_equal(np.asarray(restored.x), np.asarray(full.x))
+    np.testing.assert_array_equal(
+        np.asarray(restored.rnorm_sq), np.asarray(full.rnorm_sq)
+    )
+
+
+def test_info_residual_norms_sqrt():
+    A, b = _problem()
+    _, info = cg_solve(A, b, tol=1e-9)
+    k = int(info.iterations)
+    np.testing.assert_allclose(
+        np.asarray(info.residual_norms)[:k],
+        np.sqrt(np.asarray(info.rho_history)[:k]),
+        rtol=1e-14,
+    )
+
+
+def test_memory_footprint_formula():
+    """(2·NNZ + 4·N)·sizeof(DT) + 2·N·sizeof(int) — CG.hpp:555-558."""
+    assert memory_footprint(100, 500, dtype=jnp.float64) == (
+        (2 * 500 + 4 * 100) * 8 + 2 * 100 * 4
+    )
+    assert memory_footprint(10, 20, dtype=jnp.float32) == (
+        (2 * 20 + 4 * 10) * 4 + 2 * 10 * 4
+    )
+
+
+def test_dtype_preserved_f32():
+    A, b64 = _problem()
+    A32 = CSRMatrix.from_arrays(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        A.shape, dtype=np.float32,
+    )
+    b = jnp.asarray(np.asarray(b64), jnp.float32)
+    x, info = cg_solve(A32, b, tol=1e-4)
+    assert x.dtype == jnp.float32
+    assert bool(info.converged)
+
+
+def test_state_is_pytree():
+    A, b = _problem(6)
+    s = cg_init(A, b, maxiter=3)
+    leaves, treedef = jax.tree_util.tree_flatten(s)
+    s2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(s2, CGState)

@@ -1,0 +1,112 @@
+"""SpMV kernel tests — CSR vs NumPy, blocked-ELL vs CSR, Pallas vs einsum
+(SURVEY §4: "SpMV vs scipy" analogue; ref kernel VectorOperations.hpp:438-466)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conjugategradient_tpu.io import native
+from conjugategradient_tpu.ops.pallas.ell_spmv import bell_spmv_pallas
+from conjugategradient_tpu.ops.spmv import _bell_spmv_jnp, bell_spmv, csr_spmv, dense_spmv
+from conjugategradient_tpu.problems import banded_spd_coo, poisson2d_coo
+from conjugategradient_tpu.types import BlockedEllMatrix, CSRMatrix
+
+
+@pytest.fixture(scope="module")
+def poisson():
+    rows, cols, vals, shape = poisson2d_coo(17, 23)
+    return CSRMatrix.from_coo(rows, cols, vals, shape)
+
+
+def _np_csr_matvec(csr, x):
+    y = np.zeros(csr.shape[0])
+    data, idx, iptr = np.asarray(csr.data), np.asarray(csr.indices), np.asarray(csr.indptr)
+    for r in range(csr.shape[0]):
+        y[r] = np.dot(data[iptr[r]:iptr[r + 1]], x[idx[iptr[r]:iptr[r + 1]]])
+    return y
+
+
+def test_csr_spmv_matches_numpy(poisson, rng):
+    x = rng.standard_normal(poisson.shape[1])
+    got = np.asarray(csr_spmv(poisson, jnp.asarray(x)))
+    np.testing.assert_allclose(got, _np_csr_matvec(poisson, x), rtol=1e-12)
+
+
+def test_dense_spmv(rng):
+    a = rng.standard_normal((64, 64))
+    x = rng.standard_normal(64)
+    np.testing.assert_allclose(
+        np.asarray(dense_spmv(jnp.asarray(a), jnp.asarray(x))), a @ x, rtol=1e-12
+    )
+
+
+@pytest.mark.parametrize("bm,bn", [(8, 128), (16, 128), (128, 128)])
+def test_bell_matches_csr(poisson, rng, bm, bn):
+    bell = BlockedEllMatrix.from_csr(poisson, bm=bm, bn=bn)
+    x = jnp.asarray(rng.standard_normal(poisson.shape[1]))
+    np.testing.assert_allclose(
+        np.asarray(bell.matvec(x)),
+        np.asarray(poisson.matvec(x)),
+        rtol=1e-10,
+        atol=1e-12,
+    )
+
+
+def test_bell_python_fallback_matches_native(poisson):
+    if not native.available():
+        pytest.skip("native lib not built")
+    data = np.asarray(poisson.data)
+    idx = np.asarray(poisson.indices)
+    iptr = np.asarray(poisson.indptr)
+    b_native = BlockedEllMatrix.from_csr_host(data, idx, iptr, poisson.shape, 16, 128)
+    orig = native.available
+    native.available = lambda: False
+    try:
+        b_py = BlockedEllMatrix.from_csr_host(data, idx, iptr, poisson.shape, 16, 128)
+    finally:
+        native.available = orig
+    assert b_native.kmax == b_py.kmax
+    np.testing.assert_array_equal(np.asarray(b_native.blocks), np.asarray(b_py.blocks))
+    np.testing.assert_array_equal(
+        np.asarray(b_native.block_cols), np.asarray(b_py.block_cols)
+    )
+
+
+def test_pallas_bell_interpret_matches_einsum(rng):
+    nrb, kmax, bm, bn, ncb = 4, 3, 8, 128, 5
+    blocks = jnp.asarray(rng.standard_normal((nrb, kmax, bm, bn)), jnp.float32)
+    cols = jnp.asarray(rng.integers(0, ncb, (nrb, kmax)), jnp.int32)
+    x2d = jnp.asarray(rng.standard_normal((ncb, bn)), jnp.float32)
+    y_ref = _bell_spmv_jnp(blocks, cols, x2d)
+    y_pal = bell_spmv_pallas(blocks, cols, x2d, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=2e-4)
+
+
+def test_pallas_bell_duplicate_padding_cols(rng):
+    """Zero padding tiles pointing at column-block 0 must not corrupt y."""
+    nrb, kmax, bm, bn, ncb = 2, 4, 8, 128, 3
+    blocks = np.zeros((nrb, kmax, bm, bn), np.float32)
+    blocks[:, 0] = rng.standard_normal((nrb, bm, bn))
+    cols = np.zeros((nrb, kmax), np.int32)
+    x2d = jnp.asarray(rng.standard_normal((ncb, bn)), jnp.float32)
+    y_ref = _bell_spmv_jnp(jnp.asarray(blocks), jnp.asarray(cols), x2d)
+    y_pal = bell_spmv_pallas(jnp.asarray(blocks), jnp.asarray(cols), x2d, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=2e-4)
+
+
+def test_bell_rectangular_padding(rng):
+    """n not a multiple of bm / bn: padded rows and columns stay silent."""
+    rows, cols, vals, shape = banded_spd_coo(333, bandwidth=5, seed=3)
+    csr = CSRMatrix.from_coo(rows, cols, vals, shape)
+    bell = BlockedEllMatrix.from_csr(csr, bm=128, bn=128)
+    assert bell.padded_shape[0] % 128 == 0
+    x = jnp.asarray(rng.standard_normal(shape[1]))
+    np.testing.assert_allclose(
+        np.asarray(bell.matvec(x)), np.asarray(csr.matvec(x)), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_bell_padding_ratio(poisson):
+    bell = BlockedEllMatrix.from_csr(poisson, bm=8, bn=128)
+    assert bell.padding_ratio() >= 1.0
+    assert bell.nnz == poisson.nnz

@@ -1,0 +1,72 @@
+"""Matrix-free 3-D 7-point stencil tests (north-star config 4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conjugategradient_tpu import StencilOperator, cg_solve
+from conjugategradient_tpu.ops.pallas.stencil import stencil7_pallas
+from conjugategradient_tpu.ops.stencil import _neighbor_sum, poisson7_csr, stencil7_matvec
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return (5, 6, 7)
+
+
+def test_stencil_matches_explicit_csr(grid, rng):
+    """The matrix-free operator equals its explicit CSR assembly."""
+    op = StencilOperator.poisson(grid, dtype=jnp.float64)
+    csr = poisson7_csr(grid)
+    x = jnp.asarray(rng.standard_normal(op.shape[0]))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(csr.matvec(x)), rtol=1e-12
+    )
+
+
+def test_stencil_diagonal(grid):
+    op = StencilOperator.poisson(grid, dtype=jnp.float64)
+    csr = poisson7_csr(grid)
+    np.testing.assert_allclose(
+        np.asarray(op.diagonal()), np.asarray(csr.diagonal()), rtol=1e-14
+    )
+
+
+@pytest.mark.parametrize("shape", [(16, 8, 128), (4, 16, 256), (3, 8, 128)])
+def test_pallas_stencil_interpret(shape, rng):
+    u = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    y_ref = 6.0 * u - 1.0 * _neighbor_sum(u)
+    y_pal = stencil7_pallas(u, 6.0, -1.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-5)
+
+
+def test_stencil_cg_converges(grid):
+    op = StencilOperator.poisson(grid, dtype=jnp.float64)
+    n = op.shape[0]
+    b = jnp.ones((n,), jnp.float64)
+    x, info = cg_solve(op, b, tol=1e-10)
+    assert bool(info.converged)
+    r = b - op.matvec(x)
+    assert float(jnp.linalg.norm(r)) < 1e-9
+
+
+def test_stencil_cg_matches_csr_cg(grid):
+    op = StencilOperator.poisson(grid, dtype=jnp.float64)
+    csr = poisson7_csr(grid)
+    b = jnp.arange(1, op.shape[0] + 1, dtype=jnp.float64)
+    x1, i1 = cg_solve(op, b, tol=1e-10)
+    x2, i2 = cg_solve(csr, b, tol=1e-10)
+    assert int(i1.iterations) == int(i2.iterations)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-9)
+
+
+def test_stencil_use_pallas_flag(grid, rng):
+    """never/always dispatch agree (always = interpret-off pallas works only
+    on TPU; on CPU the flag should still produce correct results via
+    interpret=False failing is not expected — exercised via 'never')."""
+    op = StencilOperator.poisson(grid, dtype=jnp.float64)
+    x = jnp.asarray(rng.standard_normal(op.shape[0]))
+    y = stencil7_matvec(op, x, use_pallas="never")
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(op.matvec(x)), rtol=1e-12
+    )
