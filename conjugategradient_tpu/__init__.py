@@ -19,6 +19,7 @@ systems), redesigned TPU-first:
 from .types import (
     BlockedEllMatrix,
     CSRMatrix,
+    DIAMatrix,
     DenseOperator,
     LinearOperator,
     MatrixFreeOperator,
@@ -42,6 +43,7 @@ __version__ = "0.1.0"
 __all__ = [
     "BlockedEllMatrix",
     "CSRMatrix",
+    "DIAMatrix",
     "DenseOperator",
     "LinearOperator",
     "MatrixFreeOperator",

@@ -1,7 +1,18 @@
 """High-level matrix ingest: file → device operator.
 
 Chooses the native C++ parser when available (io/native.py), falls back to
-the pure-Python reader, and converts to the requested device layout.
+the pure-Python reader, optionally RCM-reorders (reorder.py), and converts
+to the requested device layout — or picks one automatically:
+
+* ``dia``  — diagonal storage; best when the matrix is banded (low distinct
+  diagonal count): zero index traffic, pure streaming.
+* ``bell`` — blocked-ELL dense tiles; best for block-structured matrices.
+* ``csr``  — gather + segment-sum; always correct, used as the fallback and
+  for parity oracles.
+
+The "auto" policy compares the *bandwidth overhead* (stored slots / true
+nnz) each fast layout would pay and picks the cheapest, falling back to CSR
+when both pad too much to win over the gather path.
 """
 
 from __future__ import annotations
@@ -10,7 +21,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..types import BlockedEllMatrix, CSRMatrix
+from ..reorder import count_diagonals, permute_csr, rcm_permutation
+from ..types import BlockedEllMatrix, CSRMatrix, DIAMatrix
 
 
 def read_csr_host(path, dtype=np.float64):
@@ -24,22 +36,82 @@ def read_csr_host(path, dtype=np.float64):
     return read_mtx_csr(path, dtype=dtype)
 
 
+# auto-policy thresholds: a fast layout is admissible while its padding
+# (stored slots / nnz) stays under this; DIA additionally capped on diagonal
+# count so the unrolled matvec stays compilable.
+_DIA_MAX_PADDING = 5.0
+_DIA_MAX_DIAGS = 512
+_BELL_MAX_PADDING = 16.0
+
+
+def choose_layout(
+    indices: np.ndarray,
+    indptr: np.ndarray,
+    shape: Tuple[int, int],
+    bm: int = 8,
+    bn: int = 128,
+) -> str:
+    """Pick 'dia' / 'bell' / 'csr' from the sparsity pattern (see module doc)."""
+    n = shape[0]
+    nnz = max(int(len(indices)), 1)
+
+    ndiag = count_diagonals(indices, indptr)
+    dia_padding = ndiag * n / nnz
+    if ndiag <= _DIA_MAX_DIAGS and dia_padding <= _DIA_MAX_PADDING:
+        return "dia"
+
+    # blocked-ELL padding estimate: kmax from a cheap host pass
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    rb = row_ids // bm
+    cb = np.asarray(indices, dtype=np.int64) // bn
+    pairs = np.unique(rb * (2**32) + cb)
+    kmax_counts = np.bincount((pairs // (2**32)).astype(np.int64))
+    kmax = int(kmax_counts.max()) if len(kmax_counts) else 1
+    nrb = -(-n // bm)
+    bell_padding = nrb * kmax * bm * bn / nnz
+    if bell_padding <= _BELL_MAX_PADDING:
+        return "bell"
+    return "csr"
+
+
 def load_matrix(
     path,
-    layout: str = "csr",
+    layout: str = "auto",
     dtype=np.float32,
-    bm: int = 128,
+    bm: int = 8,
     bn: int = 128,
+    reorder: bool = False,
 ):
     """Load a MatrixMarket file as a device operator.
 
-    layout: "csr" (portable) or "bell" (blocked-ELL, the TPU fast path).
+    layout: "auto" (pattern-based choice), "csr", "bell", or "dia".
+    reorder: apply RCM first (bandwidth reduction).  When True the return
+      value is ``(operator, perm)`` with ``perm[new] = old``; solve
+      ``A' y = b[perm]`` and map back with ``x[perm] = y``
+      (reorder.unpermute_vector).  When False returns just the operator.
     """
     data, indices, indptr, shape = read_csr_host(path, dtype=np.float64)
+
+    perm = None
+    if reorder:
+        perm = rcm_permutation(indices, indptr, shape[0])
+        data, indices, indptr = permute_csr(data, indices, indptr, shape, perm)
+
+    if layout == "auto":
+        layout = choose_layout(indices, indptr, shape, bm=bm, bn=bn)
+
     if layout == "csr":
-        return CSRMatrix.from_arrays(data, indices, indptr, shape, dtype=dtype)
-    if layout == "bell":
-        return BlockedEllMatrix.from_csr_host(
+        op = CSRMatrix.from_arrays(data, indices, indptr, shape, dtype=dtype)
+    elif layout == "bell":
+        op = BlockedEllMatrix.from_csr_host(
             data.astype(dtype), indices, indptr, shape, bm=bm, bn=bn
         )
-    raise ValueError(f"unknown layout {layout!r} (want 'csr' or 'bell')")
+    elif layout == "dia":
+        op = DIAMatrix.from_csr_host(
+            data.astype(dtype), indices, indptr, shape
+        )
+    else:
+        raise ValueError(
+            f"unknown layout {layout!r} (want 'auto', 'csr', 'bell' or 'dia')"
+        )
+    return (op, perm) if reorder else op

@@ -1,0 +1,117 @@
+"""Pallas DIA SpMV — banded fast path.
+
+The XLA formulation (ops/spmv.dia_spmv) re-reads the operand once per
+diagonal (measured ~60% of roofline at 13 diagonals); this kernel loads each
+x window exactly once: the grid walks column blocks of length BL, each step
+DMAs the (ndiag, BL) slab of diagonals through the pipeline plus one
+halo-inclusive x window [g*BL - lpad, g*BL + BL + rpad) by manual DMA
+(double-buffered, window starts are not block-aligned so BlockSpec cannot
+express them), then accumulates ndiag shifted multiply-adds in VMEM.
+
+Traffic: (ndiag + 1 + 1/BL·band) reads + 1 write per point — compulsory.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(offsets, lpad: int, bl: int):
+    # 1-D VMEM refs are tiled in 1024-element chunks; the window (and hence
+    # the scratch row) must be a multiple of that for memref slicing.
+    window = bl + lpad + (max(max(offsets), 0) if offsets else 0)
+    window = -(-window // 1024) * 1024
+
+    def _window_dma(xp_hbm, x_vmem, sems, g, slot):
+        # x_vmem is flat (2*window,): slot buffers at 1024-aligned offsets
+        # (window is a 1024 multiple), which Mosaic's 1-D tiling requires.
+        dst = pl.multiple_of(slot * window, 1024)
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(g * bl, window)],
+            x_vmem.at[pl.ds(dst, window)],
+            sems.at[slot],
+        )
+
+    def _kernel(diags_ref, xp_hbm, y_ref, x_vmem, sems):
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
+        two = jnp.asarray(2, g.dtype)
+        slot = jax.lax.rem(g, two)
+        nslot = jax.lax.rem(g + 1, two)
+
+        @pl.when(g == 0)
+        def _():
+            _window_dma(xp_hbm, x_vmem, sems, 0, 0).start()
+
+        @pl.when(g + 1 < ng)
+        def _():
+            _window_dma(xp_hbm, x_vmem, sems, g + 1, nslot).start()
+
+        _window_dma(xp_hbm, x_vmem, sems, g, slot).wait()
+
+        # Read the whole window once (aligned), then take static slices of
+        # the VALUE — Mosaic requires 1024-aligned memref slices in 1-D, but
+        # value slices lower to lane shifts.
+        src = pl.multiple_of(slot * window, 1024)
+        xw = x_vmem[pl.ds(src, window)].astype(jnp.float32)  # (window,)
+        acc = jnp.zeros((bl,), jnp.float32)
+        for d, off in enumerate(offsets):
+            lo = off + lpad
+            xs = jax.lax.slice(xw, (lo,), (lo + bl,))
+            acc = acc + diags_ref[d, :].astype(jnp.float32) * xs
+        y_ref[...] = acc.astype(y_ref.dtype)
+
+    return _kernel, window
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret", "block_len"))
+def dia_spmv_pallas(
+    diags: jax.Array,
+    offsets: tuple,
+    x: jax.Array,
+    interpret: bool = False,
+    block_len: int = 16384,
+) -> jax.Array:
+    """y (n,) = DIA(diags, offsets) @ x.  n must be a multiple of block_len
+    after internal padding (handled here); output is diags.dtype.
+    """
+    ndiag, n = diags.shape
+    ncols = x.shape[0]
+    lpad = max(0, -min(offsets)) if offsets else 0
+    rpad_off = max(max(offsets), 0) if offsets else 0
+
+    bl = min(block_len, n)
+    n_pad = -(-n // bl) * bl
+    if n_pad != n:
+        diags = jnp.pad(diags, ((0, 0), (0, n_pad - n)))
+    kernel, window = _make_kernel(tuple(offsets), lpad, bl)
+    # xp[i] = x[i - lpad]; window g DMAs xp[g*bl : g*bl + window], so xp
+    # must extend to (n_pad - bl) + window past the left pad.
+    xp = jnp.pad(x, (lpad, max(0, n_pad - bl + window - lpad - ncols)))
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_pad // bl,),
+        in_specs=[
+            pl.BlockSpec((ndiag, bl), lambda g: (0, g)),
+            pl.BlockSpec(memory_space=pl.ANY),  # padded x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((bl,), lambda g: (g,)),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), diags.dtype),
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((2 * window,), diags.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * n,
+            bytes_accessed=(ndiag + 2) * n * diags.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(diags, xp)
+    return y[:n]

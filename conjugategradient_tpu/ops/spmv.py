@@ -109,3 +109,35 @@ def bell_spmv(a: BlockedEllMatrix, x: jax.Array, use_pallas: str = "auto") -> ja
 def dense_spmv(a: jax.Array, x: jax.Array) -> jax.Array:
     """Dense matvec — rides the MXU directly."""
     return jnp.dot(a, x, preferred_element_type=_acc(a.dtype)).astype(a.dtype)
+
+
+def dia_spmv(a, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
+    """DIA SpMV: ``y[i] = sum_d diags[d, i] * x[i + offsets[d]]``.
+
+    The loop over (static) offsets unrolls at trace time into ndiag
+    multiply-adds on shifted views of one zero-padded copy of ``x``; XLA
+    fuses everything into a single streaming pass — no index arrays, no
+    gathers.  Out-of-range slots of ``diags`` are zero by construction, so
+    no masking is needed.
+
+    A Pallas variant exists (ops/pallas/dia_spmv.py) that DMAs each x
+    window exactly once; measured on v5e at 13 diagonals it is only ~3%
+    faster than this XLA path (lane-shift cost dominates both), so "auto"
+    keeps XLA and the kernel is opt-in via "always".
+    """
+    if use_pallas == "always":
+        from .pallas.dia_spmv import dia_spmv_pallas
+
+        return dia_spmv_pallas(a.diags, a.offsets, x)
+    n, ncols = a.shape
+    offsets = a.offsets
+    lpad = max(0, -min(offsets)) if offsets else 0
+    rpad = max(0, max(offsets) + n - ncols) if offsets else 0
+    xp = jnp.pad(x, (lpad, rpad)) if (lpad or rpad) else x
+
+    acc = jnp.promote_types(a.dtype, jnp.float32)
+    y = jnp.zeros((n,), dtype=acc)
+    for d, off in enumerate(offsets):
+        lo = off + lpad
+        y = y + a.diags[d].astype(acc) * jax.lax.slice(xp, (lo,), (lo + n,)).astype(acc)
+    return y.astype(a.dtype)

@@ -1,0 +1,141 @@
+"""Bandwidth-reducing reordering (reverse Cuthill–McKee).
+
+TPU-side motivation: the fast sparse layouts (DIAMatrix, BlockedEllMatrix)
+waste bandwidth in proportion to how scattered a matrix's column footprint
+is.  RCM permutes a symmetric matrix so its nonzeros hug the diagonal,
+turning general SuiteSparse SPD problems into banded ones that DIA/ELL
+store with little padding.  The reference has no reordering (it feeds raw
+CSR to a gather-based kernel, VectorOperations.hpp:438-466); this module is
+part of the TPU-first redesign, not a port.
+
+Pure NumPy (host-side, done once at ingest).  For an SPD system, solving
+``(P A Pᵀ) y = P b`` and returning ``x = Pᵀ y`` is exact — apply/undo with
+:func:`permute_vector` / :func:`unpermute_vector`.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def _adjacency(indices: np.ndarray, indptr: np.ndarray, n: int):
+    degrees = np.diff(indptr)
+    return degrees
+
+
+def rcm_permutation(indices: np.ndarray, indptr: np.ndarray, n: int) -> np.ndarray:
+    """Reverse Cuthill–McKee ordering of a symmetric sparsity pattern.
+
+    Returns ``perm`` with ``perm[new] = old`` (gather convention): row
+    ``perm[0]`` of A becomes row 0 of the reordered matrix.  Handles
+    disconnected components; within each, BFS starts from a minimum-degree
+    vertex and visits neighbors in increasing-degree order.
+    """
+    indices = np.asarray(indices, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    degrees = np.diff(indptr)
+
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+
+    # process components in order of their minimum-degree seed
+    seeds = np.argsort(degrees, kind="stable")
+    for seed in seeds:
+        if visited[seed]:
+            continue
+        # BFS from seed
+        visited[seed] = True
+        frontier = [int(seed)]
+        order[pos] = seed
+        pos += 1
+        while frontier:
+            next_frontier = []
+            for u in frontier:
+                nbrs = indices[indptr[u]:indptr[u + 1]]
+                nbrs = nbrs[~visited[nbrs]]
+                if len(nbrs) == 0:
+                    continue
+                nbrs = np.unique(nbrs)  # dedup keeps visited flags simple
+                nbrs = nbrs[np.argsort(degrees[nbrs], kind="stable")]
+                for v in nbrs:
+                    if not visited[v]:
+                        visited[v] = True
+                        order[pos] = v
+                        pos += 1
+                        next_frontier.append(int(v))
+            frontier = next_frontier
+    assert pos == n, "graph traversal missed vertices"
+    return order[::-1].copy()  # the "reverse" in RCM
+
+
+def permute_csr(
+    data: np.ndarray,
+    indices: np.ndarray,
+    indptr: np.ndarray,
+    shape: Tuple[int, int],
+    perm: np.ndarray,
+):
+    """Symmetric permutation P A Pᵀ of a square CSR matrix.
+
+    ``perm[new] = old``.  Returns new (data, indices, indptr) with rows
+    sorted by column within each row.
+    """
+    n = shape[0]
+    assert shape[0] == shape[1], "symmetric permutation needs a square matrix"
+    perm = np.asarray(perm, dtype=np.int64)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+
+    indptr = np.asarray(indptr, dtype=np.int64)
+    counts = np.diff(indptr)
+    new_counts = counts[perm]
+    new_indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=new_indptr[1:])
+
+    new_data = np.empty_like(np.asarray(data))
+    new_indices = np.empty_like(np.asarray(indices), dtype=np.int64)
+    for new_r in range(n):
+        old_r = perm[new_r]
+        lo, hi = indptr[old_r], indptr[old_r + 1]
+        cols = inv[np.asarray(indices)[lo:hi]]
+        vals = np.asarray(data)[lo:hi]
+        o = np.argsort(cols, kind="stable")
+        dst = slice(new_indptr[new_r], new_indptr[new_r + 1])
+        new_indices[dst] = cols[o]
+        new_data[dst] = vals[o]
+    return new_data, new_indices, new_indptr
+
+
+def permute_vector(v: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """b -> P b (reordered space)."""
+    return np.asarray(v)[perm]
+
+
+def unpermute_vector(v: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """y -> Pᵀ y (back to original ordering)."""
+    out = np.empty_like(np.asarray(v))
+    out[np.asarray(perm)] = np.asarray(v)
+    return out
+
+
+def bandwidth(indices: np.ndarray, indptr: np.ndarray) -> int:
+    """max |i - j| over stored entries — the quantity RCM minimizes."""
+    indices = np.asarray(indices, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    n = len(indptr) - 1
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    if len(row_ids) == 0:
+        return 0
+    return int(np.max(np.abs(row_ids - indices)))
+
+
+def count_diagonals(indices: np.ndarray, indptr: np.ndarray) -> int:
+    """Number of distinct diagonals touched (DIA storage rows needed)."""
+    indices = np.asarray(indices, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    n = len(indptr) - 1
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    return int(len(np.unique(indices - row_ids)))

@@ -383,6 +383,122 @@ class BlockedEllMatrix(LinearOperator):
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
+class DIAMatrix(LinearOperator):
+    """Diagonal (DIA) sparse layout — the TPU-ideal format for banded SPD
+    matrices.
+
+    Storage: ``diags[d, i] = A[i, i + offsets[d]]`` for each stored diagonal
+    offset (``offsets`` is static metadata, so the SpMV loop over diagonals
+    unrolls at trace time).  Slots that fall outside the matrix are zero.
+
+    SpMV is ``y = sum_d diags[d] * shift(x, offsets[d])`` — no index arrays,
+    no gathers: ndiag+2 contiguous vector streams that XLA fuses into one
+    pass at HBM bandwidth.  The reference's CSR kernel
+    (VectorOperations.hpp:438-466) does one serial dot per row with random
+    access into x; DIA removes both the index traffic (nnz ints in CSR) and
+    the irregular access entirely.  With RCM reordering (reorder.py), most
+    SuiteSparse SPD problems become banded enough for this layout.
+    """
+
+    diags: jax.Array  # (ndiag, n)
+    offsets: Tuple[int, ...]  # static
+    shape: Tuple[int, int]
+    nnz: int  # true nnz (pre-padding), static metadata
+
+    def tree_flatten(self):
+        return (self.diags,), (self.offsets, self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1], aux[2])
+
+    @staticmethod
+    def from_csr_host(
+        data: np.ndarray,
+        indices: np.ndarray,
+        indptr: np.ndarray,
+        shape: Tuple[int, int],
+        dtype=None,
+        max_diags: Optional[int] = None,
+    ) -> "DIAMatrix":
+        """Host-side CSR -> DIA.  Raises ValueError if the matrix touches
+        more than ``max_diags`` distinct diagonals (caller should fall back
+        to blocked-ELL)."""
+        n, ncols = shape
+        data = np.asarray(data)
+        if dtype is not None:
+            data = data.astype(dtype)
+        indices = np.asarray(indices, dtype=np.int64)
+        indptr = np.asarray(indptr, dtype=np.int64)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        offs = indices - row_ids
+        uniq = np.unique(offs)
+        if max_diags is not None and len(uniq) > max_diags:
+            raise ValueError(
+                f"matrix touches {len(uniq)} diagonals > max_diags={max_diags}"
+            )
+        slot = np.searchsorted(uniq, offs)
+        diags = np.zeros((len(uniq), n), dtype=data.dtype)
+        np.add.at(diags, (slot, row_ids), data)
+        return DIAMatrix(
+            jnp.asarray(diags),
+            tuple(int(o) for o in uniq),
+            (n, ncols),
+            int(len(data)),
+        )
+
+    @staticmethod
+    def from_csr(csr: "CSRMatrix", max_diags: Optional[int] = None) -> "DIAMatrix":
+        return DIAMatrix.from_csr_host(
+            np.asarray(csr.data),
+            np.asarray(csr.indices),
+            np.asarray(csr.indptr),
+            csr.shape,
+            max_diags=max_diags,
+        )
+
+    @property
+    def ndiag(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def dtype(self):
+        return self.diags.dtype
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from .ops.spmv import dia_spmv
+
+        return dia_spmv(self, x)
+
+    def diagonal(self) -> jax.Array:
+        if 0 in self.offsets:
+            return self.diags[self.offsets.index(0)]
+        return jnp.zeros((self.shape[0],), dtype=self.dtype)
+
+    def to_dense(self) -> jax.Array:
+        n, ncols = self.shape
+        out = jnp.zeros((n, ncols), dtype=self.dtype)
+        rows = jnp.arange(n)
+        for d, off in enumerate(self.offsets):
+            cols = rows + off
+            valid = (cols >= 0) & (cols < ncols)
+            out = out.at[rows[valid], cols[valid]].add(self.diags[d][valid])
+        return out
+
+    def memory_footprint(self) -> int:
+        return self.diags.size * self.diags.dtype.itemsize
+
+    def padding_ratio(self) -> float:
+        """Stored slots / true nnz — the bandwidth overhead of the layout."""
+        return float(self.diags.size) / max(self.nnz, 1)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
 class DenseOperator(LinearOperator):
     """Dense SPD operator; SpMV is a plain MXU matvec."""
 

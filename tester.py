@@ -35,8 +35,13 @@ def main(argv=None) -> int:
                     help="absolute tolerance on ||r||2 (reference: 1e-24)")
     ap.add_argument("--maxiter", type=int, default=None,
                     help="iteration cap (reference: N+1)")
-    ap.add_argument("--layout", choices=("csr", "bell"), default="csr",
-                    help="device operator layout (bell = blocked-ELL TPU fast path)")
+    ap.add_argument("--layout", choices=("auto", "csr", "bell", "dia"), default="csr",
+                    help="device operator layout: auto picks by sparsity "
+                         "pattern; bell = blocked-ELL tiles; dia = diagonal "
+                         "storage (banded fast path)")
+    ap.add_argument("--reorder", action="store_true",
+                    help="RCM-reorder the system first (bandwidth reduction; "
+                         "solution mapped back to the original ordering)")
     ap.add_argument("--dtype", choices=("float32", "float64", "bfloat16"),
                     default="float64",
                     help="solve dtype (float64 matches the reference's double)")
@@ -62,15 +67,23 @@ def main(argv=None) -> int:
     log = get_logger()
 
     dtype = jnp.dtype(args.dtype)
-    A = load_matrix(args.mtx, layout=args.layout, dtype=dtype,
-                    bm=args.bm, bn=args.bn)
+    perm = None
+    if args.reorder:
+        A, perm = load_matrix(args.mtx, layout=args.layout, dtype=dtype,
+                              bm=args.bm, bn=args.bn, reorder=True)
+    else:
+        A = load_matrix(args.mtx, layout=args.layout, dtype=dtype,
+                        bm=args.bm, bn=args.bn)
     n = A.shape[0]
     nnz = A.nnz
     if args.verbose:
-        log.debug("loaded %s: n=%d nnz=%d layout=%s", args.mtx, n, nnz, args.layout)
+        log.debug("loaded %s: n=%d nnz=%d layout=%s reorder=%s",
+                  args.mtx, n, nnz, type(A).__name__, args.reorder)
 
     # b[i] = i+1, the reference harness RHS (test/Tester.cpp:27-30)
     b = jnp.arange(1, n + 1, dtype=dtype)
+    if perm is not None:
+        b = b[jnp.asarray(perm)]
     M = jacobi_preconditioner(A) if args.precond == "jacobi" else None
 
     # Warm-up compile outside the timed region: the reference times only
