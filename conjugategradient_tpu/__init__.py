@@ -36,6 +36,7 @@ from .solver import (
     jacobi_preconditioner,
     memory_footprint,
 )
+from .compat import CG
 from .io import load_matrix, read_mtx_csr, write_mtx
 
 __version__ = "0.1.0"
@@ -57,6 +58,7 @@ __all__ = [
     "cg_step",
     "jacobi_preconditioner",
     "memory_footprint",
+    "CG",
     "load_matrix",
     "read_mtx_csr",
     "write_mtx",

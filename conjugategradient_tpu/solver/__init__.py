@@ -1,7 +1,11 @@
 from .cg import CGInfo, CGState, accuracy, cg_init, cg_solve, cg_step, memory_footprint
+from .checkpoint import load_state, run_cg, save_state
 from .precond import identity_preconditioner, jacobi_preconditioner
 
 __all__ = [
+    "load_state",
+    "run_cg",
+    "save_state",
     "CGInfo",
     "CGState",
     "accuracy",

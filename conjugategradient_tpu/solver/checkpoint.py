@@ -1,0 +1,65 @@
+"""Checkpoint / resume for long solves.
+
+The reference runs ``solve()`` to completion with all intermediate state in
+device workspace (CG.hpp:276-302) — stopping loses everything.  Here the
+solver carry (:class:`~conjugategradient_tpu.solver.cg.CGState`) is an
+explicit pytree, so checkpointing is just serializing its leaves (SURVEY §5).
+This module provides a plain-npz implementation plus resumable driving:
+
+    state = cg_init(A, b, maxiter=100000)
+    state = run_cg(A, state, tol, steps=5000)      # 5000 fused iterations
+    save_state("ckpt.npz", state)
+    ...
+    state = load_state("ckpt.npz")
+    state = run_cg(A, state, tol, steps=5000)      # continues exactly
+
+``run_cg`` executes a bounded number of iterations inside one jitted
+while_loop (honoring convergence), so a driver can checkpoint every N
+iterations with a single host sync per chunk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cg import CGState, cg_step
+from ..types import LinearOperator
+
+_FIELDS = [f.name for f in dataclasses.fields(CGState)]
+
+
+def save_state(path, state: CGState) -> None:
+    """Serialize a CGState to ``.npz`` (host round-trip)."""
+    np.savez(path, **{name: np.asarray(getattr(state, name)) for name in _FIELDS})
+
+
+def load_state(path) -> CGState:
+    """Load a CGState saved by :func:`save_state`."""
+    with np.load(path) as z:
+        return CGState(**{name: jnp.asarray(z[name]) for name in _FIELDS})
+
+
+def run_cg(
+    A: LinearOperator,
+    state: CGState,
+    tol,
+    steps: Optional[int] = None,
+) -> CGState:
+    """Advance the solve by up to ``steps`` iterations (or to convergence /
+    the history capacity) inside one jitted while_loop."""
+    maxiter = int(state.hist.shape[0]) - 1
+    limit = maxiter if steps is None else min(maxiter, int(state.k) + int(steps))
+    tol_arr = jnp.asarray(tol, dtype=state.x.dtype)
+
+    def cond(s: CGState):
+        return (s.k < limit) & (~s.done)
+
+    def body(s: CGState):
+        return cg_step(A, s, tol_arr)
+
+    return jax.lax.while_loop(cond, body, state)
