@@ -1,3 +1,17 @@
-from .sharded_cg import sharded_cg_solve, make_row_mesh, partition_csr_rows
+from .sharded_cg import (
+    make_row_mesh,
+    partition_csr_rows,
+    partition_dia_rows,
+    ring_halo,
+    sharded_cg_solve,
+    sharded_dia_cg_solve,
+)
 
-__all__ = ["sharded_cg_solve", "make_row_mesh", "partition_csr_rows"]
+__all__ = [
+    "sharded_cg_solve",
+    "sharded_dia_cg_solve",
+    "make_row_mesh",
+    "partition_csr_rows",
+    "partition_dia_rows",
+    "ring_halo",
+]

@@ -4,20 +4,25 @@ SURVEY §2.4 documents that the reference is strictly single-device).
 Parallelization contract (SURVEY §2.4 / §5):
 
 * 1-D device mesh over axis "rows"; each chip owns a contiguous block of rows
-  of A (blocked-ELL tiles with *global* column-block indices) and the
-  matching shards of x/b/r/p;
-* per iteration: ``all_gather(p)`` over ICI for the SpMV's remote columns
-  (halo), local tile products, and the two dot products reduced with
-  ``psum`` — the XLA-collective equivalents of what NCCL allreduce would be
-  elsewhere;
+  of A and the matching shards of x/b/r/p;
+* per iteration, the SpMV's remote-column reads are satisfied either by an
+  ``all_gather`` of p over ICI (general blocked-ELL operators — column
+  footprint may span all shards) or by a ring ``ppermute`` halo exchange
+  (DIA/banded operators — only ±bandwidth neighbor elements are remote);
+* the two dot products reduce with ``psum`` over ICI;
 * the whole while_loop runs inside one ``shard_map``-ed jit: collectives are
-  compiled into the loop body, zero host involvement.
+  compiled into the loop body, zero host involvement — strictly better than
+  the reference's per-iteration host sync (CG.hpp:425).
+
+Numerical semantics match solver/cg.py (and therefore the float64 oracle):
+recurrence residual, Hestenes–Stiefel α/β, pre-update termination test on
+‖r‖², N+1-style cap, optional Jacobi preconditioning.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +47,11 @@ def make_row_mesh(devices=None, axis: str = "rows") -> Mesh:
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# partitioners (host-side, once at ingest)
+# ---------------------------------------------------------------------------
 
 
 def partition_csr_rows(
@@ -101,6 +111,31 @@ def partition_csr_rows(
     return blocks, block_cols, n_padded
 
 
+def partition_dia_rows(
+    diags: np.ndarray,
+    shape: Tuple[int, int],
+    n_shards: int,
+):
+    """Split DIA diagonals into equal row shards.
+
+    Returns ``(diags_sharded (n_shards, ndiag, rows_per_shard), n_padded)``.
+    Padding rows carry zero diagonal slots, so they stay inert.
+    """
+    ndiag, n_stored = np.asarray(diags).shape
+    n = shape[0]
+    rows_per_shard = _cdiv(n, n_shards)
+    n_padded = rows_per_shard * n_shards
+    dp = np.zeros((ndiag, n_padded), dtype=np.asarray(diags).dtype)
+    dp[:, :n_stored] = np.asarray(diags)
+    out = dp.reshape(ndiag, n_shards, rows_per_shard).transpose(1, 0, 2)
+    return np.ascontiguousarray(out), n_padded
+
+
+# ---------------------------------------------------------------------------
+# local matvecs (run inside shard_map; may use collectives)
+# ---------------------------------------------------------------------------
+
+
 def _local_bell_matvec(blocks, block_cols, p_full_2d):
     """Local row-block SpMV against the gathered operand."""
     gathered = p_full_2d[block_cols]  # (nrb, kmax, bn)
@@ -115,6 +150,111 @@ def _local_bell_matvec(blocks, block_cols, p_full_2d):
     return y.reshape(-1).astype(blocks.dtype)
 
 
+def ring_halo(p_local: jax.Array, w: int, axis: str) -> jax.Array:
+    """Halo-extend a row shard by ``w`` elements from each ring neighbor.
+
+    Returns ``concat([left_tail, p_local, right_head])`` of length m + 2w,
+    where the edge shards receive zeros (ppermute semantics) — exactly the
+    Dirichlet-style zero padding the DIA layout expects.  Two ppermutes over
+    ICI, O(w) bytes each, versus O(n) for an all_gather.
+    """
+    ns = jax.lax.axis_size(axis)
+    # receive the left neighbor's tail: shard i-1 sends to i
+    left = jax.lax.ppermute(
+        p_local[-w:], axis, [(i, i + 1) for i in range(ns - 1)]
+    )
+    # receive the right neighbor's head: shard i+1 sends to i
+    right = jax.lax.ppermute(
+        p_local[:w], axis, [(i + 1, i) for i in range(ns - 1)]
+    )
+    return jnp.concatenate([left, p_local, right])
+
+
+def _local_dia_matvec(diags_s, offsets, p_local, axis):
+    """Banded SpMV on one row shard with ring-halo'd operand."""
+    m = p_local.shape[0]
+    w = max(max(abs(o) for o in offsets), 1)
+    window = ring_halo(p_local, w, axis)  # (m + 2w,)
+    acc = jnp.promote_types(diags_s.dtype, jnp.float32)
+    y = jnp.zeros((m,), dtype=acc)
+    for d, off in enumerate(offsets):
+        lo = off + w
+        y = y + diags_s[d].astype(acc) * jax.lax.slice(
+            window, (lo,), (lo + m,)
+        ).astype(acc)
+    return y.astype(diags_s.dtype)
+
+
+# ---------------------------------------------------------------------------
+# the sharded PCG loop (shared by both operator front-ends)
+# ---------------------------------------------------------------------------
+
+
+def _sharded_pcg(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    inv_diag_s: Optional[jax.Array],
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+):
+    """PCG body executed per shard; semantics mirror solver/cg.py exactly."""
+
+    def pdot(u, v):
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
+
+    def precond(r):
+        return r if inv_diag_s is None else inv_diag_s * r
+
+    r0 = b_s - local_matvec(x0_s)
+    z0 = precond(r0)
+    rnorm0 = pdot(r0, r0)
+    rho0 = rnorm0 if inv_diag_s is None else pdot(r0, z0)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=rnorm0.dtype)
+    hist = hist.at[0].set(rnorm0)
+    carry = (
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        x0_s,
+        r0,
+        z0,
+        rho0,
+        rnorm0,
+        hist,
+    )
+
+    def body(c):
+        k, done, x, r, p, rho, rnorm, hist = c
+        q = local_matvec(p)
+        pap = pdot(p, q)
+        alpha = rho / pap
+        x = x + alpha * p
+        r = r - alpha * q
+        # termination tests the PRE-update residual (CG.hpp:401-402, SURVEY §2.3(5))
+        done = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr)
+        z = precond(r)
+        rnorm_next = pdot(r, r)
+        rho_next = rnorm_next if inv_diag_s is None else pdot(r, z)
+        beta = rho_next / rho
+        p = z + beta * p
+        k = k + 1
+        hist = hist.at[k].set(rnorm_next)
+        return (k, done, x, r, p, rho_next, rnorm_next, hist)
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    k, done, x, r, p, rho, rnorm, hist = jax.lax.while_loop(cond, body, carry)
+    return x, k, done, rnorm, hist
+
+
+# ---------------------------------------------------------------------------
+# public solvers
+# ---------------------------------------------------------------------------
+
+
 def sharded_cg_solve(
     blocks,
     block_cols,
@@ -125,95 +265,134 @@ def sharded_cg_solve(
     axis: str = "rows",
     tol: float = 0.0,
     maxiter: int = 0,
+    inv_diag: Optional[jax.Array] = None,
     ncols_padded: Optional[int] = None,
 ):
-    """Row-sharded CG over a 1-D mesh.
+    """Row-sharded (P)CG over a 1-D mesh, blocked-ELL operator.
 
     Args:
       blocks: (n_shards, nrb, kmax, bm, bn) per-shard blocked-ELL tiles
         (from :func:`partition_csr_rows`).
       block_cols: (n_shards, nrb, kmax) global column-block ids.
       b: (n_padded,) global RHS (zero-padded rows beyond the true n).
+      inv_diag: optional (n_padded,) 1/diag(A) for Jacobi PCG (zero-padded
+        entries should be 1 to stay inert).
       mesh: 1-D device mesh (defaults to all devices).
       maxiter: iteration cap (static).
-      ncols_padded: global padded column count (defaults to n_padded).
 
-    Returns (x, CGInfo) with x fully replicated? No — x is sharded like b;
-    callers see a global jax.Array.
+    Returns (x, CGInfo); x is row-sharded but exposed as a global jax.Array.
     """
     mesh = mesh or make_row_mesh(axis=axis)
     n_shards = mesh.devices.size
     assert blocks.shape[0] == n_shards, (blocks.shape, n_shards)
     n_padded = int(b.shape[0])
     bn = int(blocks.shape[-1])
-    ncols_padded = int(ncols_padded or n_padded)
     maxiter = int(maxiter or (n_padded + 1))
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
 
     x0 = jnp.zeros_like(b) if x0 is None else x0
+    with_m = inv_diag is not None
 
-    def pdot(u, v):
-        return jax.lax.psum(jnp.sum(u * v), axis)
-
-    def local_step(blocks_s, cols_s, carry):
-        k, done, x, r, p, rho, hist = carry
-        p_full = jax.lax.all_gather(p, axis, tiled=True)  # ICI all-gather
-        q = _local_bell_matvec(blocks_s, cols_s, p_full.reshape(-1, bn))
-        pap = pdot(p, q)
-        alpha = rho / pap
-        x = x + alpha * p
-        r = r - alpha * q
-        done = jnp.isnan(rho) | (jnp.sqrt(rho) <= tol_arr)
-        rho_next = pdot(r, r)
-        beta = rho_next / rho
-        p = r + beta * p
-        k = k + 1
-        hist = hist.at[k].set(rho_next)
-        return (k, done, x, r, p, rho_next, hist)
-
-    def solve_shard(blocks_s, cols_s, b_s, x0_s):
-        # init: r0 = b - A x0 (needs one gather of x0)
+    def solve_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
         blocks_s = blocks_s[0]
         cols_s = cols_s[0]
-        x_full = jax.lax.all_gather(x0_s, axis, tiled=True)
-        r0 = b_s - _local_bell_matvec(blocks_s, cols_s, x_full.reshape(-1, bn))
-        rho0 = pdot(r0, r0)
-        hist = jnp.full((maxiter + 1,), jnp.nan, dtype=rho0.dtype)
-        hist = hist.at[0].set(rho0)
-        carry = (
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
-            x0_s,
-            r0,
-            r0,
-            rho0,
-            hist,
+
+        def local_matvec(v_local):
+            v_full = jax.lax.all_gather(v_local, axis, tiled=True)
+            return _local_bell_matvec(blocks_s, cols_s, v_full.reshape(-1, bn))
+
+        return _sharded_pcg(
+            local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
         )
 
-        def cond(c):
-            return (c[0] < maxiter) & (~c[1])
-
-        carry = jax.lax.while_loop(
-            cond, lambda c: local_step(blocks_s, cols_s, c), carry
-        )
-        k, done, x, r, p, rho, hist = carry
-        return x, k, done, rho, hist
-
+    in_specs = [P(axis)] * (5 if with_m else 4)
     solve = shard_map(
         solve_shard,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=tuple(in_specs),
         out_specs=(P(axis), P(), P(), P(), P()),
         check_vma=False,
     )
 
-    blocks = jax.device_put(blocks, NamedSharding(mesh, P(axis)))
-    block_cols = jax.device_put(block_cols, NamedSharding(mesh, P(axis)))
-    b = jax.device_put(b, NamedSharding(mesh, P(axis)))
-    x0 = jax.device_put(x0, NamedSharding(mesh, P(axis)))
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
+    args = [put(blocks), put(block_cols), put(b), put(x0)]
+    if with_m:
+        args.append(put(inv_diag))
 
-    x, k, done, rho, hist = jax.jit(solve)(blocks, block_cols, b, x0)
+    x, k, done, rnorm, hist = jax.jit(solve)(*args)
     info = CGInfo(
-        iterations=k, converged=done, rho=rho, rnorm_sq=rho, rho_history=hist
+        iterations=k, converged=done, rho=rnorm, rnorm_sq=rnorm, rho_history=hist
+    )
+    return x, info
+
+
+def sharded_dia_cg_solve(
+    diags_sharded,
+    offsets: Tuple[int, ...],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis: str = "rows",
+    tol: float = 0.0,
+    maxiter: int = 0,
+    inv_diag: Optional[jax.Array] = None,
+):
+    """Row-sharded (P)CG with a DIA (banded) operator and ring-halo SpMV.
+
+    The per-iteration communication is two ``ppermute``s of the bandwidth-
+    sized halo (O(w) bytes over ICI) plus the two ``psum`` dots — the
+    ring-attention-shaped pattern applied to SpMV (SURVEY §5), versus the
+    all_gather (O(n) bytes) the general blocked-ELL path needs.
+
+    Args:
+      diags_sharded: (n_shards, ndiag, rows_per_shard) from
+        :func:`partition_dia_rows`.
+      offsets: static diagonal offsets (must satisfy |off| <= rows_per_shard).
+    """
+    mesh = mesh or make_row_mesh(axis=axis)
+    n_shards = mesh.devices.size
+    assert diags_sharded.shape[0] == n_shards, (diags_sharded.shape, n_shards)
+    rows_per_shard = int(diags_sharded.shape[-1])
+    w = max(max(abs(o) for o in offsets), 1)
+    if w > rows_per_shard:
+        raise ValueError(
+            f"bandwidth {w} exceeds rows_per_shard {rows_per_shard}; "
+            "use fewer shards or the blocked-ELL path"
+        )
+    n_padded = int(b.shape[0])
+    maxiter = int(maxiter or (n_padded + 1))
+    tol_arr = jnp.asarray(tol, dtype=b.dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    offsets = tuple(int(o) for o in offsets)
+    with_m = inv_diag is not None
+
+    def solve_shard(diags_s, b_s, x0_s, inv_diag_s=None):
+        diags_s = diags_s[0]
+
+        def local_matvec(v_local):
+            return _local_dia_matvec(diags_s, offsets, v_local, axis)
+
+        return _sharded_pcg(
+            local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
+        )
+
+    in_specs = [P(axis)] * (4 if with_m else 3)
+    solve = shard_map(
+        solve_shard,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(axis), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
+    args = [put(jnp.asarray(diags_sharded)), put(b), put(x0)]
+    if with_m:
+        args.append(put(inv_diag))
+
+    x, k, done, rnorm, hist = jax.jit(solve)(*args)
+    info = CGInfo(
+        iterations=k, converged=done, rho=rnorm, rnorm_sq=rnorm, rho_history=hist
     )
     return x, info

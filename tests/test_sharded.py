@@ -107,3 +107,71 @@ def test_make_row_mesh():
     mesh = make_row_mesh(jax.devices()[:4])
     assert mesh.devices.size == 4
     assert mesh.axis_names == ("rows",)
+
+
+def test_sharded_dia_ring_halo_matches_single_device():
+    from conjugategradient_tpu.parallel import partition_dia_rows, sharded_dia_cg_solve
+    from conjugategradient_tpu.types import DIAMatrix
+
+    rows, cols, vals, shape = banded_spd_coo(280, bandwidth=6, seed=12)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    dia = DIAMatrix.from_csr(A)
+    n = shape[0]
+    b = reference_rhs(n)
+    x_ref, info_ref = cg_solve(A, jnp.asarray(b), tol=1e-10)
+
+    diags_sh, n_pad = partition_dia_rows(np.asarray(dia.diags), shape, N_DEV)
+    b_pad = jnp.zeros((n_pad,), jnp.float64).at[:n].set(jnp.asarray(b))
+    x_sh, info_sh = sharded_dia_cg_solve(
+        diags_sh, dia.offsets, b_pad, tol=1e-10, maxiter=n + 1
+    )
+    assert int(info_sh.iterations) == int(info_ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(x_sh[:n]), np.asarray(x_ref), rtol=1e-8, atol=1e-9
+    )
+
+
+def test_sharded_jacobi_pcg():
+    from conjugategradient_tpu.solver import jacobi_preconditioner
+
+    rows, cols, vals, shape = banded_spd_coo(300, bandwidth=5, seed=13)
+    A, blocks, bcols, b_pad, n = _sharded_setup(rows, cols, vals, shape)
+    x_ref, info_ref = cg_solve(
+        A, jnp.asarray(reference_rhs(n)), tol=1e-9, M=jacobi_preconditioner(A)
+    )
+    diag = np.asarray(A.diagonal())
+    inv_diag = np.ones(b_pad.shape[0])
+    inv_diag[:n] = 1.0 / diag
+    x_sh, info_sh = sharded_cg_solve(
+        blocks, bcols, b_pad, tol=1e-9, maxiter=n + 1,
+        inv_diag=jnp.asarray(inv_diag),
+    )
+    assert int(info_sh.iterations) == int(info_ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(x_sh[:n]), np.asarray(x_ref), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_ring_halo_unit():
+    from functools import partial
+    from conjugategradient_tpu.parallel import make_row_mesh, ring_halo
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_row_mesh(jax.devices()[:4])
+    x = jnp.arange(16.0)
+
+    f = shard_map(
+        lambda v: ring_halo(v, 2, "rows"),
+        mesh=mesh, in_specs=P("rows"), out_specs=P("rows"),
+    )
+    out = np.asarray(f(x)).reshape(4, 8)
+    # shard 1 owns [4..8); halo = [2,3] + [4,5,6,7] + [8,9]
+    np.testing.assert_array_equal(out[1], [2, 3, 4, 5, 6, 7, 8, 9])
+    # shard 0's left halo and shard 3's right halo are zeros
+    np.testing.assert_array_equal(out[0][:2], [0, 0])
+    np.testing.assert_array_equal(out[3][-2:], [0, 0])
