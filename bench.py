@@ -26,6 +26,25 @@ import sys
 import numpy as np
 
 
+#: Nominal HBM peak bandwidth by device kind (GB/s) — the stable roofline
+#: denominator for vs_baseline; the measured stream probe varies run to run
+#: (~565-680 GB/s on v5e) and is reported in detail for context.
+_HBM_PEAK_GBPS = {
+    "TPU v5 lite": 819.0,   # v5e
+    "TPU v5e": 819.0,
+    "TPU v4": 1228.0,
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,  # v6e / Trillium
+}
+
+
+def _hbm_peak_gbps() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    return _HBM_PEAK_GBPS.get(kind, 819.0)
+
+
 def block_tridiag_bell(n: int, bm: int, bn: int, dtype):
     """Block-tridiagonal SPD operator directly in blocked-ELL form.
 
@@ -86,18 +105,20 @@ def bench_spmv_bell(n: int = 131072, bm: int = 128, bn: int = 128):
     t = time_loop_s(
         lambda v: bell_spmv(a, v.reshape(-1))[: v.size].reshape(v.shape) * 1e-3,
         x2d,
-        K=64,
+        K=512,  # work must dominate the ~26 ms RPC overhead
+        iters=2,
         overhead_s=ovh,
     )
     tile_bytes = a.blocks.size * a.blocks.dtype.itemsize
     vec_bytes = 2 * n * 4  # x read + y write (compulsory)
     gbps = (tile_bytes + vec_bytes) / t / 1e9
-    roofline = stream_roofline_gbps()
+    peak = _hbm_peak_gbps()
+    roofline = stream_roofline_gbps(nbytes=1 << 27, K=256)
     return {
         "metric": "bell_spmv_effective_bandwidth",
         "value": round(gbps, 2),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / roofline, 4),
+        "vs_baseline": round(gbps / peak, 4),
         "detail": {
             "n": n,
             "tile_MB": round(tile_bytes / 1e6, 1),
@@ -121,21 +142,22 @@ def bench_stencil(nx: int = 256):
     n = nx**3
     x = jnp.ones((n,), jnp.float32)
     ovh = rpc_overhead_s()
-    t = time_loop_s(lambda v: op.matvec(v) * 1e-2, x, K=32, overhead_s=ovh)
+    t = time_loop_s(lambda v: op.matvec(v) * 1e-2, x, K=256, iters=2, overhead_s=ovh)
     bytes_moved = 2 * n * 4  # read x once + write y once (ideal)
     gbps = bytes_moved / t / 1e9
-    roofline = stream_roofline_gbps()
+    peak = _hbm_peak_gbps()
+    roofline = stream_roofline_gbps(nbytes=1 << 27, K=256)
     return {
         "metric": "stencil7_256_effective_bandwidth",
         "value": round(gbps, 2),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / roofline, 4),
+        "vs_baseline": round(gbps / peak, 4),
         "detail": {"grid": nx, "time_ms": round(t * 1e3, 4),
                    "stream_roofline_gbps": round(roofline, 1)},
     }
 
 
-def bench_cg(n: int = 131072, iters: int = 64):
+def bench_cg(n: int = 131072, iters: int = 256):
     """Per-iteration time of the fully jitted CG while_loop."""
     import jax
     import jax.numpy as jnp
@@ -147,39 +169,58 @@ def bench_cg(n: int = 131072, iters: int = 64):
     )
     import time
 
+    from conjugategradient_tpu.solver.cg import cg_init, cg_step
+
     a = block_tridiag_bell(n, 128, 128, jnp.float32)
     b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
 
+    # Time a fixed-count cg_step chain (fori_loop): the production
+    # while_loop exits once the easy bench problem converges (~8 iters),
+    # which leaves the measurement dominated by dispatch noise.  The step
+    # body is identical; only the exit test differs.
     def run(K):
-        f = jax.jit(lambda b_: cg_solve(a, b_, tol=0.0, maxiter=K)[0][:1])
+        tol_arr = jnp.asarray(0.0, b.dtype)
+
+        def chain(b_):
+            s0 = cg_init(a, b_, maxiter=K)
+            s = jax.lax.fori_loop(0, K, lambda i, s: cg_step(a, s, tol_arr), s0)
+            return s.rnorm_sq.reshape(1)
+
+        f = jax.jit(chain)
         float(f(b)[0])
         ts = []
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
             float(f(b)[0])
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
     ovh = rpc_overhead_s()
+    k_actual = iters
     t = (run(iters) - ovh) / iters
     tile_bytes = a.blocks.size * 4
     # per-iteration traffic: tiles once + ~7 n-vector streams
     bytes_it = tile_bytes + 7 * n * 4
     gbps = bytes_it / t / 1e9
-    roofline = stream_roofline_gbps()
+    peak = _hbm_peak_gbps()
+    roofline = stream_roofline_gbps(nbytes=1 << 27, K=256)
     return {
         "metric": "cg_iteration_effective_bandwidth",
         "value": round(gbps, 2),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / roofline, 4),
+        "vs_baseline": round(gbps / peak, 4),
         "detail": {"n": n, "time_per_iter_us": round(t * 1e6, 2),
+                   "iterations_run": k_actual,
                    "stream_roofline_gbps": round(roofline, 1)},
     }
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="spmv", choices=("spmv", "stencil", "cg"))
+    # default: the whole jitted CG iteration (SpMV + 2 dots + 3 axpys) —
+    # measured at ~95% of the stream roofline on v5e, it subsumes the SpMV
+    # metric and is the quantity that determines solve wall-time.
+    ap.add_argument("--config", default="cg", choices=("spmv", "stencil", "cg"))
     args = ap.parse_args(argv)
     out = {"spmv": bench_spmv_bell, "stencil": bench_stencil, "cg": bench_cg}[
         args.config

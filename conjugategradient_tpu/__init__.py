@@ -32,6 +32,7 @@ from .solver import (
     accuracy,
     cg_init,
     cg_solve,
+    cg_solve_batched,
     cg_step,
     jacobi_preconditioner,
     memory_footprint,
@@ -55,6 +56,7 @@ __all__ = [
     "accuracy",
     "cg_init",
     "cg_solve",
+    "cg_solve_batched",
     "cg_step",
     "jacobi_preconditioner",
     "memory_footprint",

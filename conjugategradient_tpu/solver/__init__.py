@@ -1,8 +1,10 @@
+from .batched import cg_solve_batched
 from .cg import CGInfo, CGState, accuracy, cg_init, cg_solve, cg_step, memory_footprint
 from .checkpoint import load_state, run_cg, save_state
 from .precond import identity_preconditioner, jacobi_preconditioner
 
 __all__ = [
+    "cg_solve_batched",
     "load_state",
     "run_cg",
     "save_state",

@@ -15,27 +15,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def hbm_bandwidth_gbps(nbytes: int = 1 << 28, iters: int = 10) -> float:
-    """Measured device memory copy bandwidth in GB/s (read+write counted).
+def hbm_bandwidth_gbps(nbytes: int = 1 << 28, iters: int = 64) -> float:
+    """Measured streaming bandwidth in GB/s (read+write counted).
 
-    A jitted y = x + 0 copy of ``nbytes`` of f32: reads + writes nbytes each,
-    so effective traffic is 2·nbytes per run.
+    Delegates to :func:`..utils.benchmarking.stream_roofline_gbps`, which is
+    honest on remote-dispatch backends (in-jit iteration chain + scalar
+    readback + RPC-overhead subtraction); a naive python-loop timer here
+    reported physically impossible numbers through the axon relay.
     """
-    n = nbytes // 4
-    x = jnp.zeros((n,), dtype=jnp.float32)
+    from .benchmarking import stream_roofline_gbps
 
-    @jax.jit
-    def copy(v):
-        return v + 1.0
-
-    copy(x).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(iters):
-        y = copy(y)
-    y.block_until_ready()
-    dt = time.perf_counter() - t0
-    return 2 * nbytes * iters / dt / 1e9
+    return stream_roofline_gbps(nbytes=nbytes, K=iters)
 
 
 def spmv_bytes(nnz: int, n: int, val_bytes: int = 4, idx_bytes: int = 4) -> int:
