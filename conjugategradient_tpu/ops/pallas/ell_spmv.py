@@ -96,4 +96,4 @@ def bell_spmv_pallas(
             transcendentals=0,
         ),
     )(block_cols, blocks, x2d)
-    return y.reshape(-1).astype(blocks.dtype)
+    return y.reshape(-1).astype(jnp.promote_types(blocks.dtype, x2d.dtype))

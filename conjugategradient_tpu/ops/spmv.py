@@ -46,14 +46,15 @@ def _bell_spmv_jnp(blocks, block_cols, x_padded_2d):
     exact path is free.
     """
     gathered = x_padded_2d[block_cols]  # (nrb, kmax, bn)
+    out_dtype = jnp.promote_types(blocks.dtype, x_padded_2d.dtype)
     y = jnp.einsum(
         "rkmn,rkn->rm",
         blocks,
         gathered,
-        preferred_element_type=_acc(blocks.dtype),
+        preferred_element_type=_acc(out_dtype),
         precision=jax.lax.Precision.HIGHEST,
     )
-    return y.reshape(-1).astype(blocks.dtype)
+    return y.reshape(-1).astype(out_dtype)
 
 
 def _acc(dtype):
@@ -108,7 +109,8 @@ def bell_spmv(a: BlockedEllMatrix, x: jax.Array, use_pallas: str = "auto") -> ja
 
 def dense_spmv(a: jax.Array, x: jax.Array) -> jax.Array:
     """Dense matvec — rides the MXU directly."""
-    return jnp.dot(a, x, preferred_element_type=_acc(a.dtype)).astype(a.dtype)
+    out_dtype = jnp.promote_types(a.dtype, x.dtype)
+    return jnp.dot(a, x, preferred_element_type=_acc(out_dtype)).astype(out_dtype)
 
 
 def dia_spmv(a, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
@@ -135,9 +137,9 @@ def dia_spmv(a, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
     rpad = max(0, max(offsets) + n - ncols) if offsets else 0
     xp = jnp.pad(x, (lpad, rpad)) if (lpad or rpad) else x
 
-    acc = jnp.promote_types(a.dtype, jnp.float32)
+    acc = jnp.promote_types(jnp.promote_types(a.dtype, x.dtype), jnp.float32)
     y = jnp.zeros((n,), dtype=acc)
     for d, off in enumerate(offsets):
         lo = off + lpad
         y = y + a.diags[d].astype(acc) * jax.lax.slice(xp, (lo,), (lo + n,)).astype(acc)
-    return y.astype(a.dtype)
+    return y.astype(jnp.promote_types(a.dtype, x.dtype))

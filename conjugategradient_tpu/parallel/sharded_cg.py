@@ -147,7 +147,7 @@ def _local_bell_matvec(blocks, block_cols, p_full_2d):
         preferred_element_type=acc,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return y.reshape(-1).astype(blocks.dtype)
+    return y.reshape(-1).astype(jnp.promote_types(blocks.dtype, p_full_2d.dtype))
 
 
 def ring_halo(p_local: jax.Array, w: int, axis: str) -> jax.Array:
@@ -182,7 +182,7 @@ def _local_dia_matvec(diags_s, offsets, p_local, axis):
         y = y + diags_s[d].astype(acc) * jax.lax.slice(
             window, (lo,), (lo + m,)
         ).astype(acc)
-    return y.astype(diags_s.dtype)
+    return y.astype(jnp.promote_types(diags_s.dtype, p_local.dtype))
 
 
 # ---------------------------------------------------------------------------

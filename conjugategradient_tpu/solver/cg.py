@@ -187,6 +187,7 @@ def cg_solve(
     maxiter: Optional[int] = None,
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
     n: Optional[int] = None,
+    recompute_r_every: int = 0,
 ) -> Tuple[jax.Array, CGInfo]:
     """Solve the SPD system ``A x = b`` with (preconditioned) CG.
 
@@ -204,6 +205,13 @@ def cg_solve(
       maxiter: iteration cap; defaults to N+1 (the reference's do-while
         executes at most N+1 bodies, CG.hpp:436).
       M: preconditioner apply ``r -> M⁻¹ r`` (extension; None = plain CG).
+      recompute_r_every: if > 0, replace the recurrence residual with the
+        true residual ``b − A x`` every that many iterations (van der
+        Vorst-style residual replacement).  In float32 at large N the
+        recurrence drifts from the true residual; replacement keeps the
+        termination test and reported history honest at the cost of one
+        extra SpMV per interval.  0 (default) reproduces the reference's
+        never-recompute semantics (CG.hpp:392).
 
     Jit-compatible: ``jax.jit(cg_solve, static_argnames=("maxiter", "n"))``
     works, and the body is a single ``lax.while_loop`` either way.
@@ -221,7 +229,28 @@ def cg_solve(
         return (s.k < maxiter) & (~s.done)
 
     def body(s: CGState):
-        return cg_step(op, s, tol_arr, M=M)
+        s = cg_step(op, s, tol_arr, M=M)
+        if recompute_r_every > 0:
+            def replace(s: CGState) -> CGState:
+                # Full restart: recompute the true residual AND reset the
+                # search direction to it.  Replacing r while keeping the
+                # drifted p breaks the alpha/beta consistency and diverges
+                # (observed at n=16.7M f32); a restart is uncondition-
+                # ally stable at the cost of briefly losing Krylov momentum.
+                r_true = b - op.matvec(s.x)
+                rnorm = dot(r_true, r_true)
+                z = r_true if M is None else M(r_true)
+                rho = rnorm if M is None else dot(r_true, z)
+                hist = s.hist.at[s.k].set(rnorm)
+                return CGState(
+                    k=s.k, done=s.done, x=s.x, r=r_true, p=z,
+                    rho=rho, rnorm_sq=rnorm, hist=hist,
+                )
+
+            s = jax.lax.cond(
+                (s.k % recompute_r_every) == 0, replace, lambda s: s, s
+            )
+        return s
 
     s = jax.lax.while_loop(cond, body, state0)
     info = CGInfo(

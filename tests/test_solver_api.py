@@ -111,3 +111,19 @@ def test_state_is_pytree():
     leaves, treedef = jax.tree_util.tree_flatten(s)
     s2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert isinstance(s2, CGState)
+
+
+def test_residual_replacement_restart():
+    """recompute_r_every: periodic true-residual restart converges and the
+    recurrence residual stays honest (close to the true one)."""
+    import jax.numpy as jnp
+
+    A, b = _problem(16)
+    x, info = cg_solve(A, b, tol=1e-8, recompute_r_every=10)
+    assert bool(info.converged)
+    r_true = b - A.matvec(x)
+    # recurrence and true residual agree at convergence
+    assert float(jnp.linalg.norm(r_true)) < 1e-6
+    # and 0 keeps the reference's never-recompute semantics (same API)
+    x2, info2 = cg_solve(A, b, tol=1e-8, recompute_r_every=0)
+    assert bool(info2.converged)

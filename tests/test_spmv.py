@@ -110,3 +110,44 @@ def test_bell_padding_ratio(poisson):
     bell = BlockedEllMatrix.from_csr(poisson, bm=8, bn=128)
     assert bell.padding_ratio() >= 1.0
     assert bell.nnz == poisson.nnz
+
+
+def test_mixed_precision_bf16_operator(poisson, rng):
+    """bf16-stored operator with f32 operand: result must be f32 and close
+    to the f32-operator result (mixed-precision CG support)."""
+    data32 = np.asarray(poisson.data, np.float32)
+    b32 = BlockedEllMatrix.from_csr_host(
+        data32, np.asarray(poisson.indices), np.asarray(poisson.indptr),
+        poisson.shape, 8, 128,
+    )
+    b16 = BlockedEllMatrix(
+        jnp.asarray(b32.blocks, jnp.bfloat16), b32.block_cols, b32.shape, b32.nnz
+    )
+    x = jnp.asarray(rng.standard_normal(poisson.shape[1]), jnp.float32)
+    y32 = b32.matvec(x)
+    y16 = b16.matvec(x)
+    assert y16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(y16), np.asarray(y32), rtol=2e-2, atol=1e-2
+    )
+
+
+def test_mixed_precision_cg_converges(rng):
+    """CG with a bf16-stored operator and f32 vectors still converges (to a
+    bf16-limited residual)."""
+    from conjugategradient_tpu import DIAMatrix, cg_solve
+    from conjugategradient_tpu.problems import banded_spd_coo
+
+    rows, cols, vals, shape = banded_spd_coo(256, bandwidth=4, seed=7)
+    csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    dia32 = DIAMatrix.from_csr(csr)
+    dia16 = DIAMatrix(
+        jnp.asarray(dia32.diags, jnp.bfloat16), dia32.offsets, dia32.shape, dia32.nnz
+    )
+    b = jnp.arange(1, shape[0] + 1, dtype=jnp.float32) / shape[0]
+    x, info = cg_solve(dia16, b, tol=1e-2, maxiter=4 * shape[0])
+    assert x.dtype == jnp.float32
+    assert bool(info.converged)
+    # residual vs the TRUE (f32) operator is bf16-limited but bounded
+    r = b - csr.matvec(x)
+    assert float(jnp.linalg.norm(r)) < 1e-1
