@@ -17,7 +17,7 @@ when both pad too much to win over the gather path.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

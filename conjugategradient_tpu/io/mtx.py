@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, TextIO, Tuple
+from typing import TextIO, Tuple
 
 import numpy as np
 

@@ -17,8 +17,6 @@ Three code paths, slowest→fastest on TPU:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

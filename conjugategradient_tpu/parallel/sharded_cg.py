@@ -21,7 +21,6 @@ recurrence residual, Hestenes–Stiefel α/β, pre-update termination test on
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -8,8 +8,6 @@ downloads the real ones when a network exists.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 

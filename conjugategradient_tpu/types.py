@@ -26,7 +26,7 @@ All containers are registered pytrees, so they pass through ``jit``,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

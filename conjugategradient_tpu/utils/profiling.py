@@ -7,13 +7,6 @@ empirical HBM bandwidth probe and byte-counting helpers.
 
 from __future__ import annotations
 
-import time
-from typing import Tuple
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 
 def hbm_bandwidth_gbps(nbytes: int = 1 << 28, iters: int = 64) -> float:
     """Measured streaming bandwidth in GB/s (read+write counted).

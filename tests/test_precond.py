@@ -72,3 +72,40 @@ def test_jacobi_eps_guard():
     M = jacobi_preconditioner(diag_zero, eps=1e-3)
     out = np.asarray(M(jnp.ones(2)))
     assert np.all(np.isfinite(out))
+
+
+def test_chebyshev_preconditioner_cuts_iterations():
+    from conjugategradient_tpu.problems import poisson2d_coo
+    from conjugategradient_tpu.solver.precond import (
+        chebyshev_preconditioner,
+        estimate_spectral_bounds,
+    )
+
+    rows, cols, vals, shape = poisson2d_coo(30)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    b = jnp.asarray(reference_rhs(shape[0]))
+    _, i_plain = cg_solve(A, b, tol=1e-8)
+
+    lmin, lmax = estimate_spectral_bounds(A)
+    assert 0 < lmin < lmax
+    M = chebyshev_preconditioner(A, lmin, lmax, degree=8)
+    x, i_cheb = cg_solve(A, b, tol=1e-8, M=M)
+    assert int(i_cheb.iterations) < int(i_plain.iterations) / 2
+    r = b - A.matvec(x)
+    assert float(jnp.linalg.norm(r)) < 1e-6
+
+
+def test_chebyshev_apply_is_linear():
+    """PCG requires a fixed linear M⁻¹; Chebyshev z(r) must be linear in r."""
+    from conjugategradient_tpu.problems import poisson2d_coo
+    from conjugategradient_tpu.solver.precond import chebyshev_preconditioner
+
+    rows, cols, vals, shape = poisson2d_coo(8)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    M = chebyshev_preconditioner(A, 0.5, 8.5, degree=5)
+    rng_ = np.random.default_rng(0)
+    u = jnp.asarray(rng_.standard_normal(shape[0]))
+    v = jnp.asarray(rng_.standard_normal(shape[0]))
+    lhs = M(2.0 * u - 3.0 * v)
+    rhs = 2.0 * M(u) - 3.0 * M(v)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), rtol=1e-10, atol=1e-12)
