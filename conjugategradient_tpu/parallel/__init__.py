@@ -6,8 +6,10 @@ from .sharded_cg import (
     sharded_cg_solve,
     sharded_dia_cg_solve,
 )
+from .sharded_stencil import sharded_stencil_cg_solve
 
 __all__ = [
+    "sharded_stencil_cg_solve",
     "sharded_cg_solve",
     "sharded_dia_cg_solve",
     "make_row_mesh",

@@ -175,3 +175,27 @@ def test_ring_halo_unit():
     # shard 0's left halo and shard 3's right halo are zeros
     np.testing.assert_array_equal(out[0][:2], [0, 0])
     np.testing.assert_array_equal(out[3][-2:], [0, 0])
+
+
+def test_sharded_stencil_matches_single_device():
+    from conjugategradient_tpu import StencilOperator
+    from conjugategradient_tpu.parallel import sharded_stencil_cg_solve
+
+    grid = (16, 6, 10)  # nx divisible by 8 shards
+    op = StencilOperator.poisson(grid, dtype=jnp.float64)
+    n = op.shape[0]
+    b = jnp.asarray(reference_rhs(n)) / n
+    x_ref, info_ref = cg_solve(op, b, tol=1e-10)
+
+    x_sh, info_sh = sharded_stencil_cg_solve(grid, b, tol=1e-10, maxiter=n + 1)
+    assert int(info_sh.iterations) == int(info_ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(x_sh), np.asarray(x_ref), rtol=1e-9, atol=1e-11
+    )
+
+
+def test_sharded_stencil_validates_divisibility():
+    from conjugategradient_tpu.parallel import sharded_stencil_cg_solve
+
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_stencil_cg_solve((10, 4, 4), jnp.ones((160,)), maxiter=2)
