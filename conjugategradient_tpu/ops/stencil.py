@@ -38,18 +38,12 @@ def stencil7_matvec(op, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
     nx, ny, nz = op.grid_shape
     u = x.reshape(nx, ny, nz)
 
-    pick_pallas = False
-    if use_pallas == "always":
-        pick_pallas = True
-    elif use_pallas == "auto":
-        try:
-            backend = jax.default_backend()
-        except Exception:  # pragma: no cover
-            backend = "cpu"
-        # Pallas path wants lane-aligned inner dims and x-slab groups.
-        pick_pallas = (
-            backend == "tpu" and nz % 128 == 0 and ny % 8 == 0 and nx % 8 == 0
-        )
+    # Measured on v5e, 256^3 f32 (K=128 in-jit chains): XLA-fused shifts
+    # 0.395 ms (340 GB/s ideal-traffic) vs the Pallas halo-window kernel
+    # 0.589 ms — XLA wins (its pipelined blocks overlap better than the
+    # kernel's manual double buffering), so "auto" resolves to XLA and the
+    # Pallas kernel stays opt-in via "always".
+    pick_pallas = use_pallas == "always"
 
     if pick_pallas:
         from .pallas.stencil import stencil7_pallas
