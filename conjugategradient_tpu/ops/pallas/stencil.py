@@ -80,10 +80,16 @@ def stencil7_pallas(
 ) -> jax.Array:
     """y = center*u + off*(6-neighbor sum), zero Dirichlet boundaries.
 
-    u: (nx, ny, nz); nz % 128 == 0, ny % 8 == 0 for clean tiling (the
-    dispatcher in ops/stencil.py enforces alignment).
+    u: (nx, ny, nz); requires nz % 128 == 0 and ny % 8 == 0 for clean
+    tiling (validated here — the auto dispatcher no longer guards this since
+    the XLA path became the default and this kernel is opt-in).
     """
     nx, ny, nz = u.shape
+    if nz % 128 or ny % 8:
+        raise ValueError(
+            f"stencil7_pallas needs nz % 128 == 0 and ny % 8 == 0, got "
+            f"(ny={ny}, nz={nz}); use the XLA path (use_pallas='never')"
+        )
     dtype = u.dtype
     sx = slab_group
     while nx % sx:

@@ -4,7 +4,8 @@
 boundaries.  The jnp implementation below expresses the six neighbor shifts
 as padded slices; XLA fuses them into a single pass over the volume, which is
 already close to streaming speed.  A hand-tiled Pallas version lives in
-``ops/pallas/stencil.py`` and is selected on TPU for large grids.
+``ops/pallas/stencil.py`` (opt-in via ``use_pallas="always"``); measured on
+v5e the XLA path is faster, so "auto" resolves to XLA.
 
 The reference has no matrix-free path at all (its only operator is CSR,
 LinearAlgebraTypes.hpp:57-132) — this subsystem is the BASELINE.json
