@@ -46,6 +46,11 @@ class CG:
     def __init__(self, dtype=jnp.float64, verbose: bool = False):
         """``verbose`` plays the role of the reference's compile-time
         ``Debuglevel`` template parameter (LinearAlgebraTypes.hpp:26-30)."""
+        # The reference's DT is double (test/Tester.cpp:10); honoring a
+        # float64 default requires x64 mode, which JAX disables by default —
+        # without this the wrapper would silently solve in float32.
+        if jnp.dtype(dtype) == jnp.dtype("float64"):
+            jax.config.update("jax_enable_x64", True)
         self._dtype = jnp.dtype(dtype)
         self._A: Optional[LinearOperator] = None
         self._b: Optional[jax.Array] = None

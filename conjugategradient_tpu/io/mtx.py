@@ -93,6 +93,8 @@ def read_mtx_coo(path_or_file, dtype=np.float64) -> COOMatrix:
                 s = line.split()
                 if not s or line.startswith("%"):
                     continue
+                if len(s) < (2 if pattern else 3):
+                    raise ValueError(f"malformed entry line: {line!r}")
                 rows[i] = int(s[0]) - 1  # 1-based -> 0-based (mm_reader.cpp:62-66)
                 cols[i] = int(s[1]) - 1
                 vals[i] = 1.0 if pattern else float(s[2])
@@ -109,14 +111,22 @@ def read_mtx_coo(path_or_file, dtype=np.float64) -> COOMatrix:
                     continue
                 data.extend(float(tok) for tok in line.split())
             if header.symmetry in ("symmetric", "skew-symmetric"):
-                # lower triangle stored column-major
+                # column-major lower triangle; skew-symmetric stores only the
+                # STRICTLY lower triangle (the diagonal is implicitly zero)
+                skew = header.symmetry == "skew-symmetric"
                 rows_l, cols_l, vals_l = [], [], []
                 it = iter(data)
-                for j in range(ncols):
-                    for i in range(j, nrows):
-                        rows_l.append(i)
-                        cols_l.append(j)
-                        vals_l.append(next(it))
+                try:
+                    for j in range(ncols):
+                        for i in range(j + 1 if skew else j, nrows):
+                            rows_l.append(i)
+                            cols_l.append(j)
+                            vals_l.append(next(it))
+                except StopIteration:
+                    raise ValueError(
+                        "dense array body ends early for the declared "
+                        f"{header.symmetry} {nrows}x{ncols} matrix"
+                    ) from None
                 rows = np.array(rows_l, dtype=np.int64)
                 cols = np.array(cols_l, dtype=np.int64)
                 vals = np.array(vals_l, dtype=dtype)

@@ -106,9 +106,18 @@ def bell_spmv(a: BlockedEllMatrix, x: jax.Array, use_pallas: str = "auto") -> ja
 
 
 def dense_spmv(a: jax.Array, x: jax.Array) -> jax.Array:
-    """Dense matvec — rides the MXU directly."""
+    """Dense matvec — rides the MXU directly.
+
+    precision=HIGHEST: the MXU's default f32 mode rounds operands through
+    bf16, which breaks residual parity on the CG paths this feeds.
+    """
     out_dtype = jnp.promote_types(a.dtype, x.dtype)
-    return jnp.dot(a, x, preferred_element_type=_acc(out_dtype)).astype(out_dtype)
+    return jnp.dot(
+        a,
+        x,
+        preferred_element_type=_acc(out_dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(out_dtype)
 
 
 def dia_spmv(a, x: jax.Array, use_pallas: str = "auto") -> jax.Array:

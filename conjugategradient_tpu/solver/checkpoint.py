@@ -49,9 +49,15 @@ def run_cg(
     state: CGState,
     tol,
     steps: Optional[int] = None,
+    M=None,
 ) -> CGState:
     """Advance the solve by up to ``steps`` iterations (or to convergence /
-    the history capacity) inside one jitted while_loop."""
+    the history capacity) inside one jitted while_loop.
+
+    ``M`` must match the preconditioner the state was initialized with
+    (``cg_init(..., M=M)``): mixing a PCG carry with plain-CG steps (or vice
+    versa) silently corrupts the beta recurrence.
+    """
     maxiter = int(state.hist.shape[0]) - 1
     limit = maxiter if steps is None else min(maxiter, int(state.k) + int(steps))
     tol_arr = jnp.asarray(tol, dtype=state.x.dtype)
@@ -60,6 +66,6 @@ def run_cg(
         return (s.k < limit) & (~s.done)
 
     def body(s: CGState):
-        return cg_step(A, s, tol_arr)
+        return cg_step(A, s, tol_arr, M=M)
 
     return jax.lax.while_loop(cond, body, state)

@@ -41,37 +41,56 @@ def estimate_spectral_bounds(
     iters: int = 30,
     seed: int = 0,
     safety: float = 1.1,
+    min_margin: float = 4.0,
 ):
     """Estimate (λ_min, λ_max) of an SPD operator for Chebyshev setup.
 
-    λ_max by power iteration; λ_min cheaply as λ_max / κ_est where κ_est
-    comes from the Rayleigh quotient of the power iterate's residual — crude
-    but sufficient: Chebyshev only needs an interval CONTAINING the
-    spectrum, so λ_max is inflated by ``safety`` and λ_min deflated by the
-    diagonal lower bound when available.
+    Runs ``iters`` steps of Lanczos (with full reorthogonalization) and
+    takes the extreme Ritz values.  Ritz values approximate the spectrum
+    from the INSIDE — the largest underestimates λ_max and the smallest
+    overestimates λ_min — so λ_max is inflated by ``safety`` and λ_min
+    deflated by ``min_margin``.  Cost: ``iters`` matvecs, host-side, once.
+    (An earlier min(diag)/2 heuristic exceeded the true λ_min on
+    Poisson-like matrices; Chebyshev stays SPD with a wrong interval but
+    loses contraction on the excluded low modes — err low on λ_min.)
+    Supply exact bounds when known — tighter intervals precondition better.
     """
+    import numpy as np
+
     op = as_linear_operator(A, n=n)
     m = op.shape[0]
-    key = jax.random.PRNGKey(seed)
-    v = jax.random.normal(key, (m,), dtype=op.dtype)
-    v = v / jnp.linalg.norm(v)
+    k = min(iters, m)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(m)
+    v = v / np.linalg.norm(v)
 
-    def body(_, v):
-        w = op.matvec(v)
-        return w / jnp.linalg.norm(w)
+    V = np.zeros((k, m))
+    alphas, betas = [], []
+    beta = 0.0
+    v_prev = np.zeros(m)
+    for j in range(k):
+        V[j] = v
+        w = np.asarray(op.matvec(jnp.asarray(v, dtype=op.dtype)), dtype=np.float64)
+        alpha = float(v @ w)
+        w = w - alpha * v - beta * v_prev
+        # full reorthogonalization keeps Ritz values clean at small k
+        w = w - V[: j + 1].T @ (V[: j + 1] @ w)
+        alphas.append(alpha)
+        beta = float(np.linalg.norm(w))
+        if beta < 1e-12:  # invariant subspace found: Ritz values are exact
+            break
+        betas.append(beta)
+        v_prev = v
+        v = w / beta
 
-    v = jax.lax.fori_loop(0, iters, body, v)
-    lam_max = float(jnp.vdot(v, op.matvec(v)).real)
-
-    # cheap lower bound: min Gershgorin-ish estimate from the diagonal if
-    # exposed, else a conservative fraction of λ_max
-    try:
-        d = op.diagonal()
-        lam_min = float(jnp.min(d)) / 2.0
-        lam_min = max(lam_min, lam_max * 1e-6)
-    except NotImplementedError:
-        lam_min = lam_max / 1e4
-    return lam_min / safety, lam_max * safety
+    T = np.diag(alphas)
+    if betas:
+        off = np.array(betas[: len(alphas) - 1])
+        T = T + np.diag(off, 1) + np.diag(off, -1)
+    ritz = np.linalg.eigvalsh(T)
+    lam_max = float(ritz[-1]) * safety
+    lam_min = max(float(ritz[0]) / min_margin, lam_max * 1e-8)
+    return lam_min, lam_max
 
 
 def chebyshev_preconditioner(

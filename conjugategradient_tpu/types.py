@@ -271,26 +271,41 @@ class BlockedEllMatrix(LinearOperator):
                     jnp.asarray(blocks), jnp.asarray(block_cols), (n, ncols), nnz
                 )
 
-        # which column-blocks does each row-block touch?
+        # NumPy fallback, O(nnz log nnz): sort entries by (row-block,
+        # col-block) once, find each row-block's distinct col-blocks from the
+        # sorted runs, and scatter all values in a single np.add.at.
         row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
         rb = row_ids // bm
         cb = indices // bn
-        per_block_cols = [np.unique(cb[rb == i]) for i in range(nrb)]
-        kmax = max((len(c) for c in per_block_cols), default=1)
-        kmax = max(kmax, 1)
+        order = np.lexsort((cb, rb))
+        rb_s, cb_s = rb[order], cb[order]
+        # distinct (rb, cb) pairs in sorted order
+        key = rb_s * np.int64(ncb) + cb_s
+        first = np.ones(len(key), dtype=bool)
+        first[1:] = key[1:] != key[:-1]
+        pair_rb = rb_s[first]
+        pair_cb = cb_s[first]
+        counts = np.bincount(pair_rb, minlength=nrb)  # tiles per row-block
+        kmax = max(int(counts.max()) if len(counts) else 1, 1)
+        # slot of each distinct pair within its row-block
+        pair_slot = np.arange(len(pair_rb)) - np.concatenate(
+            [[0], np.cumsum(counts)[:-1]]
+        )[pair_rb]
+        block_cols = np.zeros((nrb, kmax), dtype=np.int32)
+        block_cols[pair_rb, pair_slot] = pair_cb
+        # slot of every nnz entry = its pair's slot (pairs indexed by cumsum
+        # over the `first` flags along the sorted order)
+        pair_idx_sorted = np.cumsum(first) - 1
+        slot_sorted = pair_slot[pair_idx_sorted]
+        slot = np.empty(len(slot_sorted), dtype=np.int64)
+        slot[order] = slot_sorted
 
         blocks = np.zeros((nrb, kmax, bm, bn), dtype=data.dtype)
-        block_cols = np.zeros((nrb, kmax), dtype=np.int32)
-        for i in range(nrb):
-            cols_i = per_block_cols[i]
-            block_cols[i, : len(cols_i)] = cols_i
-            sel = rb == i
-            r_local = row_ids[sel] - i * bm
-            c_global = indices[sel]
-            slot = np.searchsorted(cols_i, c_global // bn)
-            np.add.at(
-                blocks, (i, slot, r_local, c_global - (c_global // bn) * bn), data[sel]
-            )
+        np.add.at(
+            blocks,
+            (rb, slot, row_ids - rb * bm, indices - cb * bn),
+            data,
+        )
         return BlockedEllMatrix(
             jnp.asarray(blocks), jnp.asarray(block_cols), (n, ncols), nnz
         )
@@ -342,7 +357,10 @@ class BlockedEllMatrix(LinearOperator):
         n = self.shape[0]
         nrb, kmax, bm, bn = self.blocks.shape
         # row r (global) lives in row-block r//bm at local row r%bm; its
-        # diagonal element sits in the tile whose block_col == r//bn.
+        # diagonal element sits in the tile whose block_col == r//bn, at
+        # local column r%bn.  Gather that single element per (row, k) —
+        # shape (n_pad, kmax) — NOT the whole (n_pad, kmax, bn) lane slab,
+        # which is bn=128x larger and OOMs Jacobi setup at n~1M.
         rows = jnp.arange(nrb * bm)
         rb = rows // bm
         rl = rows % bm
@@ -350,8 +368,8 @@ class BlockedEllMatrix(LinearOperator):
         cl = rows % bn
         tiles_cols = self.block_cols[rb]  # (nrb*bm, kmax)
         hit = tiles_cols == target_cb[:, None]  # (nrb*bm, kmax)
-        vals = self.blocks[rb, :, rl, :]  # (nrb*bm, kmax, bn)
-        picked = vals[jnp.arange(nrb * bm)[:, None], jnp.arange(kmax)[None, :], cl[:, None]]
+        ks = jnp.arange(kmax)[None, :]
+        picked = self.blocks[rb[:, None], ks, rl[:, None], cl[:, None]]  # (n_pad, kmax)
         diag_padded = jnp.sum(jnp.where(hit, picked, 0), axis=1)
         return diag_padded[:n]
 
@@ -520,7 +538,9 @@ class DenseOperator(LinearOperator):
         return self.a.dtype
 
     def matvec(self, x):
-        return self.a @ x
+        from .ops.spmv import dense_spmv
+
+        return dense_spmv(self.a, x)
 
     def diagonal(self):
         return jnp.diagonal(self.a)

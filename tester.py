@@ -68,12 +68,19 @@ def main(argv=None) -> int:
 
     dtype = jnp.dtype(args.dtype)
     perm = None
-    if args.reorder:
-        A, perm = load_matrix(args.mtx, layout=args.layout, dtype=dtype,
-                              bm=args.bm, bn=args.bn, reorder=True)
-    else:
-        A = load_matrix(args.mtx, layout=args.layout, dtype=dtype,
-                        bm=args.bm, bn=args.bn)
+    try:
+        if args.reorder:
+            A, perm = load_matrix(args.mtx, layout=args.layout, dtype=dtype,
+                                  bm=args.bm, bn=args.bn, reorder=True)
+        else:
+            A = load_matrix(args.mtx, layout=args.layout, dtype=dtype,
+                            bm=args.bm, bn=args.bn)
+    except OSError as e:  # covers FileNotFoundError from the Python reader
+        print(f"error: cannot read {args.mtx}: {e}", file=sys.stderr)
+        return 2
+    except (ValueError, NotImplementedError) as e:
+        print(f"error: cannot parse {args.mtx}: {e}", file=sys.stderr)
+        return 2
     n = A.shape[0]
     nnz = A.nnz
     if args.verbose:
@@ -99,6 +106,12 @@ def main(argv=None) -> int:
     t.stop_measure(sync=x)
 
     rel_err = float(accuracy(A, b, x))
+    if perm is not None:
+        # map the solution back to the original ordering (the printed
+        # metrics are permutation-invariant, but x itself is not)
+        from conjugategradient_tpu.reorder import unpermute_vector
+
+        x = jnp.asarray(unpermute_vector(np.asarray(x), perm))
     # The reference's output line "dim NNZ time_ms rel_error",
     # space-separated (test/Tester.cpp:54).
     print(f"{n} {nnz} {t.get_duration()} {rel_err}")

@@ -153,3 +153,39 @@ def test_native_reader_errors(tmp_path):
         native.read_mtx_csr_native(bad)
     with pytest.raises(ValueError):
         native.read_mtx_csr_native(tmp_path / "missing.mtx")
+
+
+SKEW_ARRAY_MTX = """%%MatrixMarket matrix array real skew-symmetric
+3 3
+5.0
+-2.0
+7.0
+"""
+
+
+def test_skew_symmetric_array_strictly_lower():
+    """Skew-symmetric array files store only the STRICTLY lower triangle."""
+    data, indices, indptr, shape = read_mtx_csr(io.StringIO(SKEW_ARRAY_MTX))
+    a = _dense_from_csr(data, indices, indptr, shape)
+    expected = np.array([[0, -5, 2], [5, 0, -7], [-2, 7, 0]], dtype=float)
+    np.testing.assert_array_equal(a, expected)
+
+
+def test_truncated_array_body_raises_value_error():
+    bad = """%%MatrixMarket matrix array real symmetric
+3 3
+1.0
+2.0
+"""
+    with pytest.raises(ValueError, match="ends early"):
+        read_mtx_csr(io.StringIO(bad))
+
+
+def test_malformed_coordinate_entry_raises_value_error():
+    bad = """%%MatrixMarket matrix coordinate real general
+2 2 2
+1 1 2.0
+1 2
+"""
+    with pytest.raises(ValueError, match="malformed"):
+        read_mtx_csr(io.StringIO(bad))

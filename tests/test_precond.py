@@ -90,9 +90,24 @@ def test_chebyshev_preconditioner_cuts_iterations():
     assert 0 < lmin < lmax
     M = chebyshev_preconditioner(A, lmin, lmax, degree=8)
     x, i_cheb = cg_solve(A, b, tol=1e-8, M=M)
-    assert int(i_cheb.iterations) < int(i_plain.iterations) / 2
+    # the honest (containing) interval gives a smaller speedup than a
+    # cheating tight one would; 1.4x is the robust expectation at degree 8
+    assert int(i_cheb.iterations) < int(i_plain.iterations) / 1.4
     r = b - A.matvec(x)
     assert float(jnp.linalg.norm(r)) < 1e-6
+
+
+def test_spectral_bounds_contain_spectrum():
+    """The Lanczos estimator must return a CONTAINING interval (the review
+    caught a diag-based heuristic whose lower bound exceeded true λ_min)."""
+    from conjugategradient_tpu.ops.stencil import poisson7_csr
+    from conjugategradient_tpu.solver.precond import estimate_spectral_bounds
+
+    csr = poisson7_csr((8, 8, 8))
+    lmin, lmax = estimate_spectral_bounds(csr)
+    ev = np.linalg.eigvalsh(np.asarray(csr.to_dense()))
+    assert lmin <= ev[0], (lmin, ev[0])
+    assert lmax >= ev[-1], (lmax, ev[-1])
 
 
 def test_chebyshev_apply_is_linear():
