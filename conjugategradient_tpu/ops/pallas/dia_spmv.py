@@ -21,7 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(offsets, lpad: int, bl: int):
+def _make_kernel(offsets, lpad: int, bl: int, acc_dtype):
     # 1-D VMEM refs are tiled in 1024-element chunks; the window (and hence
     # the scratch row) must be a multiple of that for memref slicing.
     window = bl + lpad + (max(max(offsets), 0) if offsets else 0)
@@ -58,12 +58,12 @@ def _make_kernel(offsets, lpad: int, bl: int):
         # the VALUE — Mosaic requires 1024-aligned memref slices in 1-D, but
         # value slices lower to lane shifts.
         src = pl.multiple_of(slot * window, 1024)
-        xw = x_vmem[pl.ds(src, window)].astype(jnp.float32)  # (window,)
-        acc = jnp.zeros((bl,), jnp.float32)
+        xw = x_vmem[pl.ds(src, window)].astype(acc_dtype)  # (window,)
+        acc = jnp.zeros((bl,), acc_dtype)
         for d, off in enumerate(offsets):
             lo = off + lpad
             xs = jax.lax.slice(xw, (lo,), (lo + bl,))
-            acc = acc + diags_ref[d, :].astype(jnp.float32) * xs
+            acc = acc + diags_ref[d, :].astype(acc_dtype) * xs
         y_ref[...] = acc.astype(y_ref.dtype)
 
     return _kernel, window
@@ -89,7 +89,10 @@ def dia_spmv_pallas(
     n_pad = -(-n // bl) * bl
     if n_pad != n:
         diags = jnp.pad(diags, ((0, 0), (0, n_pad - n)))
-    kernel, window = _make_kernel(tuple(offsets), lpad, bl)
+    # accumulate in the promoted dtype so f64 inputs keep f64 results
+    # (matching the XLA path); bf16 widens to f32
+    acc_dtype = jnp.promote_types(jnp.promote_types(diags.dtype, x.dtype), jnp.float32)
+    kernel, window = _make_kernel(tuple(offsets), lpad, bl, acc_dtype)
     # xp[i] = x[i - lpad]; window g DMAs xp[g*bl : g*bl + window], so xp
     # must extend to (n_pad - bl) + window past the left pad.
     xp = jnp.pad(x, (lpad, max(0, n_pad - bl + window - lpad - ncols)))

@@ -100,6 +100,10 @@ def stencil7_pallas(
     slab_bytes = ny * nz * jnp.dtype(dtype).itemsize
     while sx > 1 and (4 * sx + 4) * slab_bytes > 10 * 1024 * 1024:
         sx //= 2
+    # the VMEM halving can break divisibility (e.g. nx=15, sx 5 -> 2 would
+    # drop the last slab); restore it or the output tail is garbage
+    while nx % sx:
+        sx -= 1
 
     up = jnp.pad(u, ((1, 1), (0, 0), (0, 0)))
     c = jnp.full((1,), center, dtype=dtype)

@@ -68,8 +68,8 @@ def bell_spmv(a: BlockedEllMatrix, x: jax.Array, use_pallas: str = "auto") -> ja
     "auto" picks the Pallas kernel on TPU backends when tile shapes meet the
     hardware constraints, else the einsum path (which XLA still maps to the
     MXU)."""
-    n, ncols = a.shape
-    np_, mp = a.padded_shape
+    n, _ = a.shape
+    _, mp = a.padded_shape
     xp = x
     if mp != x.shape[0]:
         xp = jnp.pad(x, (0, mp - x.shape[0]))

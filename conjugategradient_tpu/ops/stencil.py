@@ -21,7 +21,6 @@ import numpy as np
 
 def _neighbor_sum(u: jax.Array) -> jax.Array:
     """Sum of the six axis neighbors with zero boundaries, via shifted pads."""
-    z = jnp.zeros_like
     s = jnp.pad(u, ((1, 1), (0, 0), (0, 0)))[2:, :, :] + jnp.pad(
         u, ((1, 1), (0, 0), (0, 0))
     )[:-2, :, :]

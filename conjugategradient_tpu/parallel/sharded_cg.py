@@ -29,10 +29,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # JAX >= 0.4.35 exposes shard_map at top level
-    from jax import shard_map as _shard_map_mod  # type: ignore
-
     shard_map = jax.shard_map
-except Exception:  # pragma: no cover - older JAX
+except AttributeError:  # pragma: no cover - older JAX
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 from ..solver.cg import CGInfo
@@ -136,9 +134,16 @@ def partition_dia_rows(
 
 
 def _local_bell_matvec(blocks, block_cols, p_full_2d):
-    """Local row-block SpMV against the gathered operand."""
+    """Local row-block SpMV against the gathered operand.
+
+    Accumulation promotes with the operand dtype like the single-device
+    einsum path (ops/spmv._bell_spmv_jnp) so sharded f64 runs keep oracle
+    parity.
+    """
     gathered = p_full_2d[block_cols]  # (nrb, kmax, bn)
-    acc = jnp.promote_types(blocks.dtype, jnp.float32)
+    acc = jnp.promote_types(
+        jnp.promote_types(blocks.dtype, p_full_2d.dtype), jnp.float32
+    )
     y = jnp.einsum(
         "rkmn,rkn->rm",
         blocks,
@@ -157,6 +162,11 @@ def ring_halo(p_local: jax.Array, w: int, axis: str) -> jax.Array:
     Dirichlet-style zero padding the DIA layout expects.  Two ppermutes over
     ICI, O(w) bytes each, versus O(n) for an all_gather.
     """
+    if w > p_local.shape[0]:
+        raise ValueError(
+            f"halo width {w} exceeds the local shard length "
+            f"{p_local.shape[0]}; a one-hop ring cannot supply it"
+        )
     ns = jax.lax.axis_size(axis)
     # receive the left neighbor's tail: shard i-1 sends to i
     left = jax.lax.ppermute(
@@ -174,7 +184,9 @@ def _local_dia_matvec(diags_s, offsets, p_local, axis):
     m = p_local.shape[0]
     w = max(max(abs(o) for o in offsets), 1)
     window = ring_halo(p_local, w, axis)  # (m + 2w,)
-    acc = jnp.promote_types(diags_s.dtype, jnp.float32)
+    acc = jnp.promote_types(
+        jnp.promote_types(diags_s.dtype, p_local.dtype), jnp.float32
+    )
     y = jnp.zeros((m,), dtype=acc)
     for d, off in enumerate(offsets):
         lo = off + w
@@ -228,7 +240,10 @@ def _sharded_pcg(
         k, done, x, r, p, rho, rnorm, hist = c
         q = local_matvec(p)
         pap = pdot(p, q)
-        alpha = rho / pap
+        # exact-convergence guard (see solver/cg.cg_step): rho == 0 would
+        # otherwise poison x with 0/0 in the body that observes convergence
+        exact = rho == 0
+        alpha = jnp.where(exact, 0, rho / jnp.where(exact, 1, pap))
         x = x + alpha * p
         r = r - alpha * q
         # termination tests the PRE-update residual (CG.hpp:401-402, SURVEY §2.3(5))
@@ -236,7 +251,7 @@ def _sharded_pcg(
         z = precond(r)
         rnorm_next = pdot(r, r)
         rho_next = rnorm_next if inv_diag_s is None else pdot(r, z)
-        beta = rho_next / rho
+        beta = jnp.where(exact, 0, rho_next / jnp.where(exact, 1, rho))
         p = z + beta * p
         k = k + 1
         hist = hist.at[k].set(rnorm_next)
@@ -246,12 +261,22 @@ def _sharded_pcg(
         return (c[0] < maxiter) & (~c[1])
 
     k, done, x, r, p, rho, rnorm, hist = jax.lax.while_loop(cond, body, carry)
-    return x, k, done, rnorm, hist
+    return x, k, done, rho, rnorm, hist
 
 
 # ---------------------------------------------------------------------------
 # public solvers
 # ---------------------------------------------------------------------------
+
+# Compiled-solve cache: jax.jit keyed on a fresh closure would retrace every
+# call, paying full XLA compilation of the collective while_loop per solve.
+# Key on everything the closure bakes in; values are the jitted shard_map'd
+# functions, reused across calls with the same configuration.
+_SOLVE_CACHE: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (tuple(int(d.id) for d in mesh.devices.flat), mesh.axis_names)
 
 
 def sharded_cg_solve(
@@ -263,7 +288,7 @@ def sharded_cg_solve(
     mesh: Optional[Mesh] = None,
     axis: str = "rows",
     tol: float = 0.0,
-    maxiter: int = 0,
+    maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
     ncols_padded: Optional[int] = None,
 ):
@@ -277,7 +302,7 @@ def sharded_cg_solve(
       inv_diag: optional (n_padded,) 1/diag(A) for Jacobi PCG (zero-padded
         entries should be 1 to stay inert).
       mesh: 1-D device mesh (defaults to all devices).
-      maxiter: iteration cap (static).
+      maxiter: iteration cap (static); None (default) means N_padded + 1.
 
     Returns (x, CGInfo); x is row-sharded but exposed as a global jax.Array.
     """
@@ -286,41 +311,50 @@ def sharded_cg_solve(
     assert blocks.shape[0] == n_shards, (blocks.shape, n_shards)
     n_padded = int(b.shape[0])
     bn = int(blocks.shape[-1])
-    maxiter = int(maxiter or (n_padded + 1))
+    maxiter = int(n_padded + 1 if maxiter is None else maxiter)
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
 
     x0 = jnp.zeros_like(b) if x0 is None else x0
     with_m = inv_diag is not None
 
-    def solve_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
-        blocks_s = blocks_s[0]
-        cols_s = cols_s[0]
+    key = ("bell", _mesh_key(mesh), axis, maxiter, float(tol), with_m, bn,
+           str(b.dtype))
+    solve_jit = _SOLVE_CACHE.get(key)
+    if solve_jit is None:
+        def solve_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
+            blocks_s = blocks_s[0]
+            cols_s = cols_s[0]
 
-        def local_matvec(v_local):
-            v_full = jax.lax.all_gather(v_local, axis, tiled=True)
-            return _local_bell_matvec(blocks_s, cols_s, v_full.reshape(-1, bn))
+            def local_matvec(v_local):
+                v_full = jax.lax.all_gather(v_local, axis, tiled=True)
+                return _local_bell_matvec(blocks_s, cols_s, v_full.reshape(-1, bn))
 
-        return _sharded_pcg(
-            local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
-        )
+            return _sharded_pcg(
+                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
+            )
 
-    in_specs = [P(axis)] * (5 if with_m else 4)
-    solve = shard_map(
-        solve_shard,
-        mesh=mesh,
-        in_specs=tuple(in_specs),
-        out_specs=(P(axis), P(), P(), P(), P()),
-        check_vma=False,
-    )
+        in_specs = [P(axis)] * (5 if with_m else 4)
+        solve_jit = jax.jit(shard_map(
+            solve_shard,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(axis), P(), P(), P(), P(), P()),
+            check_vma=False,
+        ))
+        _SOLVE_CACHE[key] = solve_jit
 
     put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
     args = [put(blocks), put(block_cols), put(b), put(x0)]
     if with_m:
         args.append(put(inv_diag))
 
-    x, k, done, rnorm, hist = jax.jit(solve)(*args)
+    x, k, done, rho, rnorm, hist = solve_jit(*args)
     info = CGInfo(
-        iterations=k, converged=done, rho=rnorm, rnorm_sq=rnorm, rho_history=hist
+        iterations=k,
+        converged=done & ~jnp.isnan(rnorm),
+        rho=rho,
+        rnorm_sq=rnorm,
+        rho_history=hist,
     )
     return x, info
 
@@ -334,7 +368,7 @@ def sharded_dia_cg_solve(
     mesh: Optional[Mesh] = None,
     axis: str = "rows",
     tol: float = 0.0,
-    maxiter: int = 0,
+    maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
 ):
     """Row-sharded (P)CG with a DIA (banded) operator and ring-halo SpMV.
@@ -360,38 +394,47 @@ def sharded_dia_cg_solve(
             "use fewer shards or the blocked-ELL path"
         )
     n_padded = int(b.shape[0])
-    maxiter = int(maxiter or (n_padded + 1))
+    maxiter = int(n_padded + 1 if maxiter is None else maxiter)
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     offsets = tuple(int(o) for o in offsets)
     with_m = inv_diag is not None
 
-    def solve_shard(diags_s, b_s, x0_s, inv_diag_s=None):
-        diags_s = diags_s[0]
+    key = ("dia", _mesh_key(mesh), axis, maxiter, float(tol), with_m, offsets,
+           str(b.dtype))
+    solve_jit = _SOLVE_CACHE.get(key)
+    if solve_jit is None:
+        def solve_shard(diags_s, b_s, x0_s, inv_diag_s=None):
+            diags_s = diags_s[0]
 
-        def local_matvec(v_local):
-            return _local_dia_matvec(diags_s, offsets, v_local, axis)
+            def local_matvec(v_local):
+                return _local_dia_matvec(diags_s, offsets, v_local, axis)
 
-        return _sharded_pcg(
-            local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
-        )
+            return _sharded_pcg(
+                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
+            )
 
-    in_specs = [P(axis)] * (4 if with_m else 3)
-    solve = shard_map(
-        solve_shard,
-        mesh=mesh,
-        in_specs=tuple(in_specs),
-        out_specs=(P(axis), P(), P(), P(), P()),
-        check_vma=False,
-    )
+        in_specs = [P(axis)] * (4 if with_m else 3)
+        solve_jit = jax.jit(shard_map(
+            solve_shard,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(axis), P(), P(), P(), P(), P()),
+            check_vma=False,
+        ))
+        _SOLVE_CACHE[key] = solve_jit
 
     put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
     args = [put(jnp.asarray(diags_sharded)), put(b), put(x0)]
     if with_m:
         args.append(put(inv_diag))
 
-    x, k, done, rnorm, hist = jax.jit(solve)(*args)
+    x, k, done, rho, rnorm, hist = solve_jit(*args)
     info = CGInfo(
-        iterations=k, converged=done, rho=rnorm, rnorm_sq=rnorm, rho_history=hist
+        iterations=k,
+        converged=done & ~jnp.isnan(rnorm),
+        rho=rho,
+        rnorm_sq=rnorm,
+        rho_history=hist,
     )
     return x, info

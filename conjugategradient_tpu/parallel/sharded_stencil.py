@@ -59,7 +59,7 @@ def sharded_stencil_cg_solve(
     mesh: Optional[Mesh] = None,
     axis: str = "rows",
     tol: float = 0.0,
-    maxiter: int = 0,
+    maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
 ):
     """Row(x-slab)-sharded CG on the matrix-free 7-point operator.
@@ -81,39 +81,50 @@ def sharded_stencil_cg_solve(
     sx = nx // n_shards
     n = nx * ny * nz
     assert b.shape == (n,), (b.shape, n)
-    maxiter = int(maxiter or (n + 1))
+    maxiter = int(n + 1 if maxiter is None else maxiter)
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     c = float(center)
     o = float(off)
     with_m = inv_diag is not None
 
-    def solve_shard(b_s, x0_s, inv_diag_s=None):
-        def local_matvec(v_local):
-            return _local_stencil_matvec(
-                v_local.astype(b.dtype), c, o, sx, ny, nz, axis
+    from .sharded_cg import _SOLVE_CACHE, _mesh_key
+
+    key = ("stencil", _mesh_key(mesh), axis, maxiter, float(tol), with_m,
+           (sx, ny, nz, c, o), str(b.dtype))
+    solve_jit = _SOLVE_CACHE.get(key)
+    if solve_jit is None:
+        def solve_shard(b_s, x0_s, inv_diag_s=None):
+            def local_matvec(v_local):
+                return _local_stencil_matvec(
+                    v_local.astype(b.dtype), c, o, sx, ny, nz, axis
+                )
+
+            return _sharded_pcg(
+                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
             )
 
-        return _sharded_pcg(
-            local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
-        )
-
-    in_specs = [P(axis)] * (3 if with_m else 2)
-    solve = shard_map(
-        solve_shard,
-        mesh=mesh,
-        in_specs=tuple(in_specs),
-        out_specs=(P(axis), P(), P(), P(), P()),
-        check_vma=False,
-    )
+        in_specs = [P(axis)] * (3 if with_m else 2)
+        solve_jit = jax.jit(shard_map(
+            solve_shard,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(axis), P(), P(), P(), P(), P()),
+            check_vma=False,
+        ))
+        _SOLVE_CACHE[key] = solve_jit
 
     put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
     args = [put(b), put(x0)]
     if with_m:
         args.append(put(inv_diag))
 
-    x, k, done, rnorm, hist = jax.jit(solve)(*args)
+    x, k, done, rho, rnorm, hist = solve_jit(*args)
     info = CGInfo(
-        iterations=k, converged=done, rho=rnorm, rnorm_sq=rnorm, rho_history=hist
+        iterations=k,
+        converged=done & ~jnp.isnan(rnorm),
+        rho=rho,
+        rnorm_sq=rnorm,
+        rho_history=hist,
     )
     return x, info

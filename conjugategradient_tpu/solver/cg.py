@@ -34,7 +34,6 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..types import LinearOperator, as_linear_operator
 from ..ops.blas import dot
@@ -150,10 +149,18 @@ def cg_step(
 
     ``dot_fn`` is injectable so the sharded solver can drop in a
     psum-reducing dot (parallel/sharded_cg.py) without touching this code.
+
+    Exact-convergence guard: when ρ_k is exactly 0 (warm start at the
+    solution, b = 0), the reference computes α = 0/0 = NaN and poisons x in
+    the body that then observes convergence; here α and β are forced to 0
+    in that case so the final body is a no-op and x survives.  When ρ_k > 0
+    but pᵀAp = 0 (A singular/indefinite), α still becomes NaN/inf and the
+    NaN exit fires exactly like the reference (CG.hpp:401).
     """
     q = A.matvec(state.p)  # spmv                     (CG.hpp:374)
     pap = dot_fn(state.p, q)  # dot(Ap, p) -> value2     (CG.hpp:378)
-    alpha = state.rho / pap  # α = rxr/value2           (CG.hpp:386)
+    exact = state.rho == 0
+    alpha = jnp.where(exact, 0, state.rho / jnp.where(exact, 1, pap))
     x = state.x + alpha * state.p  # sapbx                (CG.hpp:390)
     r = state.r - alpha * q  # sambx                      (CG.hpp:392)
     # Termination tests the PRE-update residual ρ_k (CG.hpp:401-402, race
@@ -162,7 +169,7 @@ def cg_step(
     z = r if M is None else M(r)
     rnorm_next = dot_fn(r, r) if M is not None else dot_fn(r, z)
     rho_next = rnorm_next if M is None else dot_fn(r, z)
-    beta = rho_next / state.rho  # β = value3/rxr          (CG.hpp:414)
+    beta = jnp.where(exact, 0, rho_next / jnp.where(exact, 1, state.rho))
     p = z + beta * state.p  # sapbx                        (CG.hpp:418)
     k = state.k + 1
     hist = state.hist.at[k].set(rnorm_next)
@@ -213,8 +220,10 @@ def cg_solve(
         extra SpMV per interval.  0 (default) reproduces the reference's
         never-recompute semantics (CG.hpp:392).
 
-    Jit-compatible: ``jax.jit(cg_solve, static_argnames=("maxiter", "n"))``
-    works, and the body is a single ``lax.while_loop`` either way.
+    Jit-compatible: ``jax.jit(cg_solve, static_argnames=("maxiter", "n",
+    "M", "recompute_r_every"))`` — M and recompute_r_every steer Python
+    control flow at trace time, so they must be static too.  The body is a
+    single ``lax.while_loop`` either way.
     """
     op = as_linear_operator(A, n=n, dtype=getattr(b, "dtype", None))
     N = op.shape[0]
@@ -255,7 +264,9 @@ def cg_solve(
     s = jax.lax.while_loop(cond, body, state0)
     info = CGInfo(
         iterations=s.k,
-        converged=s.done,
+        # a NaN residual terminates the loop (like the reference) but is a
+        # breakdown, not convergence — don't fold it into the flag
+        converged=s.done & ~jnp.isnan(s.rnorm_sq),
         rho=s.rho,
         rnorm_sq=s.rnorm_sq,
         rho_history=s.hist,

@@ -59,12 +59,15 @@ def estimate_spectral_bounds(
 
     op = as_linear_operator(A, n=n)
     m = op.shape[0]
-    k = min(iters, m)
+    # cap the reorthogonalization basis (float32) at ~1 GB so setup stays
+    # cheap at the framework's multi-million-row target sizes; the result
+    # is only a padded interval estimate, so a shorter basis is fine
+    k = min(iters, m, max(3, (1 << 30) // (4 * m)))
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(m)
     v = v / np.linalg.norm(v)
 
-    V = np.zeros((k, m))
+    V = np.zeros((k, m), dtype=np.float32)
     alphas, betas = [], []
     beta = 0.0
     v_prev = np.zeros(m)
@@ -103,17 +106,22 @@ def chebyshev_preconditioner(
     """Chebyshev polynomial preconditioner: M⁻¹ ≈ p_k(A) ≈ A⁻¹ on
     [lam_min, lam_max].
 
-    TPU-first choice of preconditioner beyond Jacobi: the apply is ``degree``
-    extra SpMVs — fully data-parallel streaming work, no triangular solves
-    (SSOR/IC-style preconditioners serialize and are hostile to the
-    hardware).  Standard Chebyshev iteration recurrence on the residual
-    equation; the result is a FIXED linear operator, so PCG theory applies.
+    TPU-first choice of preconditioner beyond Jacobi: the apply performs
+    ``degree - 1`` SpMVs (the first semi-iteration step is matvec-free) —
+    fully data-parallel streaming work, no triangular solves (SSOR/IC-style
+    preconditioners serialize and are hostile to the hardware).  Standard
+    Chebyshev semi-iteration on the residual equation; the result is a
+    FIXED linear operator, so PCG theory applies.
 
-    Cost/benefit: each PCG iteration costs (degree+1) SpMVs but contracts
-    like CG on a spectrum compressed by the Chebyshev polynomial — a win
-    when SpMV is cheap relative to the dots' latency or when iteration
-    counts (and thus psum rounds, multi-chip) must shrink.
+    Cost/benefit: each PCG iteration costs ``degree`` SpMVs total (the CG
+    matvec plus degree−1 in the apply) but contracts like CG on a spectrum
+    compressed by the Chebyshev polynomial — a win when SpMV is cheap
+    relative to the dots' latency or when iteration counts (and thus psum
+    rounds, multi-chip) must shrink.  ``degree`` must be ≥ 2; degree 1
+    would be a pure scaling with no spectral compression.
     """
+    if degree < 2:
+        raise ValueError(f"degree must be >= 2, got {degree}")
     if not (0 < lam_min < lam_max):
         raise ValueError(
             f"need 0 < lam_min < lam_max, got [{lam_min}, {lam_max}] "
@@ -129,7 +137,6 @@ def chebyshev_preconditioner(
         rho_old = 1.0 / sigma1
         z = r / theta  # first step
         z_old = jnp.zeros_like(r)
-        d = z  # z - z_old
 
         def body(i, carry):
             z, z_old, rho_old = carry

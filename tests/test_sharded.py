@@ -199,3 +199,49 @@ def test_sharded_stencil_validates_divisibility():
 
     with pytest.raises(ValueError, match="divisible"):
         sharded_stencil_cg_solve((10, 4, 4), jnp.ones((160,)), maxiter=2)
+
+
+def test_sharded_maxiter_zero_and_converged_flags():
+    from conjugategradient_tpu.parallel import sharded_stencil_cg_solve
+
+    grid = (16, 4, 4)
+    n = 16 * 4 * 4
+    b = jnp.asarray(reference_rhs(n)) / n
+    x, info = sharded_stencil_cg_solve(grid, b, tol=0.0, maxiter=0)
+    assert int(info.iterations) == 0
+    assert not bool(info.converged)
+
+
+def test_sharded_solve_cache_reuse():
+    """Second identical solve must reuse the compiled function."""
+    from conjugategradient_tpu.parallel import sharded_stencil_cg_solve
+    from conjugategradient_tpu.parallel.sharded_cg import _SOLVE_CACHE
+
+    grid = (16, 4, 4)
+    n = 16 * 4 * 4
+    b = jnp.asarray(reference_rhs(n)) / n
+    before = len(_SOLVE_CACHE)
+    x1, i1 = sharded_stencil_cg_solve(grid, b, tol=1e-10, maxiter=n + 1)
+    after_first = len(_SOLVE_CACHE)
+    x2, i2 = sharded_stencil_cg_solve(grid, b, tol=1e-10, maxiter=n + 1)
+    assert len(_SOLVE_CACHE) == after_first >= before + 1
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_ring_halo_validates_width():
+    from conjugategradient_tpu.parallel import make_row_mesh, ring_halo
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_row_mesh(jax.devices()[:4])
+    x = jnp.arange(16.0)
+    with pytest.raises(ValueError, match="halo width"):
+        f = shard_map(
+            lambda v: ring_halo(v, 5, "rows"),  # w=5 > local length 4
+            mesh=mesh, in_specs=P("rows"), out_specs=P("rows"),
+        )
+        f(x)

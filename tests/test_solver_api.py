@@ -127,3 +127,35 @@ def test_residual_replacement_restart():
     # and 0 keeps the reference's never-recompute semantics (same API)
     x2, info2 = cg_solve(A, b, tol=1e-8, recompute_r_every=0)
     assert bool(info2.converged)
+
+
+def test_exact_convergence_does_not_poison_x():
+    """Warm start at the exact solution: x must survive (the reference's
+    alpha = 0/0 would NaN it) and converged must be True."""
+    import jax.numpy as jnp
+
+    A, b = _problem(6)
+    x_star, _ = cg_solve(A, b, tol=1e-13)
+    x, info = cg_solve(A, b, x0=x_star, tol=1e-6)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_star), rtol=1e-10)
+    assert bool(info.converged)
+    # b = 0 -> x = 0 exactly, finite
+    x0sol, info0 = cg_solve(A, jnp.zeros_like(b), tol=1e-6)
+    assert bool(jnp.all(x0sol == 0))
+    assert bool(info0.converged)
+
+
+def test_nan_breakdown_not_reported_as_converged():
+    import jax.numpy as jnp
+
+    a = jnp.zeros((4, 4))  # singular: NaN breakdown
+    x, info = cg_solve(a, jnp.ones(4), tol=1e-10)
+    assert not bool(info.converged)
+
+
+def test_maxiter_zero_runs_zero_iterations():
+    A, b = _problem(6)
+    x, info = cg_solve(A, b, tol=0.0, maxiter=0)
+    assert int(info.iterations) == 0
+    np.testing.assert_array_equal(np.asarray(x), 0.0)

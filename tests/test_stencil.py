@@ -70,3 +70,13 @@ def test_stencil_use_pallas_flag(grid, rng):
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(op.matvec(x)), rtol=1e-12
     )
+
+
+def test_pallas_stencil_odd_slab_group_covers_all_slabs(rng):
+    """VMEM halving must not break nx divisibility (review finding: nx=15,
+    slab_group=5 halved to 2 left the last slab uninitialized).  ny*nz is
+    sized so the VMEM budget loop actually fires (slab > 10MB/24)."""
+    u = jnp.asarray(rng.standard_normal((15, 896, 128)), jnp.float32)
+    y_ref = 6.0 * u - 1.0 * _neighbor_sum(u)
+    y_pal = stencil7_pallas(u, 6.0, -1.0, interpret=True, slab_group=5)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-4)
