@@ -21,9 +21,29 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
+
+
+def _enable_persistent_compile_cache():
+    """Cold XLA compiles through a remote-compile tunnel can take minutes;
+    cache compiled executables on disk so repeat bench runs (and the perf
+    driver's round-end run) start warm."""
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older JAX without these options
+
+
+_enable_persistent_compile_cache()
 
 
 #: Nominal HBM peak bandwidth by device kind (GB/s) — the stable roofline
