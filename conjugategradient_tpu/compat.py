@@ -115,8 +115,12 @@ class CG:
             raise RuntimeError("No b vector specified")
         if self._A is None:
             raise RuntimeError("No Matrix specified")
+        # The reference persists the solution across solve() calls — a
+        # second solve warm-starts from the previous x (CG.hpp:291-297
+        # zero-inits only when x was never allocated); reproduce that.
+        x0 = self._x if self._x is not None else self._x0
         self._x, self._info = cg_solve(
-            self._A, self._b, self._x0, tol=improvement, maxiter=maxiter
+            self._A, self._b, x0, tol=improvement, maxiter=maxiter
         )
         return self
 

@@ -95,8 +95,15 @@ def read_mtx_coo(path_or_file, dtype=np.float64) -> COOMatrix:
                     continue
                 if len(s) < (2 if pattern else 3):
                     raise ValueError(f"malformed entry line: {line!r}")
-                rows[i] = int(s[0]) - 1  # 1-based -> 0-based (mm_reader.cpp:62-66)
-                cols[i] = int(s[1]) - 1
+                r_i = int(s[0]) - 1  # 1-based -> 0-based (mm_reader.cpp:62-66)
+                c_i = int(s[1]) - 1
+                if not (0 <= r_i < nrows and 0 <= c_i < ncols):
+                    raise ValueError(
+                        f"entry index out of range: {line.strip()!r} for a "
+                        f"{nrows}x{ncols} matrix (indices are 1-based)"
+                    )
+                rows[i] = r_i
+                cols[i] = c_i
                 vals[i] = 1.0 if pattern else float(s[2])
                 i += 1
                 if i == nnz:

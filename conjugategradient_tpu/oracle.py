@@ -130,7 +130,8 @@ def reference_pcg(
         z = minv(r)
         rnorm = float(r @ r)
         rho_next = float(r @ z)
-        beta = rho_next / rho
+        with np.errstate(divide="ignore", invalid="ignore"):
+            beta = np.float64(rho_next) / np.float64(rho)
         p = z + beta * p
         rho = rho_next
         hist.append(rnorm)
@@ -140,6 +141,10 @@ def reference_pcg(
 
 
 def accuracy_np(matvec, b, x) -> float:
-    """The reference's squared-norm-ratio error metric (CG.hpp:463-515)."""
+    """The reference's squared-norm-ratio error metric (CG.hpp:463-515).
+
+    x == 0 yields NaN/inf like the device counterpart, not a Python
+    ZeroDivisionError."""
     res = b - matvec(x)
-    return abs(float(res @ res) / float(x @ x))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return abs(float(np.float64(res @ res) / np.float64(x @ x)))

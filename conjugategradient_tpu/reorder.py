@@ -20,11 +20,6 @@ from typing import Tuple
 import numpy as np
 
 
-def _adjacency(indices: np.ndarray, indptr: np.ndarray, n: int):
-    degrees = np.diff(indptr)
-    return degrees
-
-
 def rcm_permutation(indices: np.ndarray, indptr: np.ndarray, n: int) -> np.ndarray:
     """Reverse Cuthill–McKee ordering of a symmetric sparsity pattern.
 
@@ -35,6 +30,13 @@ def rcm_permutation(indices: np.ndarray, indptr: np.ndarray, n: int) -> np.ndarr
     """
     indices = np.asarray(indices, dtype=np.int64)
     indptr = np.asarray(indptr, dtype=np.int64)
+    if len(indptr) - 1 != n:
+        raise ValueError(f"indptr describes {len(indptr)-1} rows, expected {n}")
+    if len(indices) and (indices.min() < 0 or indices.max() >= n):
+        raise ValueError(
+            "column index out of range for a square symmetric pattern "
+            f"(n={n}); RCM requires a square matrix"
+        )
     degrees = np.diff(indptr)
 
     visited = np.zeros(n, dtype=bool)
@@ -84,28 +86,25 @@ def permute_csr(
     sorted by column within each row.
     """
     n = shape[0]
-    assert shape[0] == shape[1], "symmetric permutation needs a square matrix"
+    if shape[0] != shape[1]:
+        raise ValueError("symmetric permutation needs a square matrix")
     perm = np.asarray(perm, dtype=np.int64)
     inv = np.empty(n, dtype=np.int64)
     inv[perm] = np.arange(n)
 
     indptr = np.asarray(indptr, dtype=np.int64)
-    counts = np.diff(indptr)
-    new_counts = counts[perm]
+    data = np.asarray(data)
+    indices = np.asarray(indices, dtype=np.int64)
+    # fully vectorized: relabel every entry's (row, col) through inv, then
+    # one lexsort — O(nnz log nnz) in C rather than a Python loop over rows
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    new_rows = inv[row_ids]
+    new_cols = inv[indices]
+    order = np.lexsort((new_cols, new_rows))
+    new_data = data[order]
+    new_indices = new_cols[order]
     new_indptr = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(new_counts, out=new_indptr[1:])
-
-    new_data = np.empty_like(np.asarray(data))
-    new_indices = np.empty_like(np.asarray(indices), dtype=np.int64)
-    for new_r in range(n):
-        old_r = perm[new_r]
-        lo, hi = indptr[old_r], indptr[old_r + 1]
-        cols = inv[np.asarray(indices)[lo:hi]]
-        vals = np.asarray(data)[lo:hi]
-        o = np.argsort(cols, kind="stable")
-        dst = slice(new_indptr[new_r], new_indptr[new_r + 1])
-        new_indices[dst] = cols[o]
-        new_data[dst] = vals[o]
+    np.cumsum(np.bincount(new_rows, minlength=n), out=new_indptr[1:])
     return new_data, new_indices, new_indptr
 
 

@@ -161,8 +161,10 @@ def cg_step(
     pap = dot_fn(state.p, q)  # dot(Ap, p) -> value2     (CG.hpp:378)
     exact = state.rho == 0
     alpha = jnp.where(exact, 0, state.rho / jnp.where(exact, 1, pap))
-    x = state.x + alpha * state.p  # sapbx                (CG.hpp:390)
-    r = state.r - alpha * q  # sambx                      (CG.hpp:392)
+    # dot() widens scalars to >= f32; compute the updates in the promoted
+    # dtype but cast back so low-precision (bf16) carries keep their type
+    x = (state.x + alpha * state.p).astype(state.x.dtype)  # sapbx (CG.hpp:390)
+    r = (state.r - alpha * q).astype(state.r.dtype)  # sambx       (CG.hpp:392)
     # Termination tests the PRE-update residual ρ_k (CG.hpp:401-402, race
     # resolved deterministically per SURVEY §2.3(5)).
     done = jnp.isnan(state.rnorm_sq) | (jnp.sqrt(state.rnorm_sq) <= tol)
@@ -170,7 +172,7 @@ def cg_step(
     rnorm_next = dot_fn(r, r) if M is not None else dot_fn(r, z)
     rho_next = rnorm_next if M is None else dot_fn(r, z)
     beta = jnp.where(exact, 0, rho_next / jnp.where(exact, 1, state.rho))
-    p = z + beta * state.p  # sapbx                        (CG.hpp:418)
+    p = (z + beta * state.p).astype(state.p.dtype)  # sapbx (CG.hpp:418)
     k = state.k + 1
     hist = state.hist.at[k].set(rnorm_next)
     return CGState(

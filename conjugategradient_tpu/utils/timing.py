@@ -25,7 +25,14 @@ class Timer:
 
     def stop_measure(self, sync: Optional[object] = None):
         if sync is not None:
-            jax.block_until_ready(sync)
+            # block_until_ready can return before completion on remote-
+            # dispatch backends (see utils/benchmarking.py); only a host
+            # readback of a result element proves the work finished.
+            import numpy as _np
+
+            leaves = jax.tree_util.tree_leaves(sync)
+            if leaves:
+                _np.asarray(leaves[0]).ravel()[:1]
         self._t1 = time.perf_counter()
         return self
 
@@ -39,5 +46,8 @@ class Timer:
         return self.start_measure()
 
     def __exit__(self, *exc):
+        # NOTE: the context-manager form cannot sync device work (it has no
+        # handle on the result); pass the result to stop_measure(sync=...)
+        # when timing asynchronous dispatch.
         self.stop_measure()
         return False

@@ -41,11 +41,14 @@ def main(argv=None) -> int:
                          "storage (banded fast path)")
     ap.add_argument("--reorder", action="store_true",
                     help="RCM-reorder the system first (bandwidth reduction; "
-                         "solution mapped back to the original ordering)")
+                         "the printed metrics are permutation-invariant)")
     ap.add_argument("--dtype", choices=("float32", "float64", "bfloat16"),
                     default="float64",
                     help="solve dtype (float64 matches the reference's double)")
-    ap.add_argument("--precond", choices=("none", "jacobi"), default="none")
+    ap.add_argument("--precond", choices=("none", "jacobi", "chebyshev"),
+                    default="none")
+    ap.add_argument("--cheb-degree", type=int, default=8,
+                    help="Chebyshev polynomial degree (with --precond chebyshev)")
     ap.add_argument("--bm", type=int, default=128, help="blocked-ELL row tile")
     ap.add_argument("--bn", type=int, default=128, help="blocked-ELL col tile")
     ap.add_argument("--history", action="store_true",
@@ -91,37 +94,58 @@ def main(argv=None) -> int:
     b = jnp.arange(1, n + 1, dtype=dtype)
     if perm is not None:
         b = b[jnp.asarray(perm)]
-    M = jacobi_preconditioner(A) if args.precond == "jacobi" else None
+    if args.precond == "jacobi":
+        M = jacobi_preconditioner(A)
+    elif args.precond == "chebyshev":
+        from conjugategradient_tpu.solver.precond import (
+            chebyshev_preconditioner,
+            estimate_spectral_bounds,
+        )
+
+        try:
+            lmin, lmax = estimate_spectral_bounds(A)
+            if args.verbose:
+                log.debug("chebyshev interval [%g, %g]", lmin, lmax)
+            M = chebyshev_preconditioner(A, lmin, lmax, degree=args.cheb_degree)
+        except ValueError as e:
+            print(f"error: chebyshev setup failed: {e}", file=sys.stderr)
+            return 2
+    else:
+        M = None
 
     # Warm-up compile outside the timed region: the reference times only
     # solve() (its kernels are compiled at build time); we match by excluding
-    # the one-time XLA compile.
+    # the one-time XLA compile.  AOT lower+compile avoids executing a full
+    # throwaway solve just to populate the jit cache.
     solve = jax.jit(
         lambda b_: cg_solve(A, b_, tol=args.tol, maxiter=args.maxiter, M=M)
     )
-    solve(b)[0].block_until_ready()
+    try:
+        solve.lower(b).compile()
+    except Exception:  # pragma: no cover - older JAX AOT API
+        solve(b)[0].block_until_ready()
 
     t = Timer().start_measure()
     x, info = solve(b)
     t.stop_measure(sync=x)
 
+    # NOTE: with --reorder the solve runs in RCM ordering; the printed
+    # metrics (dim, nnz, time, norm ratios, residual history) are all
+    # permutation-invariant, so x is not mapped back here.  Use
+    # conjugategradient_tpu.reorder.unpermute_vector when extracting x.
     rel_err = float(accuracy(A, b, x))
-    if perm is not None:
-        # map the solution back to the original ordering (the printed
-        # metrics are permutation-invariant, but x itself is not)
-        from conjugategradient_tpu.reorder import unpermute_vector
-
-        x = jnp.asarray(unpermute_vector(np.asarray(x), perm))
     # The reference's output line "dim NNZ time_ms rel_error",
     # space-separated (test/Tester.cpp:54).
     print(f"{n} {nnz} {t.get_duration()} {rel_err}")
     if args.history:
         k = int(info.iterations)
         hist = np.sqrt(np.asarray(info.rho_history)[: k + 1])
+        # NaN entries (breakdown iterations) are not valid JSON -> null
+        hist_json = [None if not np.isfinite(v) else float(v) for v in hist]
         print(json.dumps({
             "iterations": k,
             "converged": bool(info.converged),
-            "residual_norms": hist.tolist(),
+            "residual_norms": hist_json,
         }))
     return 0
 

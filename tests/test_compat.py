@@ -110,3 +110,18 @@ def test_checkpoint_roundtrip(tmp_path, system):
     np.testing.assert_array_equal(
         np.asarray(resumed.hist), np.asarray(full.hist)
     )
+
+
+def test_solve_warm_starts_from_previous_solution(system):
+    """The reference persists x across solve() calls (CG.hpp:291-297);
+    a repeated solve must warm-start, not re-solve from zeros."""
+    A, n = system
+    cg = CG()
+    cg.setMatrix(A)
+    cg.setTarget(reference_rhs(n))
+    cg.solve(1e-10)
+    first_iters = cg.iterations
+    cg.solve(1e-10)  # warm start at the converged solution
+    assert cg.iterations <= 2  # pre-update test observes convergence at once
+    assert cg.accuracy() < 1e-18
+    assert first_iters > 2

@@ -159,3 +159,25 @@ def test_maxiter_zero_runs_zero_iterations():
     x, info = cg_solve(A, b, tol=0.0, maxiter=0)
     assert int(info.iterations) == 0
     np.testing.assert_array_equal(np.asarray(x), 0.0)
+
+
+def test_bfloat16_solve_runs():
+    """bf16 carries must survive the while_loop (dot widens scalars to f32;
+    the vector updates must cast back — review finding)."""
+    import jax.numpy as jnp
+
+    A, b64 = _problem(8)
+    A16 = CSRMatrix.from_arrays(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        A.shape, dtype=np.float32,
+    )
+    from conjugategradient_tpu.types import CSRMatrix as _CSR
+
+    A16 = _CSR(
+        jnp.asarray(A16.data, jnp.bfloat16), A16.indices, A16.indptr,
+        A16.row_ids, A16.shape,
+    )
+    b = jnp.asarray(np.asarray(b64), jnp.bfloat16) / 100
+    x, info = cg_solve(A16, b, tol=1e-1, maxiter=400)
+    assert x.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(x.astype(jnp.float32))))
