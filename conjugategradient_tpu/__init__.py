@@ -34,6 +34,7 @@ from .solver import (
     cg_solve,
     cg_solve_batched,
     cg_step,
+    expected_step_count,
     jacobi_preconditioner,
     memory_footprint,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "cg_solve",
     "cg_solve_batched",
     "cg_step",
+    "expected_step_count",
     "jacobi_preconditioner",
     "memory_footprint",
     "CG",

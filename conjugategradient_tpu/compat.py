@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .solver.cg import accuracy as _accuracy
-from .solver.cg import cg_solve, memory_footprint
+from .solver.cg import cg_solve, expected_step_count, memory_footprint
 from .types import CSRMatrix, LinearOperator, as_linear_operator
 
 
@@ -77,11 +77,12 @@ class CG:
         Either ``setMatrix(data, columns, rows)`` with host CSR arrays
         (values / column indices / row offsets — the reference's signature,
         CG.hpp:87-93), or ``setMatrix(operator)`` with any LinearOperator /
-        dense array (generalizing the reference's device-move and adapter
-        overloads, CG.hpp:102-151).
+        scipy.sparse matrix / dense array (generalizing the reference's
+        device-move and external-framework adapter overloads, CG.hpp:102-151
+        — the HiFlow overload's TPU-era equivalent is scipy.sparse ingest).
         """
         if columns is None and rows is None:
-            self._A = as_linear_operator(data)
+            self._A = as_linear_operator(data, dtype=self._dtype)
             self._nnz = getattr(self._A, "nnz", 0)
             return
         csr = CSRMatrix.from_arrays(
@@ -158,6 +159,19 @@ class CG:
         return memory_footprint(
             self._A.shape[0], self._nnz or self._A.shape[0], dtype=self._dtype
         )
+
+    def calculateExpectedStepCount(self, accuracy: float) -> int:
+        """Predicted iterations to an A-norm error reduction of ``accuracy``.
+
+        The reference declares this with an EMPTY body (CG.hpp:235) — the API
+        exists but does nothing; here it is implemented via a Lanczos
+        condition-number estimate and the CG convergence bound
+        (solver/cg.expected_step_count).  Returns the count instead of the
+        reference's void.
+        """
+        if self._A is None:
+            raise RuntimeError("No Matrix specified")
+        return expected_step_count(self._A, accuracy)
 
     # -- extras the reference kept device-side ------------------------------
     @property

@@ -176,6 +176,16 @@ def read_mtx_csr(path_or_file, dtype=np.float64):
     coo = read_mtx_coo(path_or_file, dtype=dtype)
     order = np.lexsort((coo.cols, coo.rows))  # stable row-major sort (:76-86 fixed)
     rows, cols, vals = coo.rows[order], coo.cols[order], coo.vals[order]
+    if len(rows):
+        # sum duplicate (row, col) entries so this path matches the native
+        # reader (native/mm_reader.cpp) and CSRMatrix.from_coo: same CSR, same
+        # nnz, regardless of which ingest path ran
+        first = np.ones(len(rows), dtype=bool)
+        first[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+        if not first.all():
+            group = np.cumsum(first) - 1
+            vals = np.bincount(group, weights=vals).astype(vals.dtype)
+            rows, cols = rows[first], cols[first]
     indptr = np.zeros(coo.shape[0] + 1, dtype=np.int64)
     np.add.at(indptr, rows + 1, 1)
     indptr = np.cumsum(indptr)

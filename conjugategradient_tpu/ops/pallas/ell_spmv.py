@@ -63,6 +63,14 @@ def bell_spmv_pallas(
     ``x2d`` is the padded operand reshaped to (ncb, bn); it must fit VMEM
     (≲ 2M float32 elements).  Output is float32 (accumulator precision).
     """
+    if blocks.dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        # the kernel accumulates in float32; silently running f64 operands
+        # through it would lose precision (the "auto" gate in ops/spmv
+        # already excludes f64 — this guards the opt-in "always" path)
+        raise TypeError(
+            f"bell_spmv_pallas supports float32/bfloat16 tiles, got "
+            f"{blocks.dtype}; use the einsum path for other dtypes"
+        )
     nrb, kmax, bm, bn = blocks.shape
     ncb = x2d.shape[0]
     R = row_group

@@ -271,8 +271,27 @@ def _sharded_pcg(
 # Compiled-solve cache: jax.jit keyed on a fresh closure would retrace every
 # call, paying full XLA compilation of the collective while_loop per solve.
 # Key on everything the closure bakes in; values are the jitted shard_map'd
-# functions, reused across calls with the same configuration.
-_SOLVE_CACHE: dict = {}
+# functions, reused across calls with the same configuration.  LRU-bounded so
+# sweeps over distinct maxiter/tol values can't grow it without limit (each
+# entry pins a compiled executable).
+from collections import OrderedDict
+
+_SOLVE_CACHE: "OrderedDict" = OrderedDict()
+_SOLVE_CACHE_MAX = 32
+
+
+def _cache_get(key):
+    fn = _SOLVE_CACHE.get(key)
+    if fn is not None:
+        _SOLVE_CACHE.move_to_end(key)
+    return fn
+
+
+def _cache_put(key, fn):
+    _SOLVE_CACHE[key] = fn
+    _SOLVE_CACHE.move_to_end(key)
+    while len(_SOLVE_CACHE) > _SOLVE_CACHE_MAX:
+        _SOLVE_CACHE.popitem(last=False)
 
 
 def _mesh_key(mesh: Mesh):
@@ -319,7 +338,7 @@ def sharded_cg_solve(
 
     key = ("bell", _mesh_key(mesh), axis, maxiter, float(tol), with_m, bn,
            str(b.dtype))
-    solve_jit = _SOLVE_CACHE.get(key)
+    solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
             blocks_s = blocks_s[0]
@@ -341,7 +360,7 @@ def sharded_cg_solve(
             out_specs=(P(axis), P(), P(), P(), P(), P()),
             check_vma=False,
         ))
-        _SOLVE_CACHE[key] = solve_jit
+        _cache_put(key, solve_jit)
 
     put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
     args = [put(blocks), put(block_cols), put(b), put(x0)]
@@ -402,7 +421,7 @@ def sharded_dia_cg_solve(
 
     key = ("dia", _mesh_key(mesh), axis, maxiter, float(tol), with_m, offsets,
            str(b.dtype))
-    solve_jit = _SOLVE_CACHE.get(key)
+    solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(diags_s, b_s, x0_s, inv_diag_s=None):
             diags_s = diags_s[0]
@@ -422,7 +441,7 @@ def sharded_dia_cg_solve(
             out_specs=(P(axis), P(), P(), P(), P(), P()),
             check_vma=False,
         ))
-        _SOLVE_CACHE[key] = solve_jit
+        _cache_put(key, solve_jit)
 
     put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
     args = [put(jnp.asarray(diags_sharded)), put(b), put(x0)]

@@ -80,6 +80,65 @@ def banded_spd_coo(n: int, bandwidth: int = 4, seed: int = 0):
     )
 
 
+def powerlaw_spd_coo(
+    n: int,
+    avg_degree: float = 3.5,
+    gamma: float = 2.5,
+    seed: int = 0,
+    shuffle: bool = True,
+):
+    """Scattered power-law SPD matrix — synthetic stand-in for irregular
+    SuiteSparse problems (1138_bus-class bus networks, circuit matrices).
+
+    The reference's real input distribution is user-supplied SuiteSparse
+    matrices (test/Tester.cpp:14-21); with zero egress we generate the same
+    *shape* of hardness instead: a Chung–Lu graph with expected degrees
+    ``d_i ∝ i^(−1/(γ−1))`` (power-law tail with a few hub rows), vertex labels
+    shuffled so the pattern is scattered — the worst case for banded/blocked
+    layouts and the stress test for ``choose_layout``'s CSR fallback, RCM
+    reordering, and the sharded all-gather path.
+
+    1138_bus for calibration: n=1138, nnz≈4054 (avg degree ≈3.5), max degree
+    ≈30 — the defaults reproduce that profile at any n.
+
+    SPD by diagonal dominance: off-diagonals are −|w|, diagonal is
+    1 + Σ|row|.  Returns (rows, cols, vals, shape) COO with both triangles.
+    """
+    rng = np.random.default_rng(seed)
+    # Zipf-ish weight per vertex; exponent −1/(γ−1) gives degree tail ~ γ
+    w = (np.arange(1, n + 1, dtype=np.float64)) ** (-1.0 / (gamma - 1.0))
+    p = w / w.sum()
+    # draw enough endpoint pairs that, after dropping self-loops and
+    # duplicates, ~ n*avg_degree/2 distinct undirected edges remain
+    m_target = int(n * avg_degree / 2)
+    draw = int(m_target * 1.6) + 16
+    i = rng.choice(n, size=draw, p=p)
+    j = rng.choice(n, size=draw, p=p)
+    keep = i != j
+    i, j = i[keep], j[keep]
+    lo, hi = np.minimum(i, j), np.maximum(i, j)
+    edges = np.unique(lo.astype(np.int64) * n + hi.astype(np.int64))[:m_target]
+    lo, hi = edges // n, edges % n
+    if shuffle:
+        perm = rng.permutation(n)
+        lo, hi = perm[lo], perm[hi]
+    vals_off = -(0.1 + rng.random(len(lo)))
+    rows = np.concatenate([lo, hi])
+    cols = np.concatenate([hi, lo])
+    vals = np.concatenate([vals_off, vals_off])
+    diag = np.ones(n, dtype=np.float64)
+    np.add.at(diag, rows, np.abs(vals))
+    rows = np.concatenate([rows, np.arange(n, dtype=np.int64)])
+    cols = np.concatenate([cols, np.arange(n, dtype=np.int64)])
+    vals = np.concatenate([vals, diag])
+    return (
+        rows.astype(np.int64),
+        cols.astype(np.int64),
+        vals.astype(np.float64),
+        (n, n),
+    )
+
+
 def reference_rhs(n: int, dtype=np.float64) -> np.ndarray:
     """The harness RHS: b[i] = i + 1 (test/Tester.cpp:27-30)."""
     return np.arange(1, n + 1, dtype=dtype)

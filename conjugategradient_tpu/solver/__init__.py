@@ -1,5 +1,14 @@
 from .batched import cg_solve_batched
-from .cg import CGInfo, CGState, accuracy, cg_init, cg_solve, cg_step, memory_footprint
+from .cg import (
+    CGInfo,
+    CGState,
+    accuracy,
+    cg_init,
+    cg_solve,
+    cg_step,
+    expected_step_count,
+    memory_footprint,
+)
 from .checkpoint import load_state, run_cg, save_state
 from .precond import identity_preconditioner, jacobi_preconditioner
 
@@ -14,6 +23,7 @@ __all__ = [
     "cg_init",
     "cg_solve",
     "cg_step",
+    "expected_step_count",
     "memory_footprint",
     "jacobi_preconditioner",
     "identity_preconditioner",

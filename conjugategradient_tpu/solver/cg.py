@@ -286,6 +286,45 @@ def accuracy(A: Any, b: jax.Array, x: jax.Array, n: Optional[int] = None) -> jax
     return jnp.abs(dot(res, res) / dot(x, x))
 
 
+def expected_step_count(
+    A: Any,
+    accuracy: float,
+    n: Optional[int] = None,
+    lanczos_iters: int = 30,
+    seed: int = 0,
+) -> int:
+    """Predicted CG iteration count to reduce the A-norm error by ``accuracy``.
+
+    The reference declares this API but never implemented it
+    (``void calculateExpectedStepCount(DT accuracy) {}``, CG.hpp:235 — empty
+    body).  This is the real thing: estimate κ = λ_max/λ_min with a short
+    Lanczos run (solver/precond.estimate_spectral_bounds), then apply the
+    classic CG error bound ‖x−x_k‖_A ≤ 2·((√κ−1)/(√κ+1))^k·‖x−x₀‖_A, solved
+    for k: k = ⌈ln(2/ε) / ln((√κ+1)/(√κ−1))⌉ ≈ ⌈½√κ·ln(2/ε)⌉.
+
+    This is a worst-case bound over the estimated spectral interval; clustered
+    spectra converge (much) faster.  Cost: ``lanczos_iters`` matvecs, once.
+    """
+    import math
+
+    if not (0 < accuracy < 1):
+        raise ValueError(f"accuracy must be in (0, 1), got {accuracy}")
+    from .precond import estimate_spectral_bounds
+
+    lam_min, lam_max = estimate_spectral_bounds(
+        A, n=n, iters=lanczos_iters, seed=seed,
+        # raw Ritz interval: the Chebyshev-oriented safety padding would
+        # inflate kappa and with it the predicted step count
+        safety=1.0, min_margin=1.0,
+    )
+    kappa = max(lam_max / lam_min, 1.0)
+    sk = math.sqrt(kappa)
+    if sk <= 1.0 + 1e-12:
+        return 1
+    k = math.log(2.0 / accuracy) / math.log((sk + 1.0) / (sk - 1.0))
+    return max(int(math.ceil(k)), 1)
+
+
 def memory_footprint(n: int, nnz: int, dtype=jnp.float32, index_bytes: int = 4) -> int:
     """The reference's analytic workspace estimate
     ``(2·NNZ + 4·N)·sizeof(DT) + 2·N·sizeof(int)`` (CG.hpp:555-558).

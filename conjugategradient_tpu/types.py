@@ -164,6 +164,34 @@ class CSRMatrix(LinearOperator):
         rows, cols = np.nonzero(a)
         return CSRMatrix.from_coo(rows, cols, a[rows, cols], a.shape, dtype=dtype)
 
+    @staticmethod
+    def from_scipy(a: Any, dtype=None) -> "CSRMatrix":
+        """Ingest a scipy.sparse matrix (any format) — duck-typed, no hard
+        scipy dependency.
+
+        The reference's external-framework ingest is the HiFlow ``setMatrix``
+        overload (CG.hpp:105-151), which scans a foreign matrix into CSR; the
+        TPU-era foreign sparse format is scipy.sparse, so this is its
+        equivalent (SURVEY.md C20 row).  Accepts anything that either already
+        carries CSR arrays (``data``/``indices``/``indptr``) or can convert
+        itself via ``tocsr()``.
+        """
+        if not _is_scipy_sparse(a):
+            raise TypeError(f"not a scipy.sparse-like matrix: {type(a)!r}")
+        if not hasattr(a, "indptr") or getattr(a, "format", "csr") != "csr":
+            a = a.tocsr()
+        # scipy may carry unsorted indices or explicit duplicates depending
+        # on how the matrix was built; canonicalize like the reference's
+        # ingest scan does
+        if hasattr(a, "sum_duplicates"):
+            a.sum_duplicates()
+        if hasattr(a, "sort_indices"):
+            a.sort_indices()
+        return CSRMatrix.from_arrays(
+            np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr),
+            tuple(a.shape), dtype=dtype,
+        )
+
     # -- properties ----------------------------------------------------------
     @property
     def nnz(self) -> int:
@@ -495,7 +523,13 @@ class DIAMatrix(LinearOperator):
     def diagonal(self) -> jax.Array:
         if 0 in self.offsets:
             return self.diags[self.offsets.index(0)]
-        return jnp.zeros((self.shape[0],), dtype=self.dtype)
+        # a zero diagonal would silently turn Jacobi's 1/diag into inf;
+        # an SPD matrix always has a positive main diagonal, so a DIA
+        # operator without one is a construction error — fail loudly
+        raise ValueError(
+            "DIAMatrix stores no main diagonal (offset 0); diagonal() is "
+            "undefined for it — an SPD operator must have one"
+        )
 
     def to_dense(self) -> jax.Array:
         n, ncols = self.shape
@@ -625,15 +659,29 @@ class MatrixFreeOperator(LinearOperator):
         return cls(aux[0], aux[1], aux[2])
 
 
+def _is_scipy_sparse(a: Any) -> bool:
+    """Duck-typed scipy.sparse check (no hard scipy dependency): every scipy
+    sparse class exposes ``tocsr`` + ``shape`` + ``nnz``; jax/numpy arrays
+    expose none of the first."""
+    return (
+        hasattr(a, "tocsr") and hasattr(a, "shape") and hasattr(a, "nnz")
+        and not isinstance(a, (jnp.ndarray, np.ndarray))
+    )
+
+
 def as_linear_operator(a: Any, n: Optional[int] = None, dtype=None) -> LinearOperator:
     """Coerce common inputs into a LinearOperator.
 
-    Accepts LinearOperator instances, dense 2-D arrays, and callables
-    (requires ``n``).  This is the rebuild of the reference's family of
-    ``setMatrix`` overloads (CG.hpp:87-151) as one functional ingest point.
+    Accepts LinearOperator instances, scipy.sparse matrices (duck-typed),
+    dense 2-D arrays, and callables (requires ``n``).  This is the rebuild of
+    the reference's family of ``setMatrix`` overloads (CG.hpp:87-151) — incl.
+    the external-framework adapter overload (CG.hpp:105-151) — as one
+    functional ingest point.
     """
     if isinstance(a, LinearOperator):
         return a
+    if _is_scipy_sparse(a):
+        return CSRMatrix.from_scipy(a, dtype=dtype)
     if callable(a) and not isinstance(a, (jnp.ndarray, np.ndarray)):
         if n is None:
             raise ValueError("matrix-free callables need n= (system dimension)")

@@ -32,7 +32,11 @@ class Timer:
 
             leaves = jax.tree_util.tree_leaves(sync)
             if leaves:
-                _np.asarray(leaves[0]).ravel()[:1]
+                # copy back a single element, not the whole array: the sync
+                # cost must be O(1), not O(n), or it inflates the measured
+                # time for large results over remote-dispatch relays
+                leaf = leaves[0]
+                _np.asarray(leaf.ravel()[0:1] if hasattr(leaf, "ravel") else leaf)
         self._t1 = time.perf_counter()
         return self
 
