@@ -177,50 +177,90 @@ def bench_stencil(nx: int = 256):
     }
 
 
-def bench_cg(n: int = 131072, iters: int = 256):
-    """Per-iteration time of the fully jitted CG while_loop."""
+def _iteration_bytes_xla(step_jit, s0, fallback: int):
+    """Per-iteration HBM traffic from XLA's cost analysis of the compiled
+    step executable (replaces the round-1 hand-assumed '7 vector streams'
+    constant).  Falls back to the analytic model when the backend does not
+    expose cost analysis."""
+    try:
+        c = step_jit.lower(s0).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        val = float(c["bytes accessed"])
+        if val > 0:
+            return int(val), "xla_cost_analysis"
+    except Exception:
+        pass
+    return int(fallback), "analytic"
+
+
+def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto"):
+    """Per-iteration time of the jitted CG loop body.
+
+    Uses the fused two-Pallas-kernel iteration (solver/fused.py) when the
+    operator qualifies, else the portable cg_step.  n defaults to 262144
+    (403 MB operator stream): large enough that fixed per-dispatch overheads
+    are amortized the way they are at the production sizes BASELINE.md
+    targets (1.5M+ rows), small enough for the fused path's VMEM-resident
+    operand.
+    """
+    import time
+
     import jax
     import jax.numpy as jnp
 
-    from conjugategradient_tpu import cg_solve
+    from conjugategradient_tpu.solver.cg import cg_init, cg_step
+    from conjugategradient_tpu.solver.fused import (
+        fused_cg_init,
+        fused_cg_step,
+        fused_supported,
+    )
     from conjugategradient_tpu.utils.benchmarking import (
         rpc_overhead_s,
         stream_roofline_gbps,
     )
-    import time
-
-    from conjugategradient_tpu.solver.cg import cg_init, cg_step
 
     a = block_tridiag_bell(n, 128, 128, jnp.float32)
     b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+    tol_arr = jnp.asarray(0.0, jnp.float32)
+    use_fused = fused != "never" and fused_supported(a, dtype=jnp.float32)
 
-    # Time a fixed-count cg_step chain (fori_loop): the production
-    # while_loop exits once the easy bench problem converges (~8 iters),
-    # which leaves the measurement dominated by dispatch noise.  The step
-    # body is identical; only the exit test differs.
+    # Time a fixed-count step chain (fori_loop): the production while_loop
+    # exits once the easy bench problem converges, which leaves the
+    # measurement dominated by dispatch noise.  The step body is identical;
+    # only the exit test differs.
+    if use_fused:
+        init = lambda K: fused_cg_init(a, b, maxiter=K)
+        step = lambda s: fused_cg_step(a, s, tol_arr)
+        out = lambda s: s.rho.reshape(1)
+    else:
+        init = lambda K: cg_init(a, b, maxiter=K)
+        step = lambda s: cg_step(a, s, tol_arr)
+        out = lambda s: s.rnorm_sq.reshape(1)
+
     def run(K):
-        tol_arr = jnp.asarray(0.0, b.dtype)
-
-        def chain(b_):
-            s0 = cg_init(a, b_, maxiter=K)
-            s = jax.lax.fori_loop(0, K, lambda i, s: cg_step(a, s, tol_arr), s0)
-            return s.rnorm_sq.reshape(1)
+        def chain():
+            s = jax.lax.fori_loop(0, K, lambda i, s: step(s), init(K))
+            return out(s)
 
         f = jax.jit(chain)
-        float(f(b)[0])
+        float(f()[0])
         ts = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
-            float(f(b)[0])
+            float(f()[0])
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
     ovh = rpc_overhead_s()
-    k_actual = iters
     t = (run(iters) - ovh) / iters
     tile_bytes = a.blocks.size * 4
-    # per-iteration traffic: tiles once + ~7 n-vector streams
-    bytes_it = tile_bytes + 7 * n * 4
+    # analytic fallback: tiles + the fused iteration's 10 n-vector streams
+    # (K1: r,p in / p,q out; K2: x,p,r,q in / x,r out), 7 streams unfused
+    streams = 10 if use_fused else 7
+    bytes_it, bytes_src = _iteration_bytes_xla(
+        jax.jit(step), init(iters), tile_bytes + streams * n * 4
+    )
     gbps = bytes_it / t / 1e9
     peak = _hbm_peak_gbps()
     roofline = stream_roofline_gbps(nbytes=1 << 27, K=256)
@@ -230,9 +270,54 @@ def bench_cg(n: int = 131072, iters: int = 256):
         "unit": "GB/s",
         "vs_baseline": round(gbps / peak, 4),
         "detail": {"n": n, "time_per_iter_us": round(t * 1e6, 2),
-                   "iterations_run": k_actual,
+                   "iterations_run": iters,
+                   "fused": use_fused,
+                   "bytes_per_iter": bytes_it,
+                   "bytes_model": bytes_src,
                    "stream_roofline_gbps": round(roofline, 1)},
     }
+
+
+def bench_batched(n: int = 131072, reps=(1, 8, 32)):
+    """Multi-RHS amortization: per-RHS SpMV time at R right-hand sides vs
+    R=1 (solver/batched.py's claim, measured).  The operator tiles stream
+    once for all R columns (ops/spmv.bell_spmv_multi)."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.ops.spmv import bell_spmv_multi
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s, time_loop_s
+
+    a = block_tridiag_bell(n, 128, 128, jnp.float32)
+    ovh = rpc_overhead_s()
+    per_rhs_us = {}
+    for R in reps:
+        X = jnp.ones((n // 128, 128, R), jnp.float32)  # carried 3-D
+
+        def body(v, R=R):
+            y = bell_spmv_multi(a, v.reshape(-1, R))
+            return (y[: v.size // R] * 1e-3).reshape(v.shape)
+
+        t = time_loop_s(body, X, K=256 // max(R // 8, 1), iters=2, overhead_s=ovh)
+        per_rhs_us[R] = t / R * 1e6
+    speedup8 = per_rhs_us[reps[0]] / per_rhs_us[8] if 8 in per_rhs_us else 1.0
+    speedup32 = per_rhs_us[reps[0]] / per_rhs_us[32] if 32 in per_rhs_us else 1.0
+    return {
+        "metric": "batched_rhs_amortization_x32",
+        "value": round(speedup32, 2),
+        "unit": "x per-RHS speedup",
+        "vs_baseline": round(speedup32 / 1.0, 4),  # >1 proves amortization
+        "detail": {"n": n,
+                   "per_rhs_us": {str(k): round(v, 2) for k, v in per_rhs_us.items()},
+                   "speedup_x8": round(speedup8, 2),
+                   "speedup_x32": round(speedup32, 2)},
+    }
+
+
+def bench_large(n: int = 1572864, iters: int = 64):
+    """North-star-scale CG iteration: ~1.5M rows (G3_circuit-class), 2.4 GB
+    operator stream — BASELINE.md configs 2/5 scale on one chip."""
+    return {**bench_cg(n=n, iters=iters), "metric":
+            "cg_iteration_effective_bandwidth_1p5M"}
 
 
 def main(argv=None) -> int:
@@ -240,11 +325,19 @@ def main(argv=None) -> int:
     # default: the whole jitted CG iteration (SpMV + 2 dots + 3 axpys) —
     # measured at ~95% of the stream roofline on v5e, it subsumes the SpMV
     # metric and is the quantity that determines solve wall-time.
-    ap.add_argument("--config", default="cg", choices=("spmv", "stencil", "cg"))
+    ap.add_argument(
+        "--config",
+        default="cg",
+        choices=("spmv", "stencil", "cg", "batched", "large"),
+    )
     args = ap.parse_args(argv)
-    out = {"spmv": bench_spmv_bell, "stencil": bench_stencil, "cg": bench_cg}[
-        args.config
-    ]()
+    out = {
+        "spmv": bench_spmv_bell,
+        "stencil": bench_stencil,
+        "cg": bench_cg,
+        "batched": bench_batched,
+        "large": bench_large,
+    }[args.config]()
     print(json.dumps(out))
     return 0
 

@@ -1,0 +1,214 @@
+"""Fused CG-iteration Pallas kernels (blocked-ELL fast path).
+
+The reference issues ~9 dependent device tasks per CG iteration
+(CG.hpp:359-425): spmv, two reduction dots, three axpy-family updates, plus
+scalar single-tasks.  XLA fuses the elementwise tail but cannot fuse across
+the SpMV pallas_call or fold reductions into producers across kernels, so the
+jitted step still dispatches ~10 back-to-back kernels; at bench scale the
+fixed per-kernel cost is the measured gap between the CG iteration and the
+raw SpMV stream rate (docs/performance.md).  These two kernels collapse the
+whole iteration into two passes:
+
+* :func:`fused_dir_spmv_dot` — one pass over the operator tiles computing
+    p_new = r + beta * p_old        (the reference's sapbx, CG.hpp:418,
+                                     hoisted into the NEXT iteration's SpMV)
+    q     = A @ p_new               (spmv, CG.hpp:374)
+    pap   = p_new . q               (dot(Ap, p) -> value2, CG.hpp:378)
+  The operand vectors live wholly in VMEM; tiles stream HBM->VMEM in
+  R-row-block groups exactly like ops/pallas/ell_spmv.py (the measured
+  ~94%-of-peak schedule).  The dot accumulates into an SMEM scalar across
+  the (sequential) grid — no separate reduction pass, no extra HBM reads.
+
+* :func:`fused_update_dot` — one elementwise pass computing
+    x' = x + alpha * p              (sapbx, CG.hpp:390)
+    r' = r - alpha * q              (sambx, CG.hpp:392)
+    rnorm = r' . r'                 (dot(rnext, rnext) -> value3, CG.hpp:406)
+  i.e. the reference's sambx+dot pair (SURVEY §7 stage 2) plus the x update,
+  fused into a single read of (x, p, r, q) and single write of (x', r').
+
+Numerics: all accumulation in float32 (same as the unfused f32 path); the
+alpha/beta scalars stay on device as (1,1) arrays read from SMEM — the
+reference's device-resident ``Scalar`` contract (LinearAlgebraTypes.hpp:210).
+
+Restrictions (the caller gates; solver/cg.py falls back to the unfused path):
+square tiles bm == bn, f32/bf16 tiles, f32 vectors, operand resident in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dir_spmv_kernel(R: int, kmax: int, bm: int, bn: int):
+    rows_per_g = (R * bm) // bn  # rows of the (ncb, bn) operand per grid step
+
+    def kernel(cols_ref, beta_ref, block_ref, r_ref, pold_ref,
+               pnew_ref, q_ref, pap_ref, pv):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            # p_new = r + beta * p_old, formed ONCE into VMEM scratch before
+            # any tile product (the gather below reads arbitrary rows of it)
+            pv[:] = r_ref[:] + beta_ref[0, 0] * pold_ref[:]
+            pnew_ref[:] = pv[:]
+            pap_ref[0, 0] = 0.0
+
+        for rr in range(R):
+            acc = None
+            for k in range(kmax):
+                c = cols_ref[g * R + rr, k]
+                xb = pv[c, :]  # (bn,) VMEM row gather
+                blk = block_ref[rr, k].astype(jnp.float32)  # (bm, bn)
+                part = jnp.sum(blk * xb[None, :], axis=1)  # (bm,) VPU
+                acc = part if acc is None else acc + part
+            q_ref[rr, :] = acc
+
+        # pap partial: this step's q rows dotted with the matching p rows
+        prows = pv[pl.ds(g * rows_per_g, rows_per_g), :]  # (rows_per_g, bn)
+        pap_ref[0, 0] += jnp.sum(q_ref[:] * prows.reshape(R, bm))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "row_group"))
+def fused_dir_spmv_dot(
+    blocks: jax.Array,
+    block_cols: jax.Array,
+    r2d: jax.Array,
+    pold2d: jax.Array,
+    beta: jax.Array,
+    interpret: bool = False,
+    row_group: int = 8,
+):
+    """(p_new, q, pap) = (r + beta*p_old,  A @ p_new,  p_new . q).
+
+    ``r2d``/``pold2d``: the vectors reshaped (ncb, bn), resident in VMEM.
+    ``beta``: (1, 1) float32 device scalar.
+    Returns p_new (ncb, bn) f32, q (nrb, bm) f32, pap (1, 1) f32.
+    """
+    nrb, kmax, bm, bn = blocks.shape
+    ncb = r2d.shape[0]
+    if bm != bn:
+        raise ValueError(f"fused kernel needs square tiles, got {bm}x{bn}")
+    R = row_group
+    while nrb % R:
+        R //= 2
+    R = max(R, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrb // R,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda g, cols: (0, 0),
+                         memory_space=pltpu.SMEM),  # beta
+            pl.BlockSpec((R, kmax, bm, bn), lambda g, cols: (g, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # r (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # p_old (whole)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # p_new (whole)
+            pl.BlockSpec((R, bm), lambda g, cols: (g, 0)),  # q
+            pl.BlockSpec((1, 1), lambda g, cols: (0, 0),
+                         memory_space=pltpu.SMEM),  # pap
+        ],
+        scratch_shapes=[pltpu.VMEM((ncb, bn), jnp.float32)],
+    )
+
+    vec_bytes = ncb * bn * 4
+    p_new, q, pap = pl.pallas_call(
+        _dir_spmv_kernel(R, kmax, bm, bn),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ncb, bn), jnp.float32),
+            jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nrb * kmax * bm * bn + 4 * ncb * bn,
+            bytes_accessed=blocks.size * blocks.dtype.itemsize
+            + 3 * vec_bytes  # r + p_old reads, p_new write
+            + nrb * bm * 4,  # q write
+            transcendentals=0,
+        ),
+    )(block_cols, beta, blocks, r2d, pold2d)
+    return p_new, q, pap
+
+
+def _update_kernel(alpha_ref, x_ref, p_ref, r_ref, q_ref,
+                   xout_ref, rout_ref, rnorm_ref):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        rnorm_ref[0, 0] = 0.0
+
+    a = alpha_ref[0, 0]
+    xout_ref[:] = x_ref[:] + a * p_ref[:]
+    rnew = r_ref[:] - a * q_ref[:]
+    rout_ref[:] = rnew
+    rnorm_ref[0, 0] += jnp.sum(rnew * rnew)
+
+
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    for c in range(min(n, cap), 0, -1):
+        if n % c == 0:
+            return c
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_update_dot(
+    x2d: jax.Array,
+    p2d: jax.Array,
+    r2d: jax.Array,
+    q2d: jax.Array,
+    alpha: jax.Array,
+    interpret: bool = False,
+):
+    """(x', r', rnorm) = (x + alpha*p,  r - alpha*q,  r'.r').
+
+    All vectors reshaped (rows, 128) float32; ``alpha`` is (1, 1) float32.
+    """
+    rows, lanes = x2d.shape
+    # one grid step handles up to 1024 rows (0.5 MB/array); bigger vectors
+    # stream in row chunks with the rnorm accumulating across the grid
+    C = _largest_divisor_leq(rows, 1024)
+
+    grid_spec = pl.GridSpec(
+        grid=(rows // C,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, lanes), lambda g: (g, 0)),
+            pl.BlockSpec((C, lanes), lambda g: (g, 0)),
+            pl.BlockSpec((C, lanes), lambda g: (g, 0)),
+            pl.BlockSpec((C, lanes), lambda g: (g, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, lanes), lambda g: (g, 0)),
+            pl.BlockSpec((C, lanes), lambda g: (g, 0)),
+            pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
+        ],
+    )
+    nbytes = rows * lanes * 4
+    return pl.pallas_call(
+        _update_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * rows * lanes,
+            bytes_accessed=6 * nbytes,
+            transcendentals=0,
+        ),
+    )(alpha, x2d, p2d, r2d, q2d)

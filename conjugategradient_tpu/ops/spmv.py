@@ -105,6 +105,32 @@ def bell_spmv(a: BlockedEllMatrix, x: jax.Array, use_pallas: str = "auto") -> ja
     return y[:n]
 
 
+def bell_spmv_multi(a: BlockedEllMatrix, X: jax.Array) -> jax.Array:
+    """Multi-RHS blocked-ELL SpMV: ``Y[:, j] = A @ X[:, j]`` in one pass.
+
+    ``X`` is (n, R).  The tile products become (bm, bn) x (bn, R) matmuls —
+    real MXU work — and the operator tiles stream from HBM ONCE for all R
+    right-hand sides: R-fold arithmetic-intensity amortization over the
+    single-RHS kernel (the reference solves one RHS per ``solve()`` call,
+    CG.hpp:255; this is the batched extension it cannot express).
+    """
+    n, _ = a.shape
+    _, mp = a.padded_shape
+    R = X.shape[1]
+    Xp = X if mp == X.shape[0] else jnp.pad(X, ((0, mp - X.shape[0]), (0, 0)))
+    x3d = Xp.reshape(mp // a.bn, a.bn, R)
+    gathered = x3d[a.block_cols]  # (nrb, kmax, bn, R)
+    out_dtype = jnp.promote_types(a.dtype, X.dtype)
+    Y = jnp.einsum(
+        "rkmn,rknB->rmB",
+        a.blocks,
+        gathered,
+        preferred_element_type=_acc(out_dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return Y.reshape(-1, R)[:n].astype(out_dtype)
+
+
 def dense_spmv(a: jax.Array, x: jax.Array) -> jax.Array:
     """Dense matvec — rides the MXU directly.
 

@@ -197,6 +197,7 @@ def cg_solve(
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
     n: Optional[int] = None,
     recompute_r_every: int = 0,
+    fused: str = "auto",
 ) -> Tuple[jax.Array, CGInfo]:
     """Solve the SPD system ``A x = b`` with (preconditioned) CG.
 
@@ -222,16 +223,41 @@ def cg_solve(
         extra SpMV per interval.  0 (default) reproduces the reference's
         never-recompute semantics (CG.hpp:392).
 
+      fused: "auto" (default) dispatches blocked-ELL/f32 solves on TPU to the
+        two-fused-Pallas-kernel iteration (solver/fused.py); "never" forces
+        the portable loop; "always" requires a fused-capable operator.
+
     Jit-compatible: ``jax.jit(cg_solve, static_argnames=("maxiter", "n",
-    "M", "recompute_r_every"))`` — M and recompute_r_every steer Python
-    control flow at trace time, so they must be static too.  The body is a
-    single ``lax.while_loop`` either way.
+    "M", "recompute_r_every", "fused"))`` — these steer Python control flow
+    at trace time, so they must be static too.  The body is a single
+    ``lax.while_loop`` either way.
     """
     op = as_linear_operator(A, n=n, dtype=getattr(b, "dtype", None))
     N = op.shape[0]
     if maxiter is None:
         maxiter = N + 1
     maxiter = int(maxiter)
+
+    # TPU fast path: blocked-ELL operators with f32 vectors run the
+    # two-fused-Pallas-kernel iteration (solver/fused.py) — same semantics,
+    # ~2 device kernels per iteration instead of ~10.  "never" forces the
+    # portable loop below (the float64/parity/preconditioned path).
+    if fused != "never" and M is None and recompute_r_every == 0:
+        from .fused import fused_bell_cg_solve, fused_supported
+
+        if fused == "always":
+            if not fused_supported(op, dtype=getattr(b, "dtype", None),
+                                   interpret=True):
+                raise ValueError(
+                    "fused='always' needs a blocked-ELL operator with square "
+                    "lane-aligned tiles and float32 vectors (solver/fused.py)"
+                )
+            return fused_bell_cg_solve(op, b, x0, tol=tol, maxiter=maxiter)
+        if fused == "auto" and fused_supported(
+            op, dtype=getattr(b, "dtype", None)
+        ):
+            return fused_bell_cg_solve(op, b, x0, tol=tol, maxiter=maxiter)
+
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
 
     state0 = cg_init(op, b, x0, M=M, maxiter=maxiter)

@@ -1,0 +1,201 @@
+"""Fused-kernel CG driver for blocked-ELL operators (the TPU fast path).
+
+Same algorithm, same semantics as solver/cg.py (SURVEY §2.3: recurrence
+residual, Hestenes–Stiefel α/β, pre-update termination on ‖r_k‖², N+1 cap,
+NaN exit, ρ==0 guard) — but the iteration body is TWO Pallas kernels instead
+of ~10 XLA fusions:
+
+    K1  p = r + β·p;  q = A·p;  pap = p·q     (ops/pallas/fused_cg)
+    K2  x += α·p;  r -= α·q;  rnorm = r·r
+
+The direction update (the reference's sapbx at the END of its iteration,
+CG.hpp:418) is hoisted into the next iteration's SpMV pass: identical
+algebra, one fewer pass over HBM, and the operand is formed directly in the
+VMEM buffer the tile gather reads from.  α/β never leave the device as (1,1)
+scalars (the reference's device-resident ``Scalar``,
+LinearAlgebraTypes.hpp:210-250).
+
+Float32-only (accumulation in f32, like the unfused f32 path); the float64
+parity oracle runs the unfused solver on CPU.  Fused-vs-unfused consistency
+is tested in interpret mode (tests/test_fused.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import BlockedEllMatrix
+from .cg import CGInfo
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class FusedCGState:
+    """Carry of the fused loop.  Vectors live as (rows, 128) f32 blocks;
+    scalars as (1, 1) f32 so they feed kernel SMEM operands without
+    relayout."""
+
+    k: jax.Array
+    done: jax.Array
+    x: jax.Array  # (rows, bn)
+    r: jax.Array  # (rows, bn)
+    p: jax.Array  # (rows, bn) — direction of the PREVIOUS iteration
+    beta: jax.Array  # (1, 1) — folded into the next K1
+    rho: jax.Array  # (1, 1) — ‖r_k‖²
+    hist: jax.Array
+
+    def tree_flatten(self):
+        return (
+            self.k, self.done, self.x, self.r, self.p,
+            self.beta, self.rho, self.hist,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def fused_supported(a: Any, dtype=None, interpret: bool = False) -> bool:
+    """Whether the fused path can run this operator: blocked-ELL, square
+    lane-aligned tiles, square padded shape, f32 vectors, operand resident
+    in VMEM alongside the tile pipeline."""
+    if not isinstance(a, BlockedEllMatrix):
+        return False
+    nrb, kmax, bm, bn = a.blocks.shape
+    np_, mp = a.padded_shape
+    vec_bytes = mp * 4
+    ok = (
+        bm == bn
+        and bn % 128 == 0
+        and bm % 8 == 0
+        and np_ == mp  # square padded system: q rows align with p rows
+        and a.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        and (dtype is None or jnp.dtype(dtype) == jnp.dtype(jnp.float32))
+        and kmax <= 64
+        # VMEM: 4 whole vectors + scratch + double-buffered tile groups
+        and 5 * vec_bytes + 2 * 8 * kmax * bm * bn * 4 <= 12 * 1024 * 1024
+    )
+    if not ok:
+        return False
+    if interpret:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def fused_cg_init(
+    a: BlockedEllMatrix,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    maxiter: int = 0,
+) -> FusedCGState:
+    """r₀ = b − A·x₀ (skipping the SpMV when x₀ is the default zero,
+    CG.hpp:291-297), p enters the loop through K1 with β=0 ⇒ p₁ = r₀."""
+    np_, mp = a.padded_shape
+    bn = a.bn
+    n = b.shape[0]
+    bp = jnp.zeros((mp,), jnp.float32).at[:n].set(b.astype(jnp.float32))
+    if x0 is None:
+        x2d = jnp.zeros((mp // bn, bn), jnp.float32)
+        r2d = bp.reshape(mp // bn, bn)
+    else:
+        x0p = jnp.zeros((mp,), jnp.float32).at[:n].set(x0.astype(jnp.float32))
+        from ..ops.spmv import bell_spmv
+
+        ax = bell_spmv(a, x0p).astype(jnp.float32)  # (n,) true rows
+        r = bp - jnp.pad(ax, (0, mp - n))
+        x2d = x0p.reshape(mp // bn, bn)
+        r2d = r.reshape(mp // bn, bn)
+    rho0 = jnp.sum(r2d * r2d).reshape(1, 1)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=jnp.float32)
+    hist = hist.at[0].set(rho0[0, 0])
+    return FusedCGState(
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        x=x2d,
+        r=r2d,
+        p=jnp.zeros_like(r2d),  # unused at k=0: beta=0 makes p₁ = r₀
+        beta=jnp.zeros((1, 1), jnp.float32),
+        rho=rho0,
+        hist=hist,
+    )
+
+
+def fused_cg_step(
+    a: BlockedEllMatrix,
+    state: FusedCGState,
+    tol: jax.Array,
+    interpret: bool = False,
+) -> FusedCGState:
+    """One CG iteration in two fused kernels.  Semantics == solver/cg.cg_step
+    (same update order, same pre-update termination test, same ρ==0 guard)."""
+    from ..ops.pallas.fused_cg import fused_dir_spmv_dot, fused_update_dot
+
+    p_new, q, pap = fused_dir_spmv_dot(
+        a.blocks, a.block_cols, state.r, state.p, state.beta,
+        interpret=interpret,
+    )
+    rho = state.rho[0, 0]
+    exact = rho == 0  # warm start at the solution: keep α=β=0 (cg.py:152-158)
+    alpha = jnp.where(exact, 0.0, rho / jnp.where(exact, 1.0, pap[0, 0]))
+    x, r, rnorm = fused_update_dot(
+        state.x, p_new, state.r, q.reshape(state.r.shape),
+        alpha.reshape(1, 1), interpret=interpret,
+    )
+    # pre-update termination (CG.hpp:401-402, deterministic per SURVEY §2.3(5))
+    done = jnp.isnan(rho) | (jnp.sqrt(rho) <= tol)
+    beta = jnp.where(exact, 0.0, rnorm[0, 0] / jnp.where(exact, 1.0, rho))
+    k = state.k + 1
+    hist = state.hist.at[k].set(rnorm[0, 0])
+    return FusedCGState(
+        k=k,
+        done=done,
+        x=x,
+        r=r,
+        p=p_new,
+        beta=beta.reshape(1, 1),
+        rho=rnorm,
+        hist=hist,
+    )
+
+
+def fused_bell_cg_solve(
+    a: BlockedEllMatrix,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    tol: float = 0.0,
+    maxiter: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, CGInfo]:
+    """Whole fused solve in one jitted ``lax.while_loop`` — the drop-in fast
+    path :func:`~conjugategradient_tpu.cg_solve` dispatches to on TPU."""
+    n = a.shape[0]
+    if maxiter is None:
+        maxiter = n + 1
+    maxiter = int(maxiter)
+    tol_arr = jnp.asarray(tol, jnp.float32)
+    state0 = fused_cg_init(a, b, x0, maxiter=maxiter)
+
+    def cond(s: FusedCGState):
+        return (s.k < maxiter) & (~s.done)
+
+    def body(s: FusedCGState):
+        return fused_cg_step(a, s, tol_arr, interpret=interpret)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    rnorm = s.rho[0, 0]
+    info = CGInfo(
+        iterations=s.k,
+        converged=s.done & ~jnp.isnan(rnorm),
+        rho=rnorm.astype(b.dtype),
+        rnorm_sq=rnorm.astype(b.dtype),
+        rho_history=s.hist,
+    )
+    return s.x.reshape(-1)[:n].astype(b.dtype), info

@@ -1,0 +1,163 @@
+"""Fused CG-iteration kernels (ops/pallas/fused_cg.py, solver/fused.py) —
+interpret-mode correctness and fused-vs-unfused iteration parity.
+
+The fused path is the TPU fast path; on the CPU test backend the kernels run
+in Pallas interpret mode.  Parity contract: identical iteration counts and
+matching residual histories vs the portable f32 solver (same algorithm, only
+the kernel fusion differs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conjugategradient_tpu import cg_solve
+from conjugategradient_tpu.ops.pallas.fused_cg import (
+    fused_dir_spmv_dot,
+    fused_update_dot,
+)
+from conjugategradient_tpu.ops.spmv import bell_spmv
+from conjugategradient_tpu.problems import banded_spd_coo, poisson2d_coo, reference_rhs
+from conjugategradient_tpu.solver.fused import (
+    fused_bell_cg_solve,
+    fused_supported,
+)
+from conjugategradient_tpu.types import BlockedEllMatrix, CSRMatrix
+
+
+def _bell_poisson(nx=32, bm=128, bn=128):
+    rows, cols, vals, shape = poisson2d_coo(nx)
+    csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    return BlockedEllMatrix.from_csr(csr, bm=bm, bn=bn), shape[0]
+
+
+class TestKernels:
+    def test_dir_spmv_dot(self):
+        bell, n = _bell_poisson()
+        mp = bell.padded_shape[1]
+        rng = np.random.default_rng(0)
+        r = rng.standard_normal(mp).astype(np.float32)
+        p_old = rng.standard_normal(mp).astype(np.float32)
+        beta = np.float32(0.37)
+        p_new, q, pap = fused_dir_spmv_dot(
+            bell.blocks, bell.block_cols,
+            jnp.asarray(r.reshape(-1, 128)), jnp.asarray(p_old.reshape(-1, 128)),
+            jnp.full((1, 1), beta), interpret=True,
+        )
+        pv = r + beta * p_old
+        q_ref = np.zeros(mp, np.float32)
+        q_ref[:n] = np.asarray(bell_spmv(bell, jnp.asarray(pv)))
+        np.testing.assert_allclose(np.asarray(p_new).ravel(), pv, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(q).ravel(), q_ref, atol=2e-5)
+        np.testing.assert_allclose(float(pap[0, 0]), pv @ q_ref, rtol=1e-5)
+
+    def test_update_dot(self):
+        rng = np.random.default_rng(1)
+        mp = 1024
+        x, p, r, q = (rng.standard_normal(mp).astype(np.float32) for _ in range(4))
+        alpha = np.float32(0.21)
+        to2d = lambda v: jnp.asarray(v.reshape(-1, 128))
+        x2, r2, rnorm = fused_update_dot(
+            to2d(x), to2d(p), to2d(r), to2d(q), jnp.full((1, 1), alpha),
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(x2).ravel(), x + alpha * p, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r2).ravel(), r - alpha * q, atol=1e-6)
+        np.testing.assert_allclose(
+            float(rnorm[0, 0]), (r - alpha * q) @ (r - alpha * q), rtol=1e-5
+        )
+
+    def test_update_dot_grid_accumulation(self):
+        # rows > 1024 forces a multi-step grid; rnorm must accumulate across it
+        rng = np.random.default_rng(2)
+        rows = 3072
+        arrs = [rng.standard_normal((rows, 128)).astype(np.float32) for _ in range(4)]
+        x, p, r, q = (jnp.asarray(a) for a in arrs)
+        alpha = jnp.full((1, 1), np.float32(0.5))
+        x2, r2, rnorm = fused_update_dot(x, p, r, q, alpha, interpret=True)
+        rr = arrs[2] - 0.5 * arrs[3]
+        np.testing.assert_allclose(float(rnorm[0, 0]), float((rr * rr).sum()), rtol=1e-5)
+
+
+class TestFusedSolve:
+    def test_iteration_parity_poisson(self):
+        bell, n = _bell_poisson()
+        b = jnp.asarray(reference_rhs(n, dtype=np.float32)) / n
+        x_ref, i_ref = cg_solve(bell, b, tol=1e-4, fused="never")
+        x_f, i_f = fused_bell_cg_solve(bell, b, tol=1e-4, interpret=True)
+        assert int(i_f.iterations) == int(i_ref.iterations)
+        assert bool(i_f.converged) == bool(i_ref.converged)
+        k = int(i_ref.iterations)
+        h1 = np.asarray(i_ref.rho_history)[:k]
+        h2 = np.asarray(i_f.rho_history)[:k]
+        np.testing.assert_allclose(h2, h1, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_iteration_parity_banded(self):
+        rows, cols, vals, shape = banded_spd_coo(700, bandwidth=6, seed=3)
+        csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+        bell = BlockedEllMatrix.from_csr(csr, bm=128, bn=128)
+        b = jnp.asarray(reference_rhs(shape[0], dtype=np.float32)) / shape[0]
+        x_ref, i_ref = cg_solve(bell, b, tol=1e-5, fused="never")
+        x_f, i_f = fused_bell_cg_solve(bell, b, tol=1e-5, interpret=True)
+        assert int(i_f.iterations) == int(i_ref.iterations)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_warm_start_at_solution(self):
+        # rho == 0 guard: a second solve from the answer must not poison x
+        bell, n = _bell_poisson()
+        b = jnp.asarray(reference_rhs(n, dtype=np.float32)) / n
+        x_ref, _ = cg_solve(bell, b, tol=1e-6, fused="never")
+        x2, i2 = fused_bell_cg_solve(bell, b, x0=x_ref, tol=1e-4, interpret=True)
+        assert bool(jnp.all(jnp.isfinite(x2)))
+        assert int(i2.iterations) <= 5
+
+    def test_zero_rhs(self):
+        bell, n = _bell_poisson()
+        x, info = fused_bell_cg_solve(
+            bell, jnp.zeros((n,), jnp.float32), tol=1e-30, interpret=True
+        )
+        assert bool(jnp.all(x == 0))
+
+    def test_x0_respected(self):
+        bell, n = _bell_poisson()
+        b = jnp.asarray(reference_rhs(n, dtype=np.float32)) / n
+        rng = np.random.default_rng(5)
+        x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        x_ref, i_ref = cg_solve(bell, b, x0, tol=1e-4, fused="never")
+        x_f, i_f = fused_bell_cg_solve(bell, b, x0, tol=1e-4, interpret=True)
+        assert int(i_f.iterations) == int(i_ref.iterations)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                                   rtol=1e-3, atol=1e-4)
+
+
+class TestGating:
+    def test_supported_square_tiles_only(self):
+        bell, _ = _bell_poisson(bm=128, bn=128)
+        assert fused_supported(bell, dtype=jnp.float32, interpret=True)
+        rect, _ = _bell_poisson(bm=8, bn=128)
+        assert not fused_supported(rect, dtype=jnp.float32, interpret=True)
+
+    def test_rejects_f64_vectors(self):
+        bell, _ = _bell_poisson()
+        assert not fused_supported(bell, dtype=jnp.float64, interpret=True)
+
+    def test_cpu_backend_not_auto(self):
+        bell, _ = _bell_poisson()
+        assert not fused_supported(bell, dtype=jnp.float32)  # cpu backend
+
+    def test_always_requires_capable_operator(self):
+        rows, cols, vals, shape = poisson2d_coo(8)
+        csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+        b = jnp.ones((shape[0],), jnp.float32)
+        with pytest.raises(ValueError, match="fused"):
+            cg_solve(csr, b, fused="always")
+
+    def test_never_keeps_portable_path(self):
+        # f64 on CPU (the parity configuration) must never dispatch fused
+        bell, n = _bell_poisson()
+        b = jnp.asarray(reference_rhs(n, dtype=np.float64))
+        x, info = cg_solve(bell, b, tol=1e-8)  # auto -> portable on cpu/f64
+        assert bool(info.converged)
