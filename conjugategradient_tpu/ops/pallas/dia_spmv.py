@@ -69,6 +69,108 @@ def _make_kernel(offsets, lpad: int, bl: int, acc_dtype):
     return _kernel, window
 
 
+def _make_kernel_2d(offsets, lpad: int, bl: int, acc_dtype):
+    """2-D lane-tile variant (VERDICT r1 item 5): vectors live as
+    (rows, 128) tiles and each diagonal's shift decomposes into a row
+    offset (sublane addressing) + an in-register lane roll + select,
+    instead of the 1-D variant's arbitrary flat-slice lowering."""
+    rows_bl = bl // 128
+    max_off = max(max(offsets), 0) if offsets else 0
+    window = bl + lpad + max_off
+    window = -(-window // 1024) * 1024
+    wrows = window // 128
+
+    def _window_dma(xp_hbm, x_vmem, sems, g, slot):
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(g * rows_bl, wrows)],
+            x_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    def _kernel(diags_ref, xp_hbm, y_ref, x_vmem, sems):
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
+        two = jnp.asarray(2, g.dtype)
+        slot = jax.lax.rem(g, two)
+        nslot = jax.lax.rem(g + 1, two)
+
+        @pl.when(g == 0)
+        def _():
+            _window_dma(xp_hbm, x_vmem, sems, 0, 0).start()
+
+        @pl.when(g + 1 < ng)
+        def _():
+            _window_dma(xp_hbm, x_vmem, sems, g + 1, nslot).start()
+
+        _window_dma(xp_hbm, x_vmem, sems, g, slot).wait()
+
+        xw = x_vmem[slot].astype(acc_dtype)  # (wrows, 128)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        acc = jnp.zeros((rows_bl, 128), acc_dtype)
+        for d, off in enumerate(offsets):
+            lo = off + lpad
+            q, s = divmod(lo, 128)
+            a0 = jax.lax.slice(xw, (q, 0), (q + rows_bl, 128))
+            if s == 0:
+                xs = a0
+            else:
+                a1 = jax.lax.slice(xw, (q + 1, 0), (q + 1 + rows_bl, 128))
+                # roll by 128-s maps [r, c] -> a[r, (c+s) % 128]; blend the
+                # two row-shifted copies at the lane wrap point
+                r0 = pltpu.roll(a0, 128 - s, axis=1)
+                r1 = pltpu.roll(a1, 128 - s, axis=1)
+                xs = jnp.where(col < 128 - s, r0, r1)
+            acc = acc + diags_ref[d].reshape(rows_bl, 128).astype(acc_dtype) * xs
+        y_ref[...] = acc.reshape(bl).astype(y_ref.dtype)
+
+    return _kernel, window
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret", "block_len"))
+def dia_spmv_pallas_2d(
+    diags: jax.Array,
+    offsets: tuple,
+    x: jax.Array,
+    interpret: bool = False,
+    block_len: int = 16384,
+) -> jax.Array:
+    """y (n,) = DIA @ x with lane-tiled operand windows (see _make_kernel_2d)."""
+    ndiag, n = diags.shape
+    ncols = x.shape[0]
+    lpad = max(0, -min(offsets)) if offsets else 0
+
+    bl = min(block_len, -(-n // 128) * 128)
+    n_pad = -(-n // bl) * bl
+    if n_pad != n:
+        diags = jnp.pad(diags, ((0, 0), (0, n_pad - n)))
+    acc_dtype = jnp.promote_types(jnp.promote_types(diags.dtype, x.dtype), jnp.float32)
+    kernel, window = _make_kernel_2d(tuple(offsets), lpad, bl, acc_dtype)
+    xp = jnp.pad(x, (lpad, max(0, n_pad - bl + window - lpad - ncols)))
+    xp2d = xp.reshape(-1, 128)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_pad // bl,),
+        in_specs=[
+            pl.BlockSpec((ndiag, bl), lambda g: (0, g)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((bl,), lambda g: (g,)),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), diags.dtype),
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((2, window // 128, 128), diags.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * n,
+            bytes_accessed=(ndiag + 2) * n * diags.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(diags, xp2d)
+    return y[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "interpret", "block_len"))
 def dia_spmv_pallas(
     diags: jax.Array,

@@ -164,3 +164,44 @@ def test_pallas_dia_nonaligned_n(rng):
         dia_spmv_pallas(dia.diags, dia.offsets, x, interpret=True, block_len=128)
     )
     np.testing.assert_allclose(y_pal, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_dia_2d_interpret(poisson, rng):
+    from conjugategradient_tpu.ops.pallas.dia_spmv import dia_spmv_pallas_2d
+
+    dia = DIAMatrix.from_csr(poisson)
+    x = jnp.asarray(rng.standard_normal(poisson.shape[1]), jnp.float32)
+    y_ref = np.asarray(poisson.matvec(jnp.asarray(x, jnp.float64)))
+    y_pal = np.asarray(
+        dia_spmv_pallas_2d(
+            jnp.asarray(dia.diags, jnp.float32), dia.offsets, x,
+            interpret=True, block_len=1024,
+        )
+    )
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_dia_2d_lane_crossing_offsets(rng):
+    """Offsets spanning lane-tile boundaries (|off| ≥ 128) exercise the
+    row-shift + lane-roll + blend decomposition."""
+    from conjugategradient_tpu.ops.pallas.dia_spmv import dia_spmv_pallas_2d
+
+    n = 2048
+    offsets = (-300, -128, -1, 0, 1, 127, 128, 300)
+    diags = np.zeros((len(offsets), n), np.float32)
+    rows = np.arange(n)
+    dense = np.zeros((n, n), np.float32)
+    for d, off in enumerate(offsets):
+        cols = rows + off
+        valid = (cols >= 0) & (cols < n)
+        v = rng.standard_normal(int(valid.sum())).astype(np.float32)
+        diags[d, valid] = v
+        dense[rows[valid], cols[valid]] = v
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(
+        dia_spmv_pallas_2d(
+            jnp.asarray(diags), offsets, jnp.asarray(x),
+            interpret=True, block_len=1024,
+        )
+    )
+    np.testing.assert_allclose(y, dense @ x, rtol=2e-4, atol=2e-4)
