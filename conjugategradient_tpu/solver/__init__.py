@@ -10,6 +10,7 @@ from .cg import (
     memory_footprint,
 )
 from .checkpoint import load_state, run_cg, save_state
+from .fused import fused_bell_cg_solve, fused_supported
 from .precond import identity_preconditioner, jacobi_preconditioner
 
 __all__ = [
@@ -25,6 +26,8 @@ __all__ = [
     "cg_step",
     "expected_step_count",
     "memory_footprint",
+    "fused_bell_cg_solve",
+    "fused_supported",
     "jacobi_preconditioner",
     "identity_preconditioner",
 ]

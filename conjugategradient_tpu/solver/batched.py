@@ -4,14 +4,17 @@ The reference solves one RHS per ``solve()`` call (CG.hpp:255); on TPU,
 batching RHS turns the SpMV's (bm, bn)x(bn,) tile products into
 (bm, bn)x(bn, R) tile matmuls that feed the MXU properly, and amortizes the
 operator stream over R solves — R-fold better arithmetic intensity for the
-same HBM traffic.
+same HBM traffic (measured: bench.py --config batched).
 
-Implementation: ``jax.vmap`` over the RHS axis of the plain solver.  Under
-vmap, ``lax.while_loop`` runs in lockstep until *every* lane's predicate is
-false, masking carry updates for lanes that already finished — so each
-lane's ``iterations``/``converged``/history are exactly what a solo solve
-would report (verified in tests/test_batched.py); the only cost is that the
-batch runs for max-over-lanes iterations.
+Two implementations, same per-lane semantics:
+
+* blocked-ELL operators get a dedicated lockstep loop whose matvec is
+  :func:`~conjugategradient_tpu.ops.spmv.bell_spmv_multi` — ONE pass over
+  the operator tiles per iteration for all R lanes; per-lane α/β/termination
+  are masked so each lane's iterations/converged/history are exactly what a
+  solo solve reports;
+* everything else falls back to ``jax.vmap`` over the plain solver, whose
+  vmapped ``lax.while_loop`` masks finished lanes the same way.
 """
 
 from __future__ import annotations
@@ -21,8 +24,78 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..types import as_linear_operator
+from ..types import BlockedEllMatrix, as_linear_operator
 from .cg import CGInfo, cg_solve
+
+
+def _cg_solve_batched_bell(
+    a: BlockedEllMatrix,
+    B: jax.Array,
+    X0: jax.Array,
+    tol: float,
+    maxiter: int,
+) -> Tuple[jax.Array, CGInfo]:
+    """Lockstep multi-RHS CG over (N, R) column blocks with the multi-vector
+    SpMV.  Per-lane semantics identical to cg_step: recurrence residual,
+    pre-update termination on ‖r_k‖², ρ==0 guard, NaN exit; finished lanes'
+    carries are frozen (the same masking vmap applies to a while_loop)."""
+    from ..ops.spmv import bell_spmv_multi
+
+    R, N = B.shape
+    Bt = B.T  # (N, R)
+    X0t = X0.T
+    tol_arr = jnp.asarray(tol, B.dtype)
+
+    r0 = Bt - bell_spmv_multi(a, X0t)
+    rnorm0 = jnp.sum(r0 * r0, axis=0)  # (R,)
+    hist = jnp.full((maxiter + 1, R), jnp.nan, dtype=rnorm0.dtype)
+    hist = hist.at[0].set(rnorm0)
+    carry = (
+        jnp.zeros((R,), jnp.int32),  # per-lane k
+        jnp.zeros((R,), bool),  # per-lane done
+        X0t,
+        r0,
+        r0,  # p
+        rnorm0,  # rho
+        hist,
+    )
+
+    def body(c):
+        k, done, X, Rv, P, rho, hist = c
+        active = (~done) & (k < maxiter)
+        Q = bell_spmv_multi(a, P)
+        pap = jnp.sum(P * Q, axis=0)
+        exact = rho == 0
+        alpha = jnp.where(exact, 0, rho / jnp.where(exact, 1, pap))
+        am = jnp.where(active, alpha, 0)  # frozen lanes: no-op updates
+        X = X + am * P
+        Rv = Rv - am * Q
+        done_new = jnp.isnan(rho) | (jnp.sqrt(rho) <= tol_arr)
+        rnorm_next = jnp.sum(Rv * Rv, axis=0)
+        beta = jnp.where(exact, 0, rnorm_next / jnp.where(exact, 1, rho))
+        P = jnp.where(active, Rv + beta * P, P)
+        k = jnp.where(active, k + 1, k)
+        rho = jnp.where(active, rnorm_next, rho)
+        hist_col = jnp.where(
+            active, rnorm_next, jnp.take_along_axis(hist, k[None, :], 0)[0]
+        )
+        hist = hist.at[k, jnp.arange(R)].set(hist_col)
+        done = jnp.where(active, done_new, done)
+        return (k, done, X, Rv, P, rho, hist)
+
+    def cond(c):
+        k, done = c[0], c[1]
+        return jnp.any((~done) & (k < maxiter))
+
+    k, done, X, Rv, P, rho, hist = jax.lax.while_loop(cond, body, carry)
+    info = CGInfo(
+        iterations=k,
+        converged=done & ~jnp.isnan(rho),
+        rho=rho,
+        rnorm_sq=rho,
+        rho_history=hist.T,  # (R, maxiter+1), matching the vmap layout
+    )
+    return X.T, info
 
 
 def cg_solve_batched(
@@ -48,10 +121,14 @@ def cg_solve_batched(
     op = as_linear_operator(A, n=n, dtype=getattr(B, "dtype", None))
     if B.ndim != 2:
         raise ValueError(f"B must be (nrhs, N), got shape {B.shape}")
-
-    def solve_one(b, x0):
-        return cg_solve(op, b, x0, tol=tol, maxiter=maxiter, M=M)
-
     if X0 is None:
         X0 = jnp.zeros_like(B)
+
+    if isinstance(op, BlockedEllMatrix) and M is None:
+        mi = int(op.shape[0] + 1 if maxiter is None else maxiter)
+        return _cg_solve_batched_bell(op, B, X0, tol, mi)
+
+    def solve_one(b, x0):
+        return cg_solve(op, b, x0, tol=tol, maxiter=maxiter, M=M, fused="never")
+
     return jax.vmap(solve_one)(B, X0)

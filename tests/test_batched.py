@@ -43,3 +43,43 @@ def test_batched_shape_validation(rng):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_batched_bell_dedicated_loop_matches_sequential(rng):
+    """BlockedEllMatrix dispatches to the bell_spmv_multi lockstep loop;
+    per-lane iterations/history must match solo solves exactly."""
+    from conjugategradient_tpu.types import BlockedEllMatrix
+
+    A, n = _problem(16)  # n=256: two 128-row blocks
+    bell = BlockedEllMatrix.from_csr(A, bm=8, bn=128)
+    B = jnp.asarray(rng.standard_normal((4, n)))
+    X, info = cg_solve_batched(bell, B, tol=1e-10)
+    assert X.shape == (4, n)
+    assert info.rho_history.shape[0] == 4
+    for i in range(4):
+        x_i, info_i = cg_solve(bell, B[i], tol=1e-10, fused="never")
+        np.testing.assert_allclose(np.asarray(X[i]), np.asarray(x_i), rtol=1e-8)
+        assert int(info.iterations[i]) == int(info_i.iterations)
+        assert bool(info.converged[i]) == bool(info_i.converged)
+        k = int(info_i.iterations)
+        np.testing.assert_allclose(
+            np.asarray(info.rho_history[i])[: k + 1],
+            np.asarray(info_i.rho_history)[: k + 1],
+            rtol=1e-6,
+        )
+
+
+def test_batched_bell_heterogeneous_convergence(rng):
+    """Lanes converging at different iterations: late lanes must not disturb
+    early lanes' frozen state."""
+    from conjugategradient_tpu.types import BlockedEllMatrix
+
+    A, n = _problem(16)
+    bell = BlockedEllMatrix.from_csr(A, bm=8, bn=128)
+    # lane 0: zero RHS (converges at iteration 1); lane 1: hard RHS
+    B = jnp.stack([jnp.zeros((n,)), jnp.asarray(rng.standard_normal(n))])
+    X, info = cg_solve_batched(bell, B, tol=1e-10)
+    assert int(info.iterations[0]) < int(info.iterations[1])
+    assert bool(jnp.all(X[0] == 0))
+    r1 = np.asarray(B[1]) - np.asarray(bell.matvec(X[1]))
+    assert np.linalg.norm(r1) < 1e-8

@@ -28,12 +28,15 @@ from conjugategradient_tpu.problems import banded_spd_coo, poisson2d_coo, random
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("kind", choices=("poisson2d", "poisson3d", "banded", "dense"))
+    ap.add_argument(
+        "kind", choices=("poisson2d", "poisson3d", "banded", "dense", "powerlaw")
+    )
     ap.add_argument("--nx", type=int, default=64)
     ap.add_argument("--ny", type=int, default=None)
     ap.add_argument("--nz", type=int, default=None)
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--bandwidth", type=int, default=6)
+    ap.add_argument("--avg-degree", type=float, default=3.5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-o", "--out", required=True)
     args = ap.parse_args(argv)
@@ -60,6 +63,16 @@ def main(argv=None) -> int:
             args.n, bandwidth=args.bandwidth, seed=args.seed
         )
         comment = f"random banded SPD, n={args.n} bw={args.bandwidth} seed={args.seed}"
+    elif args.kind == "powerlaw":
+        from conjugategradient_tpu.problems import powerlaw_spd_coo
+
+        rows, cols, vals, shape = powerlaw_spd_coo(
+            args.n, avg_degree=args.avg_degree, seed=args.seed
+        )
+        comment = (
+            f"scattered power-law SPD (bus-network profile), n={args.n} "
+            f"avg_degree={args.avg_degree} seed={args.seed}"
+        )
     else:  # dense
         a = random_spd_dense(args.n, seed=args.seed)
         rows, cols = np.nonzero(a)
