@@ -40,6 +40,37 @@ def poisson2d_coo(nx: int, ny: int = None):
     )
 
 
+def poisson3d_coo(nx: int, ny: int = None, nz: int = None):
+    """7-point 3-D Poisson (Dirichlet), fully vectorized — usable at the
+    north-star scale (117³ ≈ 1.6M rows, ~11M nnz) where a Python triple loop
+    would take minutes."""
+    ny = ny or nx
+    nz = nz or nx
+    n = nx * ny * nz
+    ids = np.arange(n, dtype=np.int64)
+    i, rem = np.divmod(ids, ny * nz)
+    j, k = np.divmod(rem, nz)
+    rows = [ids]
+    cols = [ids]
+    vals = [np.full(n, 6.0)]
+    for axis, coord, extent, stride in (
+        (0, i, nx, ny * nz),
+        (1, j, ny, nz),
+        (2, k, nz, 1),
+    ):
+        for sgn in (-1, 1):
+            m = (coord + sgn >= 0) & (coord + sgn < extent)
+            rows.append(ids[m])
+            cols.append(ids[m] + sgn * stride)
+            vals.append(np.full(int(m.sum()), -1.0))
+    return (
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.concatenate(vals),
+        (n, n),
+    )
+
+
 def random_spd_dense(n: int, seed: int = 0, cond: float = 100.0) -> np.ndarray:
     """Dense SPD with controlled condition number (for dense-CG config 1)."""
     rng = np.random.default_rng(seed)

@@ -118,3 +118,21 @@ def test_matmul_operator_sugar(csr):
     np.testing.assert_allclose(
         np.asarray(csr @ x), np.asarray(csr.matvec(x)), rtol=1e-14
     )
+
+
+def test_poisson3d_coo_matches_loop_assembly():
+    """Vectorized 3-D Poisson generator == the loop-built CSR (north-star
+    scale generation uses the vectorized path)."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.ops.stencil import poisson7_csr
+    from conjugategradient_tpu.problems import poisson3d_coo
+    from conjugategradient_tpu.types import CSRMatrix
+
+    r, c, v, s = poisson3d_coo(5, 4, 3)
+    a = CSRMatrix.from_coo(r, c, v, s)
+    b = poisson7_csr((5, 4, 3))
+    x = np.random.default_rng(0).standard_normal(s[0])
+    np.testing.assert_array_equal(
+        np.asarray(a.matvec(jnp.asarray(x))), np.asarray(b.matvec(jnp.asarray(x)))
+    )
