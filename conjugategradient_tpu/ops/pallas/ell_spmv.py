@@ -40,7 +40,10 @@ def _make_kernel(R: int, kmax: int):
         for r in range(R):
             acc = None
             for k in range(kmax):
-                c = cols_ref[g * R + r, k]
+                # cols_ref is FLAT (nrb*kmax,): a 2-D (nrb, kmax) SMEM array
+                # pads the minor dim to 128 lanes (nrb*512 bytes — at
+                # nrb=2048 that is the ENTIRE 1 MB SMEM); flat is nrb*kmax*4
+                c = cols_ref[(g * R + r) * kmax + k]
                 xb = x_ref[c, :].astype(jnp.float32)  # (bn,) VMEM row
                 blk = block_ref[r, k].astype(jnp.float32)  # (bm, bn)
                 part = jnp.sum(blk * xb[None, :], axis=1)  # (bm,) VPU
@@ -103,5 +106,5 @@ def bell_spmv_pallas(
             + nrb * bm * 4,
             transcendentals=0,
         ),
-    )(block_cols, blocks, x2d)
+    )(block_cols.reshape(-1), blocks, x2d)
     return y.reshape(-1).astype(jnp.promote_types(blocks.dtype, x2d.dtype))

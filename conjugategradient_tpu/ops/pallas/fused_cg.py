@@ -62,7 +62,10 @@ def _dir_spmv_kernel(R: int, kmax: int, bm: int, bn: int):
         for rr in range(R):
             acc = None
             for k in range(kmax):
-                c = cols_ref[g * R + rr, k]
+                # cols_ref is FLAT (nrb*kmax,): a 2-D (nrb, kmax) SMEM array
+                # pads the minor dim to 128 lanes — 1 MB of SMEM at nrb=2048,
+                # the whole space.  Flat costs nrb*kmax*4 bytes.
+                c = cols_ref[(g * R + rr) * kmax + k]
                 xb = pv[c, :]  # (bn,) VMEM row gather
                 blk = block_ref[rr, k].astype(jnp.float32)  # (bm, bn)
                 part = jnp.sum(blk * xb[None, :], axis=1)  # (bm,) VPU
@@ -137,7 +140,7 @@ def fused_dir_spmv_dot(
             + nrb * bm * 4,  # q write
             transcendentals=0,
         ),
-    )(block_cols, beta, blocks, r2d, pold2d)
+    )(block_cols.reshape(-1), beta, blocks, r2d, pold2d)
     return p_new, q, pap
 
 
