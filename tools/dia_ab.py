@@ -35,16 +35,20 @@ def main() -> int:
     n = 1 << 21
     offsets = tuple(range(-6, 7))  # 13 diagonals, bandwidth 6
     rng = np.random.default_rng(0)
-    diags = rng.standard_normal((len(offsets), n)).astype(np.float32)
+    # scale the OPERATOR so the timed chain stays bounded with no epilogue:
+    # a trailing "* 1e-2" fuses into the XLA variant but costs the Pallas
+    # variants a separate full read+write pass (measured on the stencil —
+    # tools/stencil_v3.py); folding the scale into the diagonals is fair
+    diags = (0.05 * rng.standard_normal((len(offsets), n))).astype(np.float32)
     a = DIAMatrix(jnp.asarray(diags), offsets, (n, n), len(offsets) * n)
     x = jnp.ones((n,), jnp.float32)
     ovh = rpc_overhead_s()
     nbytes = (len(offsets) + 2) * n * 4  # diags + x read + y write
 
     variants = {
-        "xla": lambda v: dia_spmv(a, v) * 1e-2,
-        "pallas_1d": lambda v: dia_spmv_pallas(a.diags, offsets, v) * 1e-2,
-        "pallas_2d": lambda v: dia_spmv_pallas_2d(a.diags, offsets, v) * 1e-2,
+        "xla": lambda v: dia_spmv(a, v),
+        "pallas_1d": lambda v: dia_spmv_pallas(a.diags, offsets, v),
+        "pallas_2d": lambda v: dia_spmv_pallas_2d(a.diags, offsets, v),
     }
     out = {}
     for name, body in variants.items():

@@ -117,6 +117,55 @@ def main() -> int:
                 "time_ms": round(t * 1e3, 4),
                 "gbps_ideal": round(ideal / t / 1e9, 1),
             }
+
+    # FAIR variant: fold the chain-bounding scale INTO the stencil
+    # coefficients.  The "* 1e-2" above fuses into the XLA path but is a
+    # SEPARATE 134 MB read+write pass after a pallas_call — it taxes only
+    # the kernel.  Scaled coefficients keep the fori chain bounded with
+    # zero extra passes for both variants.
+    from conjugategradient_tpu.ops.stencil import stencil7_matvec
+
+    sop = StencilOperator(
+        jnp.asarray(0.06, jnp.float32), jnp.asarray(-0.01, jnp.float32),
+        (nx, nx, nx),
+    )
+    uflat = jnp.ones((nx**3,), jnp.float32)
+    t = time_loop_s(
+        lambda v: stencil7_matvec(sop, v, use_pallas="never"),
+        uflat, K=128, iters=3, overhead_s=ovh,
+    )
+    out["fair_xla"] = {"time_ms": round(t * 1e3, 4),
+                       "gbps_ideal": round(ideal / t / 1e9, 1)}
+
+    @functools.partial(jax.jit, static_argnames=("sx",))
+    def v3_scaled(v, sx):
+        nxl, nyl, nzl = v.shape
+        ng = nxl // sx
+        return pl.pallas_call(
+            _kernel("full", ng),
+            grid=(ng,),
+            in_specs=[
+                pl.BlockSpec((sx, nyl, nzl), lambda g: (g, 0, 0)),
+                pl.BlockSpec((1, nyl, nzl),
+                             lambda g: (jnp.clip(g * sx - 1, 0, nxl - 1), 0, 0)),
+                pl.BlockSpec((1, nyl, nzl),
+                             lambda g: (jnp.clip(g * sx + sx, 0, nxl - 1), 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((sx, nyl, nzl), lambda g: (g, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(v, v, v, jnp.full((1,), 0.06, v.dtype), jnp.full((1,), -0.01, v.dtype))
+
+    for sx in (8, 16, 32):
+        t = time_loop_s(
+            lambda v, s=sx: v3_scaled(v, s), u, K=128, iters=3, overhead_s=ovh,
+        )
+        out[f"fair_pallas_sx{sx}"] = {"time_ms": round(t * 1e3, 4),
+                                      "gbps_ideal": round(ideal / t / 1e9, 1)}
     print(json.dumps(out))
     return 0
 
