@@ -155,12 +155,27 @@ def dia_spmv(a, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
     gathers.  Out-of-range slots of ``diags`` are zero by construction, so
     no masking is needed.
 
-    A Pallas variant exists (ops/pallas/dia_spmv.py) that DMAs each x
-    window exactly once; measured on v5e at 13 diagonals it is only ~3%
-    faster than this XLA path (lane-shift cost dominates both), so "auto"
-    keeps XLA and the kernel is opt-in via "always".
+    Auto policy (measured on v5e, docs/performance.md): for SMALL offsets
+    (|off| < 1024, e.g. banded matrices after RCM) XLA wins — it can keep
+    loop-invariant diagonals VMEM-resident across chain iterations
+    (1120 GB/s effective vs the Pallas kernels' 808-816 at 13 diagonals).
+    For LARGE offsets (3-D stencil-like patterns, e.g. poisson3d's
+    ±ny·nz = ±13689) XLA's padded-slice formulation collapses (0.51 ms vs
+    0.076 ms for the Pallas windowed kernel at n=1.6M/7 diags — 6.7x), so
+    "auto" picks the Pallas kernel there.
     """
-    if use_pallas == "always":
+    pick_pallas = use_pallas == "always"
+    if use_pallas == "auto" and a.offsets:
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover
+            backend = "cpu"
+        pick_pallas = (
+            backend == "tpu"
+            and max(abs(o) for o in a.offsets) >= 1024
+            and a.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        )
+    if pick_pallas:
         from .pallas.dia_spmv import dia_spmv_pallas
 
         return dia_spmv_pallas(a.diags, a.offsets, x)

@@ -30,6 +30,7 @@ lacks; with ``M=None`` the recurrences reduce bit-for-bit to plain CG.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -258,8 +259,22 @@ def cg_solve(
         ):
             return fused_bell_cg_solve(op, b, x0, tol=tol, maxiter=maxiter)
 
+    # The WHOLE solve (init, loop, info assembly) runs as one jitted call:
+    # eager setup ops cost a full dispatch round-trip each on remote-relay
+    # backends (~26 ms apiece measured — they dominated an entire 1.6M-row
+    # solve before this), and jax.jit's cache keys on the operator pytree
+    # structure + shapes, so repeat solves skip retracing entirely.
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
+    if x0 is None:
+        return _cg_solve_core(op, b, None, tol_arr, maxiter, M,
+                              recompute_r_every)
+    return _cg_solve_core(op, b, x0, tol_arr, maxiter, M, recompute_r_every)
 
+
+@functools.partial(
+    jax.jit, static_argnames=("maxiter", "M", "recompute_r_every")
+)
+def _cg_solve_core(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
     state0 = cg_init(op, b, x0, M=M, maxiter=maxiter)
 
     def cond(s: CGState):

@@ -183,6 +183,17 @@ def fused_bell_cg_solve(
         maxiter = n + 1
     maxiter = int(maxiter)
     tol_arr = jnp.asarray(tol, jnp.float32)
+    # one jitted call for the whole solve (eager setup ops cost a dispatch
+    # round-trip each over remote relays; see solver/cg._cg_solve_core)
+    return _fused_solve_core(a, b, x0, tol_arr, maxiter, interpret)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("maxiter", "interpret"))
+def _fused_solve_core(a, b, x0, tol_arr, maxiter, interpret):
+    n = a.shape[0]
     state0 = fused_cg_init(a, b, x0, maxiter=maxiter)
 
     def cond(s: FusedCGState):
