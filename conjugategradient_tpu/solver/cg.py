@@ -245,19 +245,31 @@ def cg_solve(
     # portable loop below (the float64/parity/preconditioned path).
     if fused != "never" and M is None and recompute_r_every == 0:
         from .fused import fused_bell_cg_solve, fused_supported
+        from .fused_stencil import (
+            fused_stencil_cg_solve,
+            fused_stencil_supported,
+        )
 
+        bdt = getattr(b, "dtype", None)
         if fused == "always":
-            if not fused_supported(op, dtype=getattr(b, "dtype", None),
-                                   interpret=True):
-                raise ValueError(
-                    "fused='always' needs a blocked-ELL operator with square "
-                    "lane-aligned tiles and float32 vectors (solver/fused.py)"
+            if fused_supported(op, dtype=bdt, interpret=True):
+                return fused_bell_cg_solve(op, b, x0, tol=tol, maxiter=maxiter)
+            if fused_stencil_supported(op, dtype=bdt, interpret=True):
+                return fused_stencil_cg_solve(
+                    op, b, x0, tol=tol, maxiter=maxiter
                 )
-            return fused_bell_cg_solve(op, b, x0, tol=tol, maxiter=maxiter)
-        if fused == "auto" and fused_supported(
-            op, dtype=getattr(b, "dtype", None)
-        ):
-            return fused_bell_cg_solve(op, b, x0, tol=tol, maxiter=maxiter)
+            raise ValueError(
+                "fused='always' needs a blocked-ELL operator with square "
+                "lane-aligned tiles or a lane-aligned StencilOperator, with "
+                "float32 vectors (solver/fused.py, solver/fused_stencil.py)"
+            )
+        if fused == "auto":
+            if fused_supported(op, dtype=bdt):
+                return fused_bell_cg_solve(op, b, x0, tol=tol, maxiter=maxiter)
+            if fused_stencil_supported(op, dtype=bdt):
+                return fused_stencil_cg_solve(
+                    op, b, x0, tol=tol, maxiter=maxiter
+                )
 
     # The WHOLE solve (init, loop, info assembly) runs as one jitted call:
     # eager setup ops cost a full dispatch round-trip each on remote-relay

@@ -1,0 +1,137 @@
+"""Fused-kernel CG driver for the matrix-free stencil operator (config 4).
+
+Same two-kernel iteration shape as solver/fused.py, with the blocked-ELL
+SpMV pass replaced by ops/pallas/fused_stencil.fused_stencil_dir_dot:
+
+    S1  p = r + β·p;  q = stencil(p);  pap = p·q
+    K2  x += α·p;  r -= α·q;  rnorm = r·r   (shared fused_update_dot)
+
+Semantics identical to solver/cg.py (pre-update termination, ρ==0 guard,
+N+1 cap, NaN exit).  State vectors live flat as (rows, 128) f32 blocks;
+reshapes to the (nx, ny, nz) volume between kernels are free bitcasts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import StencilOperator
+from .cg import CGInfo
+from .fused import FusedCGState
+
+
+def fused_stencil_supported(op, dtype=None, interpret: bool = False) -> bool:
+    if not isinstance(op, StencilOperator):
+        return False
+    nx, ny, nz = op.grid_shape
+    ok = (
+        nz % 128 == 0
+        and ny % 8 == 0
+        and nx % 2 == 0
+        and (dtype is None or jnp.dtype(dtype) == jnp.dtype(jnp.float32))
+        and jnp.dtype(op.dtype) == jnp.dtype(jnp.float32)
+    )
+    if not ok:
+        return False
+    if interpret:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _init(op: StencilOperator, b: jax.Array, x0, maxiter: int) -> FusedCGState:
+    n = b.shape[0]
+    b2d = b.astype(jnp.float32).reshape(n // 128, 128)
+    if x0 is None:
+        x2d = jnp.zeros_like(b2d)
+        r2d = b2d
+    else:
+        r = b.astype(jnp.float32) - op.matvec(x0).astype(jnp.float32)
+        x2d = x0.astype(jnp.float32).reshape(n // 128, 128)
+        r2d = r.reshape(n // 128, 128)
+    rho0 = jnp.sum(r2d * r2d).reshape(1, 1)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=jnp.float32)
+    hist = hist.at[0].set(rho0[0, 0])
+    return FusedCGState(
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        x=x2d,
+        r=r2d,
+        p=jnp.zeros_like(r2d),
+        beta=jnp.zeros((1, 1), jnp.float32),
+        rho=rho0,
+        hist=hist,
+    )
+
+
+def _step(op: StencilOperator, state: FusedCGState, tol_arr, interpret: bool):
+    from ..ops.pallas.fused_cg import fused_update_dot
+    from ..ops.pallas.fused_stencil import fused_stencil_dir_dot
+
+    grid = op.grid_shape
+    p3, q3, pap = fused_stencil_dir_dot(
+        state.r.reshape(grid), state.p.reshape(grid), state.beta,
+        op.center, op.off, interpret=interpret,
+    )
+    rho = state.rho[0, 0]
+    exact = rho == 0
+    alpha = jnp.where(exact, 0.0, rho / jnp.where(exact, 1.0, pap[0, 0]))
+    shp = state.r.shape
+    x, r, rnorm = fused_update_dot(
+        state.x, p3.reshape(shp), state.r, q3.reshape(shp),
+        alpha.reshape(1, 1), interpret=interpret,
+    )
+    done = jnp.isnan(rho) | (jnp.sqrt(rho) <= tol_arr)
+    beta = jnp.where(exact, 0.0, rnorm[0, 0] / jnp.where(exact, 1.0, rho))
+    k = state.k + 1
+    hist = state.hist.at[k].set(rnorm[0, 0])
+    return FusedCGState(
+        k=k, done=done, x=x, r=r, p=p3.reshape(shp),
+        beta=beta.reshape(1, 1), rho=rnorm, hist=hist,
+    )
+
+
+def fused_stencil_cg_solve(
+    op: StencilOperator,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    tol: float = 0.0,
+    maxiter: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, CGInfo]:
+    n = op.shape[0]
+    if maxiter is None:
+        maxiter = n + 1
+    maxiter = int(maxiter)
+    tol_arr = jnp.asarray(tol, jnp.float32)
+    return _solve_core(op, b, x0, tol_arr, maxiter, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter", "interpret"))
+def _solve_core(op, b, x0, tol_arr, maxiter, interpret):
+    n = op.shape[0]
+    state0 = _init(op, b, x0, maxiter)
+
+    def cond(s):
+        return (s.k < maxiter) & (~s.done)
+
+    def body(s):
+        return _step(op, s, tol_arr, interpret)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    rnorm = s.rho[0, 0]
+    info = CGInfo(
+        iterations=s.k,
+        converged=s.done & ~jnp.isnan(rnorm),
+        rho=rnorm.astype(b.dtype),
+        rnorm_sq=rnorm.astype(b.dtype),
+        rho_history=s.hist,
+    )
+    return s.x.reshape(-1)[:n].astype(b.dtype), info

@@ -161,3 +161,65 @@ class TestGating:
         b = jnp.asarray(reference_rhs(n, dtype=np.float64))
         x, info = cg_solve(bell, b, tol=1e-8)  # auto -> portable on cpu/f64
         assert bool(info.converged)
+
+
+class TestFusedStencil:
+    """Matrix-free fused CG (solver/fused_stencil.py) — config 4's fast path."""
+
+    def _op(self, grid=(8, 16, 128)):
+        from conjugategradient_tpu.types import StencilOperator
+
+        return StencilOperator.poisson(grid, dtype=jnp.float32), int(np.prod(grid))
+
+    def test_dir_dot_kernel(self):
+        from conjugategradient_tpu.ops.pallas.fused_stencil import (
+            fused_stencil_dir_dot,
+        )
+
+        op, n = self._op()
+        rng = np.random.default_rng(0)
+        r = rng.standard_normal(op.grid_shape).astype(np.float32)
+        p = rng.standard_normal(op.grid_shape).astype(np.float32)
+        beta = np.float32(0.3)
+        pn, q, pap = fused_stencil_dir_dot(
+            jnp.asarray(r), jnp.asarray(p), jnp.full((1, 1), beta),
+            op.center, op.off, interpret=True,
+        )
+        pv = r + beta * p
+        q_ref = np.asarray(op.matvec(jnp.asarray(pv.reshape(-1))))
+        np.testing.assert_allclose(np.asarray(pn), pv, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(q).reshape(-1), q_ref, atol=2e-5)
+        np.testing.assert_allclose(float(pap[0, 0]), pv.reshape(-1) @ q_ref,
+                                   rtol=1e-5)
+
+    def test_solve_iteration_parity(self):
+        from conjugategradient_tpu.solver.fused_stencil import (
+            fused_stencil_cg_solve,
+        )
+
+        op, n = self._op()
+        rng = np.random.default_rng(1)
+        b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        x_ref, i_ref = cg_solve(op, b, tol=1e-4, fused="never")
+        x_f, i_f = fused_stencil_cg_solve(op, b, tol=1e-4, interpret=True)
+        assert int(i_f.iterations) == int(i_ref.iterations)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                                   rtol=1e-3, atol=1e-5)
+        k = int(i_ref.iterations)
+        np.testing.assert_allclose(
+            np.asarray(i_f.rho_history)[:k], np.asarray(i_ref.rho_history)[:k],
+            rtol=1e-4,
+        )
+
+    def test_gating(self):
+        from conjugategradient_tpu.solver.fused_stencil import (
+            fused_stencil_supported,
+        )
+        from conjugategradient_tpu.types import StencilOperator
+
+        op, _ = self._op()
+        assert fused_stencil_supported(op, dtype=jnp.float32, interpret=True)
+        bad = StencilOperator.poisson((8, 16, 100), dtype=jnp.float32)
+        assert not fused_stencil_supported(bad, dtype=jnp.float32, interpret=True)
+        assert not fused_stencil_supported(op, dtype=jnp.float64, interpret=True)
+        assert not fused_stencil_supported(op, dtype=jnp.float32)  # cpu auto
