@@ -4,11 +4,12 @@ Same two-kernel iteration shape as solver/fused.py, with the blocked-ELL
 SpMV pass replaced by ops/pallas/fused_stencil.fused_stencil_dir_dot:
 
     S1  p = r + β·p;  q = stencil(p);  pap = p·q
-    K2  x += α·p;  r -= α·q;  rnorm = r·r   (shared fused_update_dot)
+    K2  x += α·p;  r -= α·q;  rnorm = r·r   (fused_update_dot_3d)
 
 Semantics identical to solver/cg.py (pre-update termination, ρ==0 guard,
-N+1 cap, NaN exit).  State vectors live flat as (rows, 128) f32 blocks;
-reshapes to the (nx, ny, nz) volume between kernels are free bitcasts.
+N+1 cap, NaN exit).  State vectors live as (nx, ny, nz) volumes end to
+end — one layout for both kernels (reshaping 67 MB between differently-
+shaped custom calls made XLA copy it).
 """
 
 from __future__ import annotations
@@ -46,24 +47,27 @@ def fused_stencil_supported(op, dtype=None, interpret: bool = False) -> bool:
 
 
 def _init(op: StencilOperator, b: jax.Array, x0, maxiter: int) -> FusedCGState:
-    n = b.shape[0]
-    b2d = b.astype(jnp.float32).reshape(n // 128, 128)
+    # state vectors live as (nx, ny, nz) volumes end to end: a single layout
+    # shared by both kernels (reshaping 67 MB between differently-shaped
+    # custom calls made XLA copy it — it doubled the iteration time)
+    grid = op.grid_shape
+    b3 = b.astype(jnp.float32).reshape(grid)
     if x0 is None:
-        x2d = jnp.zeros_like(b2d)
-        r2d = b2d
+        x3 = jnp.zeros_like(b3)
+        r3 = b3
     else:
         r = b.astype(jnp.float32) - op.matvec(x0).astype(jnp.float32)
-        x2d = x0.astype(jnp.float32).reshape(n // 128, 128)
-        r2d = r.reshape(n // 128, 128)
-    rho0 = jnp.sum(r2d * r2d).reshape(1, 1)
+        x3 = x0.astype(jnp.float32).reshape(grid)
+        r3 = r.reshape(grid)
+    rho0 = jnp.sum(r3 * r3).reshape(1, 1)
     hist = jnp.full((maxiter + 1,), jnp.nan, dtype=jnp.float32)
     hist = hist.at[0].set(rho0[0, 0])
     return FusedCGState(
         k=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
-        x=x2d,
-        r=r2d,
-        p=jnp.zeros_like(r2d),
+        x=x3,
+        r=r3,
+        p=jnp.zeros_like(r3),
         beta=jnp.zeros((1, 1), jnp.float32),
         rho=rho0,
         hist=hist,
@@ -71,28 +75,26 @@ def _init(op: StencilOperator, b: jax.Array, x0, maxiter: int) -> FusedCGState:
 
 
 def _step(op: StencilOperator, state: FusedCGState, tol_arr, interpret: bool):
-    from ..ops.pallas.fused_cg import fused_update_dot
-    from ..ops.pallas.fused_stencil import fused_stencil_dir_dot
+    from ..ops.pallas.fused_stencil import (
+        fused_stencil_dir_dot,
+        fused_update_dot_3d,
+    )
 
-    grid = op.grid_shape
     p3, q3, pap = fused_stencil_dir_dot(
-        state.r.reshape(grid), state.p.reshape(grid), state.beta,
-        op.center, op.off, interpret=interpret,
+        state.r, state.p, state.beta, op.center, op.off, interpret=interpret,
     )
     rho = state.rho[0, 0]
     exact = rho == 0
     alpha = jnp.where(exact, 0.0, rho / jnp.where(exact, 1.0, pap[0, 0]))
-    shp = state.r.shape
-    x, r, rnorm = fused_update_dot(
-        state.x, p3.reshape(shp), state.r, q3.reshape(shp),
-        alpha.reshape(1, 1), interpret=interpret,
+    x, r, rnorm = fused_update_dot_3d(
+        state.x, p3, state.r, q3, alpha.reshape(1, 1), interpret=interpret,
     )
     done = jnp.isnan(rho) | (jnp.sqrt(rho) <= tol_arr)
     beta = jnp.where(exact, 0.0, rnorm[0, 0] / jnp.where(exact, 1.0, rho))
     k = state.k + 1
     hist = state.hist.at[k].set(rnorm[0, 0])
     return FusedCGState(
-        k=k, done=done, x=x, r=r, p=p3.reshape(shp),
+        k=k, done=done, x=x, r=r, p=p3,
         beta=beta.reshape(1, 1), rho=rnorm, hist=hist,
     )
 
