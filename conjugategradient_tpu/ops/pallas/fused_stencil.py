@@ -150,17 +150,23 @@ def fused_update_dot_3d(
     q3d: jax.Array,
     alpha: jax.Array,
     interpret: bool = False,
-    slab_group: int = 8,
+    slab_group: int = 4,
 ):
     """3-D twin of ops/pallas/fused_cg.fused_update_dot: operating directly
     on (nx, ny, nz) volumes keeps the whole fused stencil iteration in ONE
     layout — reshaping 67 MB state between differently-shaped custom calls
-    costs XLA a full copy each (measured: it doubled the iteration time)."""
+    costs XLA a full copy each (measured: it doubled the iteration time).
+
+    VMEM: 6 slab-blocks double-buffered; keep slab_group modest (12 blocks
+    live at once)."""
     nx, ny, nz = x3d.shape
     sx = slab_group
     while nx % sx:
         sx //= 2
     sx = max(sx, 1)
+    # 12 live blocks (6 streams x 2 buffers) must fit the scoped budget
+    while sx > 1 and 12 * sx * ny * nz * 4 > 48 * 1024 * 1024:
+        sx //= 2
     blk = pl.BlockSpec((sx, ny, nz), lambda g: (g, 0, 0))
     return pl.pallas_call(
         _update_kernel_3d,
@@ -180,6 +186,9 @@ def fused_update_dot_3d(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=6 * nx * ny * nz,
             bytes_accessed=6 * nx * ny * nz * 4,
