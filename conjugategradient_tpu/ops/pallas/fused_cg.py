@@ -44,18 +44,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dir_spmv_kernel(R: int, kmax: int, bm: int, bn: int):
+def _dir_spmv_kernel(R: int, kmax: int, bm: int, bn: int,
+                     precond: bool = False):
     rows_per_g = (R * bm) // bn  # rows of the (ncb, bn) operand per grid step
 
     def kernel(cols_ref, beta_ref, block_ref, r_ref, pold_ref,
-               pnew_ref, q_ref, pap_ref, pv):
+               *rest):
+        if precond:
+            d_ref, pnew_ref, q_ref, pap_ref, pv = rest
+        else:
+            pnew_ref, q_ref, pap_ref, pv = rest
         g = pl.program_id(0)
 
         @pl.when(g == 0)
         def _():
-            # p_new = r + beta * p_old, formed ONCE into VMEM scratch before
-            # any tile product (the gather below reads arbitrary rows of it)
-            pv[:] = r_ref[:] + beta_ref[0, 0] * pold_ref[:]
+            # p_new = z + beta * p_old with z = M⁻¹r (Jacobi) or z = r,
+            # formed ONCE into VMEM scratch before any tile product (the
+            # gather below reads arbitrary rows of it)
+            z = d_ref[:] * r_ref[:] if precond else r_ref[:]
+            pv[:] = z + beta_ref[0, 0] * pold_ref[:]
             pnew_ref[:] = pv[:]
             pap_ref[0, 0] = 0.0
 
@@ -86,13 +93,15 @@ def fused_dir_spmv_dot(
     r2d: jax.Array,
     pold2d: jax.Array,
     beta: jax.Array,
+    inv_diag2d: jax.Array = None,
     interpret: bool = False,
     row_group: int = 8,
 ):
-    """(p_new, q, pap) = (r + beta*p_old,  A @ p_new,  p_new . q).
+    """(p_new, q, pap) = (z + beta*p_old,  A @ p_new,  p_new . q) where
+    z = inv_diag * r (fused Jacobi apply) or plain r.
 
-    ``r2d``/``pold2d``: the vectors reshaped (ncb, bn), resident in VMEM.
-    ``beta``: (1, 1) float32 device scalar.
+    ``r2d``/``pold2d`` (and optional ``inv_diag2d``): vectors reshaped
+    (ncb, bn), resident in VMEM.  ``beta``: (1, 1) float32 device scalar.
     Returns p_new (ncb, bn) f32, q (nrb, bm) f32, pap (1, 1) f32.
     """
     nrb, kmax, bm, bn = blocks.shape
@@ -103,17 +112,24 @@ def fused_dir_spmv_dot(
     while nrb % R:
         R //= 2
     R = max(R, 1)
+    precond = inv_diag2d is not None
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda g, cols: (0, 0),
+                     memory_space=pltpu.SMEM),  # beta
+        pl.BlockSpec((R, kmax, bm, bn), lambda g, cols: (g, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # r (whole)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # p_old (whole)
+    ]
+    operands = [block_cols.reshape(-1), beta, blocks, r2d, pold2d]
+    if precond:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # inv_diag
+        operands.append(inv_diag2d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nrb // R,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda g, cols: (0, 0),
-                         memory_space=pltpu.SMEM),  # beta
-            pl.BlockSpec((R, kmax, bm, bn), lambda g, cols: (g, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # r (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # p_old (whole)
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # p_new (whole)
             pl.BlockSpec((R, bm), lambda g, cols: (g, 0)),  # q
@@ -125,7 +141,7 @@ def fused_dir_spmv_dot(
 
     vec_bytes = ncb * bn * 4
     p_new, q, pap = pl.pallas_call(
-        _dir_spmv_kernel(R, kmax, bm, bn),
+        _dir_spmv_kernel(R, kmax, bm, bn, precond=precond),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((ncb, bn), jnp.float32),
@@ -136,11 +152,11 @@ def fused_dir_spmv_dot(
         cost_estimate=pl.CostEstimate(
             flops=2 * nrb * kmax * bm * bn + 4 * ncb * bn,
             bytes_accessed=blocks.size * blocks.dtype.itemsize
-            + 3 * vec_bytes  # r + p_old reads, p_new write
+            + (4 if precond else 3) * vec_bytes
             + nrb * bm * 4,  # q write
             transcendentals=0,
         ),
-    )(block_cols.reshape(-1), beta, blocks, r2d, pold2d)
+    )(*operands)
     return p_new, q, pap
 
 
@@ -157,6 +173,65 @@ def _update_kernel(alpha_ref, x_ref, p_ref, r_ref, q_ref,
     rnew = r_ref[:] - a * q_ref[:]
     rout_ref[:] = rnew
     rnorm_ref[0, 0] += jnp.sum(rnew * rnew)
+
+
+def _update_kernel_pcg(alpha_ref, x_ref, p_ref, r_ref, q_ref, d_ref,
+                       xout_ref, rout_ref, rnorm_ref, rho_ref):
+    """PCG twin: additionally accumulates rho = r'·(M⁻¹r') = Σ d·r'² — the
+    second per-iteration reduction preconditioned CG needs (dot(r,z))."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        rnorm_ref[0, 0] = 0.0
+        rho_ref[0, 0] = 0.0
+
+    a = alpha_ref[0, 0]
+    xout_ref[:] = x_ref[:] + a * p_ref[:]
+    rnew = r_ref[:] - a * q_ref[:]
+    rout_ref[:] = rnew
+    r2 = rnew * rnew
+    rnorm_ref[0, 0] += jnp.sum(r2)
+    rho_ref[0, 0] += jnp.sum(d_ref[:] * r2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_update_dot_pcg(
+    x2d: jax.Array,
+    p2d: jax.Array,
+    r2d: jax.Array,
+    q2d: jax.Array,
+    d2d: jax.Array,
+    alpha: jax.Array,
+    interpret: bool = False,
+):
+    """(x', r', rnorm, rho) with rho = r'·(d⊙r') — the Jacobi-PCG update."""
+    rows, lanes = x2d.shape
+    C = _largest_divisor_leq(rows, 1024)
+    blk = pl.BlockSpec((C, lanes), lambda g: (g, 0))
+    scalar = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    grid_spec = pl.GridSpec(
+        grid=(rows // C,),
+        in_specs=[scalar, blk, blk, blk, blk, blk],
+        out_specs=[blk, blk, scalar, scalar],
+    )
+    nbytes = rows * lanes * 4
+    return pl.pallas_call(
+        _update_kernel_pcg,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=9 * rows * lanes,
+            bytes_accessed=7 * nbytes,
+            transcendentals=0,
+        ),
+    )(alpha, x2d, p2d, r2d, q2d, d2d)
 
 
 def _largest_divisor_leq(n: int, cap: int) -> int:

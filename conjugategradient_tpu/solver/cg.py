@@ -243,6 +243,23 @@ def cg_solve(
     # two-fused-Pallas-kernel iteration (solver/fused.py) — same semantics,
     # ~2 device kernels per iteration instead of ~10.  "never" forces the
     # portable loop below (the float64/parity/preconditioned path).
+    # Jacobi-PCG fast path: a preconditioner built by jacobi_preconditioner
+    # carries its diagonal (precond.py); the fused kernels fold the M⁻¹
+    # apply into the direction update and the ρ reduction (config 3's
+    # "fused preconditioner-apply kernel").
+    inv_diag = getattr(M, "inv_diag", None)
+    if (
+        fused == "auto"
+        and inv_diag is not None
+        and recompute_r_every == 0
+    ):
+        from .fused import fused_bell_pcg_solve, fused_supported
+
+        if fused_supported(op, dtype=getattr(b, "dtype", None)):
+            return fused_bell_pcg_solve(
+                op, b, inv_diag, x0, tol=tol, maxiter=maxiter
+            )
+
     if fused != "never" and M is None and recompute_r_every == 0:
         from .fused import fused_bell_cg_solve, fused_supported
         from .fused_stencil import (

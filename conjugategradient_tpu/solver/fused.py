@@ -23,6 +23,7 @@ is tested in interpret mode (tests/test_fused.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Tuple
 
 import jax
@@ -188,10 +189,113 @@ def fused_bell_cg_solve(
     return _fused_solve_core(a, b, x0, tol_arr, maxiter, interpret)
 
 
-import functools as _functools
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class FusedPCGState:
+    """PCG carry: like FusedCGState plus the separate ρ = r·z scalar
+    (preconditioned CG tracks both r·z and ‖r‖²; unpreconditioned they
+    coincide)."""
+
+    k: jax.Array
+    done: jax.Array
+    x: jax.Array
+    r: jax.Array
+    p: jax.Array
+    beta: jax.Array  # (1, 1)
+    rho: jax.Array  # (1, 1) — r·z, drives α/β
+    rnorm: jax.Array  # (1, 1) — ‖r‖², drives termination/history
+    hist: jax.Array
+
+    def tree_flatten(self):
+        return (self.k, self.done, self.x, self.r, self.p,
+                self.beta, self.rho, self.rnorm, self.hist), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
 
 
-@_functools.partial(jax.jit, static_argnames=("maxiter", "interpret"))
+def fused_bell_pcg_solve(
+    a: BlockedEllMatrix,
+    b: jax.Array,
+    inv_diag: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    tol: float = 0.0,
+    maxiter: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, CGInfo]:
+    """Jacobi-PCG with the fused two-kernel iteration (BASELINE config 3's
+    "fused preconditioner-apply kernel", literally: the M⁻¹ multiply happens
+    inside K1's direction update and K2's ρ reduction — zero extra passes
+    beyond one read of inv_diag per kernel)."""
+    n = a.shape[0]
+    if maxiter is None:
+        maxiter = n + 1
+    maxiter = int(maxiter)
+    tol_arr = jnp.asarray(tol, jnp.float32)
+    return _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter", "interpret"))
+def _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret):
+    from ..ops.pallas.fused_cg import fused_dir_spmv_dot, fused_update_dot_pcg
+
+    n = a.shape[0]
+    _, mp = a.padded_shape
+    bn = a.bn
+    base = fused_cg_init(a, b, x0, maxiter=maxiter)
+    # padding slots get d=1 (inert: r is zero there anyway)
+    d2d = (
+        jnp.ones((mp,), jnp.float32)
+        .at[:n].set(inv_diag.astype(jnp.float32))
+        .reshape(mp // bn, bn)
+    )
+    rho0 = jnp.sum(base.r * base.r * d2d).reshape(1, 1)
+    state0 = FusedPCGState(
+        k=base.k, done=base.done, x=base.x, r=base.r, p=base.p,
+        beta=base.beta, rho=rho0, rnorm=base.rho, hist=base.hist,
+    )
+
+    def cond(s):
+        return (s.k < maxiter) & (~s.done)
+
+    def body(s):
+        p_new, q, pap = fused_dir_spmv_dot(
+            a.blocks, a.block_cols, s.r, s.p, s.beta, inv_diag2d=d2d,
+            interpret=interpret,
+        )
+        rho = s.rho[0, 0]
+        exact = rho == 0
+        alpha = jnp.where(exact, 0.0, rho / jnp.where(exact, 1.0, pap[0, 0]))
+        x, r, rnorm, rho_next = fused_update_dot_pcg(
+            s.x, p_new, s.r, q.reshape(s.r.shape), d2d,
+            alpha.reshape(1, 1), interpret=interpret,
+        )
+        done = jnp.isnan(s.rnorm[0, 0]) | (jnp.sqrt(s.rnorm[0, 0]) <= tol_arr)
+        beta = jnp.where(
+            exact, 0.0, rho_next[0, 0] / jnp.where(exact, 1.0, rho)
+        )
+        k = s.k + 1
+        hist = s.hist.at[k].set(rnorm[0, 0])
+        return FusedPCGState(
+            k=k, done=done, x=x, r=r, p=p_new,
+            beta=beta.reshape(1, 1), rho=rho_next, rnorm=rnorm, hist=hist,
+        )
+
+    s = jax.lax.while_loop(cond, body, state0)
+    rnorm = s.rnorm[0, 0]
+    info = CGInfo(
+        iterations=s.k,
+        converged=s.done & ~jnp.isnan(rnorm),
+        rho=s.rho[0, 0].astype(b.dtype),
+        rnorm_sq=rnorm.astype(b.dtype),
+        rho_history=s.hist,
+    )
+    return s.x.reshape(-1)[:n].astype(b.dtype), info
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter", "interpret"))
 def _fused_solve_core(a, b, x0, tol_arr, maxiter, interpret):
     n = a.shape[0]
     state0 = fused_cg_init(a, b, x0, maxiter=maxiter)

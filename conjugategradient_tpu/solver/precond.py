@@ -28,6 +28,9 @@ def jacobi_preconditioner(A: Any, eps: float = 0.0) -> Callable[[jax.Array], jax
     def apply(r: jax.Array) -> jax.Array:
         return inv_d * r
 
+    # expose the diagonal so cg_solve can dispatch Jacobi solves to the
+    # fused PCG kernels (the apply folds into K1/K2 with zero extra passes)
+    apply.inv_diag = inv_d
     return apply
 
 

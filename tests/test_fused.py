@@ -223,3 +223,57 @@ class TestFusedStencil:
         assert not fused_stencil_supported(bad, dtype=jnp.float32, interpret=True)
         assert not fused_stencil_supported(op, dtype=jnp.float64, interpret=True)
         assert not fused_stencil_supported(op, dtype=jnp.float32)  # cpu auto
+
+
+class TestFusedPCG:
+    """Fused Jacobi-PCG (solver/fused.fused_bell_pcg_solve) — BASELINE
+    config 3's fused preconditioner-apply, parity vs the portable PCG."""
+
+    def _sys(self):
+        from conjugategradient_tpu.solver import jacobi_preconditioner
+
+        rows, cols, vals, shape = banded_spd_coo(700, bandwidth=6, seed=7)
+        csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+        bell = BlockedEllMatrix.from_csr(csr, bm=128, bn=128)
+        b = jnp.asarray(reference_rhs(shape[0], dtype=np.float32)) / shape[0]
+        return bell, b, jacobi_preconditioner(bell)
+
+    def test_parity_vs_portable_pcg(self):
+        from conjugategradient_tpu.solver.fused import fused_bell_pcg_solve
+
+        bell, b, M = self._sys()
+        x_ref, i_ref = cg_solve(bell, b, tol=1e-5, M=M, fused="never")
+        x_f, i_f = fused_bell_pcg_solve(bell, b, M.inv_diag, tol=1e-5,
+                                        interpret=True)
+        assert int(i_f.iterations) == int(i_ref.iterations)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                                   rtol=1e-3, atol=1e-5)
+        k = int(i_ref.iterations)
+        np.testing.assert_allclose(
+            np.asarray(i_f.rho_history)[:k], np.asarray(i_ref.rho_history)[:k],
+            rtol=1e-4,
+        )
+
+    def test_jacobi_changes_trajectory(self):
+        # sanity: on a varying-diagonal matrix PCG != CG (the kernels are
+        # really preconditioning, not just scaling)
+        from conjugategradient_tpu.solver.fused import (
+            fused_bell_cg_solve,
+            fused_bell_pcg_solve,
+        )
+
+        bell, b, M = self._sys()
+        _, i_cg = fused_bell_cg_solve(bell, b, tol=1e-6, interpret=True)
+        _, i_pcg = fused_bell_pcg_solve(bell, b, M.inv_diag, tol=1e-6,
+                                        interpret=True)
+        assert int(i_pcg.iterations) != int(i_cg.iterations)
+
+    def test_preconditioner_carries_diag(self):
+        from conjugategradient_tpu.solver import jacobi_preconditioner
+
+        bell, _, M = self._sys()
+        assert hasattr(M, "inv_diag")
+        np.testing.assert_allclose(
+            np.asarray(M.inv_diag), 1.0 / np.asarray(bell.diagonal()),
+            rtol=1e-6,
+        )
