@@ -113,17 +113,17 @@ def main(argv=None) -> int:
     else:
         M = None
 
-    # Warm-up compile outside the timed region: the reference times only
-    # solve() (its kernels are compiled at build time); we match by excluding
-    # the one-time XLA compile.  AOT lower+compile avoids executing a full
-    # throwaway solve just to populate the jit cache.
+    # Warm-up outside the timed region: the reference times only solve()
+    # (its kernels are compiled at build time); we match by running one
+    # throwaway solve first.  Executing (not just AOT-compiling) matters on
+    # remote-relay backends, where the first execution of a new program
+    # pays upload/initialization costs an AOT compile does not flush
+    # (measured: an AOT-only warm-up left ~0.8 s of first-run cost inside
+    # the timed region).
     solve = jax.jit(
         lambda b_: cg_solve(A, b_, tol=args.tol, maxiter=args.maxiter, M=M)
     )
-    try:
-        solve.lower(b).compile()
-    except Exception:  # pragma: no cover - older JAX AOT API
-        solve(b)[0].block_until_ready()
+    np.asarray(solve(b)[0].ravel()[0:1])  # compile + execute + sync
 
     t = Timer().start_measure()
     x, info = solve(b)
