@@ -48,27 +48,50 @@ def rcm_permutation(indices: np.ndarray, indptr: np.ndarray, n: int) -> np.ndarr
     for seed in seeds:
         if visited[seed]:
             continue
-        # BFS from seed
+        # Level-synchronous BFS, fully vectorized per frontier (a per-vertex
+        # Python loop is minutes at the framework's 1.5M+-row target sizes).
+        # Visit order matches the textbook scalar RCM exactly: parents in
+        # frontier order, each parent's unvisited neighbors in (degree,
+        # vertex-id) order, a shared vertex claimed by its earliest parent —
+        # i.e. first occurrence under lexsort(parent_pos, degree, id).
         visited[seed] = True
-        frontier = [int(seed)]
         order[pos] = seed
         pos += 1
-        while frontier:
-            next_frontier = []
-            for u in frontier:
-                nbrs = indices[indptr[u]:indptr[u + 1]]
-                nbrs = nbrs[~visited[nbrs]]
-                if len(nbrs) == 0:
-                    continue
-                nbrs = np.unique(nbrs)  # dedup keeps visited flags simple
-                nbrs = nbrs[np.argsort(degrees[nbrs], kind="stable")]
-                for v in nbrs:
-                    if not visited[v]:
-                        visited[v] = True
-                        order[pos] = v
-                        pos += 1
-                        next_frontier.append(int(v))
-            frontier = next_frontier
+        frontier = np.array([seed], dtype=np.int64)
+        while len(frontier):
+            counts = (indptr[frontier + 1] - indptr[frontier]).astype(np.int64)
+            total = int(counts.sum())
+            if total == 0:
+                break
+            # gather all frontier adjacency lists in one shot
+            starts = indptr[frontier]
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            nbrs = indices[np.repeat(starts, counts) + offs]
+            parent_pos = np.repeat(
+                np.arange(len(frontier), dtype=np.int64), counts
+            )
+            keep = ~visited[nbrs]
+            nbrs, parent_pos = nbrs[keep], parent_pos[keep]
+            if len(nbrs) == 0:
+                break
+            sel = np.lexsort((nbrs, degrees[nbrs], parent_pos))
+            nbrs = nbrs[sel]
+            # keep each vertex's FIRST occurrence in the visit order (a
+            # stable value-sort scan — np.unique's indices would give first
+            # in value order, which is not the same thing)
+            first = np.zeros(len(nbrs), dtype=bool)
+            order_idx = np.argsort(nbrs, kind="stable")
+            sorted_nbrs = nbrs[order_idx]
+            is_first_sorted = np.ones(len(nbrs), dtype=bool)
+            is_first_sorted[1:] = sorted_nbrs[1:] != sorted_nbrs[:-1]
+            first[order_idx] = is_first_sorted
+            nxt = nbrs[first]
+            visited[nxt] = True
+            order[pos : pos + len(nxt)] = nxt
+            pos += len(nxt)
+            frontier = nxt
     assert pos == n, "graph traversal missed vertices"
     return order[::-1].copy()  # the "reverse" in RCM
 
