@@ -160,6 +160,92 @@ def fused_dir_spmv_dot(
     return p_new, q, pap
 
 
+def _spmv_dot_kernel(R: int, kmax: int, bm: int, bn: int):
+    """SpMV + p·q only (no direction update): the sharded solver's per-shard
+    kernel, where the operand is the ALL-GATHERED global p and this shard's
+    q rows sit at ``row_offset`` within it."""
+    rows_per_g = (R * bm) // bn
+
+    def kernel(cols_ref, off_ref, block_ref, x_ref, q_ref, pap_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            pap_ref[0, 0] = 0.0
+
+        for rr in range(R):
+            acc = None
+            for k in range(kmax):
+                c = cols_ref[(g * R + rr) * kmax + k]
+                xb = x_ref[c, :].astype(jnp.float32)
+                blk = block_ref[rr, k].astype(jnp.float32)
+                part = jnp.sum(blk * xb[None, :], axis=1)
+                acc = part if acc is None else acc + part
+            q_ref[rr, :] = acc
+
+        base = off_ref[0] // bn + g * rows_per_g
+        prows = x_ref[pl.ds(base, rows_per_g), :]
+        pap_ref[0, 0] += jnp.sum(q_ref[:] * prows.reshape(R, bm))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "row_group"))
+def bell_spmv_dot(
+    blocks: jax.Array,
+    block_cols: jax.Array,
+    x2d: jax.Array,
+    row_offset: jax.Array,
+    interpret: bool = False,
+    row_group: int = 8,
+):
+    """(q, pap) = (A_local @ x, x[row_offset : row_offset+local_n] . q).
+
+    ``x2d``: the (global) operand reshaped (ncb, bn), resident in VMEM.
+    ``row_offset``: (1,) int32 — this shard's first global row (a multiple
+    of bn).  Building block for the fused sharded iteration
+    (parallel/sharded_cg.py): the local dot partial psums to the global p·q.
+    """
+    nrb, kmax, bm, bn = blocks.shape
+    if bm != bn:
+        raise ValueError(f"fused kernel needs square tiles, got {bm}x{bn}")
+    R = row_group
+    while nrb % R:
+        R //= 2
+    R = max(R, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrb // R,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # row_offset (1,)
+            pl.BlockSpec((R, kmax, bm, bn), lambda g, cols: (g, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole gathered x
+        ],
+        out_specs=[
+            pl.BlockSpec((R, bm), lambda g, cols: (g, 0)),
+            pl.BlockSpec((1, 1), lambda g, cols: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    q, pap = pl.pallas_call(
+        _spmv_dot_kernel(R, kmax, bm, bn),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nrb * kmax * bm * bn,
+            bytes_accessed=blocks.size * blocks.dtype.itemsize
+            + x2d.size * 4 + nrb * bm * 4,
+            transcendentals=0,
+        ),
+    )(block_cols.reshape(-1), row_offset, blocks, x2d)
+    return q, pap
+
+
 def _update_kernel(alpha_ref, x_ref, p_ref, r_ref, q_ref,
                    xout_ref, rout_ref, rnorm_ref):
     g = pl.program_id(0)

@@ -264,6 +264,96 @@ def _sharded_pcg(
     return x, k, done, rho, rnorm, hist
 
 
+def _sharded_fused_cg(
+    blocks_s: jax.Array,
+    cols_s: jax.Array,
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+    bn: int,
+    interpret: bool,
+):
+    """Per-shard CG loop built from the fused Pallas kernels: the local SpMV
+    and the p·q partial run as one kernel (ops/pallas/fused_cg.bell_spmv_dot
+    on the all-gathered operand), the x/r updates and the ‖r‖² partial as
+    another (fused_update_dot); the partials psum over ICI.  Same semantics
+    as _sharded_pcg, unpreconditioned, f32.
+
+    The direction update stays a fused XLA elementwise op: it must complete
+    BEFORE the all_gather, so it cannot be folded into the SpMV kernel the
+    way the single-chip path does (solver/fused.py)."""
+    from ..ops.pallas.fused_cg import bell_spmv_dot, fused_update_dot
+
+    m = b_s.shape[0]
+    offset = (jax.lax.axis_index(axis) * m).astype(jnp.int32).reshape(1)
+
+    def matvec_dot(v_local2):
+        v_full = jax.lax.all_gather(v_local2.reshape(-1), axis, tiled=True)
+        q, pap_l = bell_spmv_dot(
+            blocks_s, cols_s, v_full.reshape(-1, bn), offset,
+            interpret=interpret,
+        )
+        return q.reshape(v_local2.shape), jax.lax.psum(pap_l[0, 0], axis)
+
+    b2 = b_s.astype(jnp.float32).reshape(m // 128, 128)
+    x2 = x0_s.astype(jnp.float32).reshape(m // 128, 128)
+    ax0, _ = matvec_dot(x2)
+    r2 = b2 - ax0
+    rho0 = jax.lax.psum(jnp.sum(r2 * r2), axis)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=jnp.float32)
+    hist = hist.at[0].set(rho0)
+    carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             x2, r2, r2, rho0, hist)
+
+    def body(c):
+        k, done, x, r, p, rho, hist = c
+        q, pap = matvec_dot(p)
+        exact = rho == 0
+        alpha = jnp.where(exact, 0.0, rho / jnp.where(exact, 1.0, pap))
+        x, r, rnorm_l = fused_update_dot(
+            x, p, r, q, alpha.reshape(1, 1).astype(jnp.float32),
+            interpret=interpret,
+        )
+        rnorm_next = jax.lax.psum(rnorm_l[0, 0], axis)
+        done = jnp.isnan(rho) | (jnp.sqrt(rho) <= tol_arr)
+        beta = jnp.where(exact, 0.0, rnorm_next / jnp.where(exact, 1.0, rho))
+        p = r + beta * p
+        k = k + 1
+        hist = hist.at[k].set(rnorm_next)
+        return (k, done, x, r, p, rnorm_next, hist)
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    k, done, x, r, p, rho, hist = jax.lax.while_loop(cond, body, carry)
+    return x.reshape(-1), k, done, rho, rho, hist
+
+
+def _fused_shards_supported(blocks, b, with_m: bool, interpret: bool) -> bool:
+    n_shards, nrb, kmax, bm, bn = blocks.shape
+    m = b.shape[0] // n_shards  # rows per shard
+    ok = (
+        not with_m
+        and bm == bn
+        and bn % 128 == 0
+        and m % 128 == 0
+        and jnp.dtype(b.dtype) == jnp.dtype(jnp.float32)
+        and kmax <= 64
+        # the all-gathered operand must sit in VMEM next to the tile pipeline
+        and b.shape[0] * 4 + 2 * 8 * kmax * bm * bn * 4 <= 64 * 1024 * 1024
+    )
+    if not ok:
+        return False
+    if interpret:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 # ---------------------------------------------------------------------------
 # public solvers
 # ---------------------------------------------------------------------------
@@ -310,6 +400,8 @@ def sharded_cg_solve(
     maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
     ncols_padded: Optional[int] = None,
+    use_fused: str = "auto",
+    interpret: bool = False,
 ):
     """Row-sharded (P)CG over a 1-D mesh, blocked-ELL operator.
 
@@ -322,6 +414,12 @@ def sharded_cg_solve(
         entries should be 1 to stay inert).
       mesh: 1-D device mesh (defaults to all devices).
       maxiter: iteration cap (static); None (default) means N_padded + 1.
+      use_fused: "auto" runs each shard's iteration on the fused Pallas
+        kernels (SpMV + p·q partial in one pass, x/r updates + ‖r‖² partial
+        in another — the single-chip fast path's kernels, partials psum'd)
+        when the operator qualifies on a TPU backend; "never"/"always"
+        override.  ``interpret`` runs those kernels in interpret mode
+        (CPU testing).
 
     Returns (x, CGInfo); x is row-sharded but exposed as a global jax.Array.
     """
@@ -335,14 +433,24 @@ def sharded_cg_solve(
 
     x0 = jnp.zeros_like(b) if x0 is None else x0
     with_m = inv_diag is not None
+    fused = use_fused == "always" or (
+        use_fused == "auto"
+        and _fused_shards_supported(blocks, b, with_m, interpret)
+    )
 
     key = ("bell", _mesh_key(mesh), axis, maxiter, float(tol), with_m, bn,
-           str(b.dtype))
+           str(b.dtype), fused, interpret)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
             blocks_s = blocks_s[0]
             cols_s = cols_s[0]
+
+            if fused:
+                return _sharded_fused_cg(
+                    blocks_s, cols_s, b_s, x0_s,
+                    tol_arr.astype(jnp.float32), maxiter, axis, bn, interpret,
+                )
 
             def local_matvec(v_local):
                 v_full = jax.lax.all_gather(v_local, axis, tiled=True)

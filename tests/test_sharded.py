@@ -245,3 +245,34 @@ def test_ring_halo_validates_width():
             mesh=mesh, in_specs=P("rows"), out_specs=P("rows"),
         )
         f(x)
+
+
+def test_sharded_fused_kernels_match_xla_path():
+    """The fused per-shard iteration (bell_spmv_dot + fused_update_dot with
+    psum'd partials) must match the XLA sharded path exactly."""
+    rows, cols, vals, shape = poisson2d_coo(32)  # 1024 rows -> 128/shard
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    blocks, bcols, n_pad = partition_csr_rows(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, N_DEV, bm=128, bn=128,
+    )
+    n = shape[0]
+    b = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        jnp.asarray(reference_rhs(n, dtype=np.float32)) / n
+    )
+    x_ref, i_ref = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-4, maxiter=n + 1,
+        use_fused="never",
+    )
+    x_f, i_f = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-4, maxiter=n + 1,
+        use_fused="always", interpret=True,
+    )
+    assert int(i_f.iterations) == int(i_ref.iterations)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                               rtol=1e-3, atol=1e-5)
+    k = int(i_ref.iterations)
+    h_ref = np.asarray(i_ref.rho_history)[:k]
+    h_f = np.asarray(i_f.rho_history)[:k]
+    sel = h_ref > h_ref[0] * 1e-10  # outside the converged tail
+    np.testing.assert_allclose(h_f[sel], h_ref[sel], rtol=1e-4)
