@@ -28,20 +28,33 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cg import CGState, cg_step
+from .fused import FusedCGState, fused_cg_step
 from ..types import LinearOperator
 
-_FIELDS = [f.name for f in dataclasses.fields(CGState)]
+_KINDS = {"CGState": CGState, "FusedCGState": FusedCGState}
 
 
-def save_state(path, state: CGState) -> None:
-    """Serialize a CGState to ``.npz`` (host round-trip)."""
-    np.savez(path, **{name: np.asarray(getattr(state, name)) for name in _FIELDS})
+def save_state(path, state) -> None:
+    """Serialize a solver carry (CGState or FusedCGState) to ``.npz``."""
+    kind = type(state).__name__
+    if kind not in _KINDS:
+        raise TypeError(f"not a checkpointable solver state: {kind}")
+    fields = [f.name for f in dataclasses.fields(state)]
+    np.savez(
+        path,
+        __kind__=np.asarray(kind),
+        **{name: np.asarray(getattr(state, name)) for name in fields},
+    )
 
 
-def load_state(path) -> CGState:
-    """Load a CGState saved by :func:`save_state`."""
+def load_state(path):
+    """Load a carry saved by :func:`save_state` (kind restored from the
+    file; files from before the fused path default to CGState)."""
     with np.load(path) as z:
-        return CGState(**{name: jnp.asarray(z[name]) for name in _FIELDS})
+        kind = str(z["__kind__"]) if "__kind__" in z else "CGState"
+        cls = _KINDS[kind]
+        fields = [f.name for f in dataclasses.fields(cls)]
+        return cls(**{name: jnp.asarray(z[name]) for name in fields})
 
 
 def run_cg(
@@ -57,15 +70,26 @@ def run_cg(
     ``M`` must match the preconditioner the state was initialized with
     (``cg_init(..., M=M)``): mixing a PCG carry with plain-CG steps (or vice
     versa) silently corrupts the beta recurrence.
+
+    Accepts either the portable ``CGState`` or the TPU fast path's
+    ``FusedCGState`` (from ``solver.fused.fused_cg_init``; ``A`` must then
+    be the BlockedEllMatrix it was built for, and ``M`` must be None).
     """
     maxiter = int(state.hist.shape[0]) - 1
     limit = maxiter if steps is None else min(maxiter, int(state.k) + int(steps))
-    tol_arr = jnp.asarray(tol, dtype=state.x.dtype)
+    fused = isinstance(state, FusedCGState)
+    if fused and M is not None:
+        raise ValueError("FusedCGState carries are unpreconditioned (M=None)")
+    tol_arr = jnp.asarray(
+        tol, dtype=jnp.float32 if fused else state.x.dtype
+    )
 
-    def cond(s: CGState):
+    def cond(s):
         return (s.k < limit) & (~s.done)
 
-    def body(s: CGState):
+    def body(s):
+        if fused:
+            return fused_cg_step(A, s, tol_arr)
         return cg_step(A, s, tol_arr, M=M)
 
     return jax.lax.while_loop(cond, body, state)

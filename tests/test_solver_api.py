@@ -181,3 +181,31 @@ def test_bfloat16_solve_runs():
     x, info = cg_solve(A16, b, tol=1e-1, maxiter=400)
     assert x.dtype == jnp.bfloat16
     assert bool(jnp.all(jnp.isfinite(x.astype(jnp.float32))))
+
+
+def test_fused_state_checkpoint_roundtrip(tmp_path):
+    """Checkpoint/resume covers the fused fast path's carry too."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.problems import poisson2d_coo, reference_rhs
+    from conjugategradient_tpu.solver.checkpoint import (
+        load_state,
+        run_cg,
+        save_state,
+    )
+    from conjugategradient_tpu.solver.fused import fused_cg_init
+    from conjugategradient_tpu.types import BlockedEllMatrix, CSRMatrix
+
+    rows, cols, vals, shape = poisson2d_coo(16)
+    csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    bell = BlockedEllMatrix.from_csr(csr, bm=128, bn=128)
+    b = jnp.asarray(reference_rhs(shape[0], dtype=np.float32))
+    s0 = fused_cg_init(bell, b, maxiter=64)
+    path = tmp_path / "fused_ckpt.npz"
+    save_state(path, s0)
+    s1 = load_state(path)
+    assert type(s1).__name__ == "FusedCGState"
+    for f in ("k", "x", "r", "p", "beta", "rho", "hist"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s0, f)), np.asarray(getattr(s1, f))
+        )
