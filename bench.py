@@ -307,6 +307,64 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto"):
     }
 
 
+def bench_pcg(n: int = 262144, iters: int = 256):
+    """Per-iteration time of the fused Jacobi-PCG loop body (BASELINE
+    config 3).  The M⁻¹ apply is folded into the two fused kernels; the
+    interesting number is how little it costs over plain CG (one extra
+    VMEM-resident read of inv_diag per kernel)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solver.fused import (
+        _fused_pcg_core,
+        fused_supported,
+    )
+    from conjugategradient_tpu.types import BlockedEllMatrix
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s
+
+    a = block_tridiag_bell(n, 128, 128, jnp.float32)
+    if not fused_supported(a, dtype=jnp.float32):
+        return {"metric": "pcg_iteration_time", "value": -1.0, "unit": "us",
+                "vs_baseline": 0.0,
+                "detail": {"error": "fused path unsupported on this backend"}}
+    b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+    inv_diag = 1.0 / a.diagonal()
+    shape_static, nnz_static = a.shape, a.nnz
+
+    def solve(blocks, cols, b_, d_):
+        a_ = BlockedEllMatrix(blocks, cols, shape_static, nnz_static)
+        # fixed-iteration run: tol=0 with a hard cap == a K-step chain
+        x, info = _fused_pcg_core(
+            a_, b_, d_, None, jnp.asarray(0.0, jnp.float32), iters, False
+        )
+        return info.rnorm_sq.reshape(1)
+
+    f = jax.jit(solve)
+    args = (a.blocks, a.block_cols, b, inv_diag)
+    float(f(*args)[0])
+    ovh = rpc_overhead_s()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(*args)[0])
+        ts.append(time.perf_counter() - t0)
+    t = (min(ts) - ovh) / iters
+    tile_bytes = a.blocks.size * 4
+    bytes_it = tile_bytes + 12 * n * 4  # +2 inv_diag reads over plain CG's 10
+    gbps = bytes_it / t / 1e9
+    peak = _hbm_peak_gbps()
+    return {
+        "metric": "pcg_iteration_effective_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / peak, 4),
+        "detail": {"n": n, "time_per_iter_us": round(t * 1e6, 2),
+                   "iterations_run": iters},
+    }
+
+
 def bench_batched(n: int = 131072, reps=(1, 8, 32)):
     """Multi-RHS amortization: per-RHS SpMV time at R right-hand sides vs
     R=1 (solver/batched.py's claim, measured).  The operator tiles stream
@@ -357,13 +415,14 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--config",
         default="cg",
-        choices=("spmv", "stencil", "cg", "batched", "large"),
+        choices=("spmv", "stencil", "cg", "pcg", "batched", "large"),
     )
     args = ap.parse_args(argv)
     out = {
         "spmv": bench_spmv_bell,
         "stencil": bench_stencil,
         "cg": bench_cg,
+        "pcg": bench_pcg,
         "batched": bench_batched,
         "large": bench_large,
     }[args.config]()
