@@ -11,10 +11,15 @@ The reference publishes no numbers (BASELINE.md); its harness measures only
 wall-clock per solve (test/Tester.cpp:43-47).  This bench reports the
 quantity that determines solve time for a memory-bound Krylov method.
 
-Default problem: block-tridiagonal SPD with dense 128x128 tiles, n=131072
-(201 MB tile stream), f32.  Other configs:
+Default config: ``cg`` — time per CG iteration of the fused two-Pallas-
+kernel loop on a block-tridiagonal SPD operator with dense 128x128 tiles,
+n=262144 (403 MB tile stream), f32; byte model = min(structural, XLA cost
+analysis).  Other configs:
+  --config spmv      blocked-ELL SpMV alone
   --config stencil   matrix-free 7-point 256^3 Poisson matvec (config 4)
-  --config cg        time-per-CG-iteration, whole loop jitted
+  --config pcg       fused Jacobi-PCG iteration (config 3)
+  --config batched   multi-RHS per-RHS amortization (R = 1/8/32)
+  --config large     the cg config at 1.5M rows (G3_circuit scale)
 """
 
 from __future__ import annotations

@@ -31,12 +31,38 @@ def _lib_path() -> str:
     return os.path.join(here, "native", _LIB_NAME)
 
 
+def _sources_newer_than(lib_path: str) -> bool:
+    """True if any native/*.cpp is newer than the built library — a stale
+    binary would silently shadow source edits (round-1 advisor finding)."""
+    try:
+        lib_mtime = os.path.getmtime(lib_path)
+        src_dir = os.path.dirname(lib_path)
+        for f in os.listdir(src_dir):
+            if f.endswith(".cpp") and os.path.getmtime(
+                os.path.join(src_dir, f)
+            ) > lib_mtime:
+                return True
+    except OSError:
+        pass
+    return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
     path = _lib_path()
     if not os.path.exists(path):
+        _load_failed = True
+        return None
+    if _sources_newer_than(path):
+        import warnings
+
+        warnings.warn(
+            f"{path} is older than the C++ sources next to it; falling back "
+            "to the Python reader — rebuild with `make -C native`",
+            stacklevel=3,
+        )
         _load_failed = True
         return None
     try:

@@ -10,7 +10,8 @@ from .cg import (
     memory_footprint,
 )
 from .checkpoint import load_state, run_cg, save_state
-from .fused import fused_bell_cg_solve, fused_supported
+from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
+from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
 from .precond import identity_preconditioner, jacobi_preconditioner
 
 __all__ = [
@@ -27,7 +28,10 @@ __all__ = [
     "expected_step_count",
     "memory_footprint",
     "fused_bell_cg_solve",
+    "fused_bell_pcg_solve",
     "fused_supported",
+    "fused_stencil_cg_solve",
+    "fused_stencil_supported",
     "jacobi_preconditioner",
     "identity_preconditioner",
 ]
