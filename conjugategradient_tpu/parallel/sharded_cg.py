@@ -331,6 +331,72 @@ def _sharded_fused_cg(
     return x.reshape(-1), k, done, rho, rho, hist
 
 
+def _sharded_pipelined_cg(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+):
+    """Chronopoulos–Gear single-sync CG per shard: ONE psum (of the stacked
+    [γ, δ] pair) per iteration instead of standard CG's two sequential
+    reduction rounds — halves the collective latency on real meshes
+    (solver/pipelined.py documents the recurrences and the rounding trade)."""
+    acc = jnp.promote_types(b_s.dtype, jnp.float32)
+
+    def local_pair(r, s):
+        part = jnp.stack([
+            jnp.sum(r.astype(acc) * r.astype(acc)),
+            jnp.sum(r.astype(acc) * s.astype(acc)),
+        ])
+        return jax.lax.psum(part, axis)  # the iteration's ONLY collective sum
+
+    r0 = b_s - local_matvec(x0_s)
+    gamma0 = jax.lax.psum(jnp.sum(r0.astype(acc) * r0.astype(acc)), axis)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=gamma0.dtype)
+    hist = hist.at[0].set(gamma0)
+    zerov = jnp.zeros_like(r0)
+    one = jnp.ones_like(gamma0)
+    carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             x0_s, r0, zerov, zerov, gamma0, one, gamma0, hist)
+
+    def body(c):
+        k, done, x, r, p, q, gamma_old, alpha_old, rnorm, hist = c
+        s = local_matvec(r)
+        pair = local_pair(r, s)
+        gamma, delta = pair[0], pair[1]
+        # γ IS the pre-update ‖r_k‖² — the same quantity the standard path
+        # tests (SURVEY §2.3(5)); it falls out of the single reduction, so
+        # termination and history need NO extra collective.
+        hist = hist.at[k].set(gamma)
+        done = jnp.isnan(gamma) | (jnp.sqrt(gamma) <= tol_arr)
+        first = k == 0
+        exact = gamma == 0
+        beta = jnp.where(first | exact, 0.0, gamma / gamma_old)
+        denom = jnp.where(first, delta, delta - beta * gamma / alpha_old)
+        safe = jnp.where(denom == 0, 1.0, denom)
+        alpha = jnp.where(exact, 0.0, gamma / safe)
+        alpha = jnp.where(denom == 0, jnp.nan * one, alpha)
+        alpha = jnp.where(exact, 0.0, alpha)
+        p = r + (beta * p).astype(r.dtype)
+        q = s + (beta * q).astype(s.dtype)
+        x = (x + alpha * p).astype(x.dtype)
+        r = (r - alpha * q).astype(r.dtype)
+        return (k + 1, done, x, r, p, q, gamma, alpha, gamma, hist)
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    k, done, x, r, p, q, gamma, alpha, rnorm, hist = jax.lax.while_loop(
+        cond, body, carry
+    )
+    # one post-loop reduction records the final residual
+    rnorm_final = jax.lax.psum(jnp.sum(r.astype(acc) * r.astype(acc)), axis)
+    hist = hist.at[k].set(rnorm_final)
+    return x, k, done, rnorm_final, rnorm_final, hist
+
+
 def _fused_shards_supported(blocks, b, with_m: bool, interpret: bool) -> bool:
     n_shards, nrb, kmax, bm, bn = blocks.shape
     m = b.shape[0] // n_shards  # rows per shard
@@ -402,6 +468,7 @@ def sharded_cg_solve(
     ncols_padded: Optional[int] = None,
     use_fused: str = "auto",
     interpret: bool = False,
+    method: str = "standard",
 ):
     """Row-sharded (P)CG over a 1-D mesh, blocked-ELL operator.
 
@@ -420,6 +487,10 @@ def sharded_cg_solve(
         when the operator qualifies on a TPU backend; "never"/"always"
         override.  ``interpret`` runs those kernels in interpret mode
         (CPU testing).
+      method: "standard" (Hestenes–Stiefel, two psum rounds/iteration) or
+        "pipelined" (Chronopoulos–Gear, ONE psum of the stacked [γ, δ]
+        pair/iteration — halves collective latency; see solver/pipelined.py
+        for the rounding trade).  "pipelined" is unpreconditioned.
 
     Returns (x, CGInfo); x is row-sharded but exposed as a global jax.Array.
     """
@@ -433,13 +504,18 @@ def sharded_cg_solve(
 
     x0 = jnp.zeros_like(b) if x0 is None else x0
     with_m = inv_diag is not None
-    fused = use_fused == "always" or (
-        use_fused == "auto"
-        and _fused_shards_supported(blocks, b, with_m, interpret)
+    if method not in ("standard", "pipelined"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "pipelined" and with_m:
+        raise ValueError("method='pipelined' is unpreconditioned (inv_diag=None)")
+    fused = method == "standard" and (
+        use_fused == "always"
+        or (use_fused == "auto"
+            and _fused_shards_supported(blocks, b, with_m, interpret))
     )
 
     key = ("bell", _mesh_key(mesh), axis, maxiter, float(tol), with_m, bn,
-           str(b.dtype), fused, interpret)
+           str(b.dtype), fused, interpret, method)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
@@ -455,6 +531,11 @@ def sharded_cg_solve(
             def local_matvec(v_local):
                 v_full = jax.lax.all_gather(v_local, axis, tiled=True)
                 return _local_bell_matvec(blocks_s, cols_s, v_full.reshape(-1, bn))
+
+            if method == "pipelined":
+                return _sharded_pipelined_cg(
+                    local_matvec, b_s, x0_s, tol_arr, maxiter, axis
+                )
 
             return _sharded_pcg(
                 local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis

@@ -12,6 +12,7 @@ from .cg import (
 from .checkpoint import load_state, run_cg, save_state
 from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
+from .pipelined import pipelined_cg_solve
 from .precond import identity_preconditioner, jacobi_preconditioner
 
 __all__ = [
@@ -32,6 +33,7 @@ __all__ = [
     "fused_supported",
     "fused_stencil_cg_solve",
     "fused_stencil_supported",
+    "pipelined_cg_solve",
     "jacobi_preconditioner",
     "identity_preconditioner",
 ]

@@ -276,3 +276,45 @@ def test_sharded_fused_kernels_match_xla_path():
     h_f = np.asarray(i_f.rho_history)[:k]
     sel = h_ref > h_ref[0] * 1e-10  # outside the converged tail
     np.testing.assert_allclose(h_f[sel], h_ref[sel], rtol=1e-4)
+
+
+def test_sharded_pipelined_single_psum_matches_standard():
+    """Chronopoulos–Gear single-sync CG (one psum of [γ, δ] per iteration)
+    must match the two-psum standard path's iterations and solution."""
+    rows, cols, vals, shape = poisson2d_coo(20)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    blocks, bcols, n_pad = partition_csr_rows(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, N_DEV, bm=8, bn=8,
+    )
+    n = shape[0]
+    b = jnp.zeros((n_pad,)).at[:n].set(jnp.asarray(reference_rhs(n)))
+    x_s, i_s = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-10, maxiter=n + 1
+    )
+    x_p, i_p = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-10, maxiter=n + 1,
+        method="pipelined",
+    )
+    assert int(i_p.iterations) == int(i_s.iterations)
+    assert bool(i_p.converged)
+    np.testing.assert_allclose(
+        np.asarray(x_p[:n]), np.asarray(x_s[:n]), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_sharded_pipelined_rejects_preconditioner():
+    rows, cols, vals, shape = poisson2d_coo(10)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    blocks, bcols, n_pad = partition_csr_rows(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, N_DEV, bm=8, bn=8,
+    )
+    b = jnp.ones((n_pad,))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pipelined"):
+        sharded_cg_solve(
+            jnp.asarray(blocks), jnp.asarray(bcols), b,
+            inv_diag=jnp.ones((n_pad,)), method="pipelined",
+        )

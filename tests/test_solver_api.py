@@ -209,3 +209,39 @@ def test_fused_state_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(getattr(s0, f)), np.asarray(getattr(s1, f))
         )
+
+
+def test_pipelined_cg_matches_plain():
+    """Single-synchronization CG (solver/pipelined.py) reproduces plain CG:
+    same iteration count, same solution, matching early history."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import CSRMatrix, cg_solve
+    from conjugategradient_tpu.problems import poisson2d_coo, reference_rhs
+    from conjugategradient_tpu.solver.pipelined import pipelined_cg_solve
+
+    rows, cols, vals, shape = poisson2d_coo(16)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    b = jnp.asarray(reference_rhs(shape[0]))
+    x_ref, i_ref = cg_solve(A, b, tol=1e-10, fused="never")
+    x_p, i_p = pipelined_cg_solve(A, b, tol=1e-10)
+    assert int(i_p.iterations) == int(i_ref.iterations)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref),
+                               rtol=1e-8, atol=1e-10)
+    h1 = np.asarray(i_ref.rho_history)[:15]
+    h2 = np.asarray(i_p.rho_history)[:15]
+    np.testing.assert_allclose(h2, h1, rtol=1e-8)
+
+
+def test_pipelined_cg_zero_rhs_and_breakdown():
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solver.pipelined import pipelined_cg_solve
+
+    a = jnp.eye(8)
+    x, info = pipelined_cg_solve(a, jnp.zeros((8,)), tol=1e-30)
+    assert bool(jnp.all(x == 0))
+    # indefinite/singular: NaN exit, not an infinite loop
+    sing = jnp.zeros((8, 8))
+    x2, i2 = pipelined_cg_solve(sing, jnp.ones((8,)), tol=1e-10, maxiter=20)
+    assert not bool(i2.converged)
