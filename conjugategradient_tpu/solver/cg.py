@@ -224,9 +224,16 @@ def cg_solve(
         extra SpMV per interval.  0 (default) reproduces the reference's
         never-recompute semantics (CG.hpp:392).
 
-      fused: "auto" (default) dispatches blocked-ELL/f32 solves on TPU to the
-        two-fused-Pallas-kernel iteration (solver/fused.py); "never" forces
-        the portable loop; "always" requires a fused-capable operator.
+      fused: "auto" (default) dispatches f32 solves on TPU to the
+        two-fused-Pallas-kernel iteration — blocked-ELL (solver/fused.py,
+        incl. Jacobi-PCG when M comes from ``jacobi_preconditioner``) and
+        matrix-free stencil (solver/fused_stencil.py); "never" forces the
+        portable loop; "always" requires a fused-capable operator.
+
+    Note: the whole solve is cached as one compiled program keyed on the
+    operator structure/shapes and on ``M``'s identity — reuse the same
+    preconditioner object across solves (a fresh closure per call compiles
+    a fresh executable).
 
     Jit-compatible: ``jax.jit(cg_solve, static_argnames=("maxiter", "n",
     "M", "recompute_r_every", "fused"))`` — these steer Python control flow
