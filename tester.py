@@ -47,6 +47,11 @@ def main(argv=None) -> int:
                     help="solve dtype (float64 matches the reference's double)")
     ap.add_argument("--precond", choices=("none", "jacobi", "chebyshev"),
                     default="none")
+    ap.add_argument("--method", choices=("standard", "pipelined"),
+                    default="standard",
+                    help="pipelined = single-synchronization Chronopoulos-"
+                         "Gear CG (one global reduction per iteration; "
+                         "unpreconditioned)")
     ap.add_argument("--cheb-degree", type=int, default=8,
                     help="Chebyshev polynomial degree (with --precond chebyshev)")
     ap.add_argument("--bm", type=int, default=128, help="blocked-ELL row tile")
@@ -120,9 +125,22 @@ def main(argv=None) -> int:
     # pays upload/initialization costs an AOT compile does not flush
     # (measured: an AOT-only warm-up left ~0.8 s of first-run cost inside
     # the timed region).
-    solve = jax.jit(
-        lambda b_: cg_solve(A, b_, tol=args.tol, maxiter=args.maxiter, M=M)
-    )
+    if args.method == "pipelined":
+        if M is not None:
+            print("error: --method pipelined is unpreconditioned",
+                  file=sys.stderr)
+            return 2
+        from conjugategradient_tpu.solver.pipelined import pipelined_cg_solve
+
+        solve = jax.jit(
+            lambda b_: pipelined_cg_solve(
+                A, b_, tol=args.tol, maxiter=args.maxiter
+            )
+        )
+    else:
+        solve = jax.jit(
+            lambda b_: cg_solve(A, b_, tol=args.tol, maxiter=args.maxiter, M=M)
+        )
     np.asarray(solve(b)[0].ravel()[0:1])  # compile + execute + sync
 
     t = Timer().start_measure()
