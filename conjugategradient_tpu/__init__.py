@@ -23,6 +23,7 @@ from .types import (
     DenseOperator,
     LinearOperator,
     MatrixFreeOperator,
+    SellMatrix,
     StencilOperator,
     as_linear_operator,
 )
@@ -50,6 +51,7 @@ __all__ = [
     "DenseOperator",
     "LinearOperator",
     "MatrixFreeOperator",
+    "SellMatrix",
     "StencilOperator",
     "as_linear_operator",
     "CGInfo",

@@ -7,12 +7,16 @@ to the requested device layout — or picks one automatically:
 * ``dia``  — diagonal storage; best when the matrix is banded (low distinct
   diagonal count): zero index traffic, pure streaming.
 * ``bell`` — blocked-ELL dense tiles; best for block-structured matrices.
-* ``csr``  — gather + segment-sum; always correct, used as the fallback and
-  for parity oracles.
+* ``sell`` — degree-bucketed ELL; the fast path for SCATTERED patterns
+  (power-law graphs, circuits) where DIA/bell padding explodes: it pays the
+  irreducible per-nnz gather exactly once instead of CSR's gather +
+  scalar segment-sum (measured 2.2x on v5e, docs/performance.md).
+* ``csr``  — gather + segment-sum; always correct, kept as the semantic
+  reference / parity-oracle layout.
 
 The "auto" policy compares the *bandwidth overhead* (stored slots / true
-nnz) each fast layout would pay and picks the cheapest, falling back to CSR
-when both pad too much to win over the gather path.
+nnz) each fast layout would pay and picks the cheapest, falling back to
+SELL when both banded/blocked layouts pad too much.
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ from typing import Tuple
 import numpy as np
 
 from ..reorder import count_diagonals, permute_csr, rcm_permutation
-from ..types import BlockedEllMatrix, CSRMatrix, DIAMatrix
+from ..types import BlockedEllMatrix, CSRMatrix, DIAMatrix, SellMatrix
 
 
 def read_csr_host(path, dtype=np.float64):
@@ -51,7 +55,7 @@ def choose_layout(
     bm: int = 8,
     bn: int = 128,
 ) -> str:
-    """Pick 'dia' / 'bell' / 'csr' from the sparsity pattern (see module doc)."""
+    """Pick 'dia' / 'bell' / 'sell' from the sparsity pattern (see module doc)."""
     n = shape[0]
     nnz = max(int(len(indices)), 1)
 
@@ -71,7 +75,9 @@ def choose_layout(
     bell_padding = nrb * kmax * bm * bn / nnz
     if bell_padding <= _BELL_MAX_PADDING:
         return "bell"
-    return "csr"
+    # scattered pattern: no streaming layout exists — bucketed ELL pays the
+    # irreducible gather once per nnz vs CSR's gather + scalar segment-sum
+    return "sell"
 
 
 def load_matrix(
@@ -84,7 +90,7 @@ def load_matrix(
 ):
     """Load a MatrixMarket file as a device operator.
 
-    layout: "auto" (pattern-based choice), "csr", "bell", or "dia".
+    layout: "auto" (pattern-based choice), "csr", "bell", "sell", or "dia".
     reorder: apply RCM first (bandwidth reduction).  When True the return
       value is ``(operator, perm)`` with ``perm[new] = old``; solve
       ``A' y = b[perm]`` and map back with ``x[perm] = y``
@@ -102,6 +108,10 @@ def load_matrix(
 
     if layout == "csr":
         op = CSRMatrix.from_arrays(data, indices, indptr, shape, dtype=dtype)
+    elif layout == "sell":
+        op = SellMatrix.from_csr_host(
+            data.astype(dtype), indices, indptr, shape
+        )
     elif layout == "bell":
         op = BlockedEllMatrix.from_csr_host(
             data.astype(dtype), indices, indptr, shape, bm=bm, bn=bn
@@ -112,6 +122,7 @@ def load_matrix(
         )
     else:
         raise ValueError(
-            f"unknown layout {layout!r} (want 'auto', 'csr', 'bell' or 'dia')"
+            f"unknown layout {layout!r} "
+            "(want 'auto', 'csr', 'sell', 'bell' or 'dia')"
         )
     return (op, perm) if reorder else op

@@ -1,5 +1,5 @@
 from .blas import dot, norm_sq, norm, saxpby, sapbx, sambx
-from .spmv import csr_spmv, bell_spmv, dense_spmv, dia_spmv
+from .spmv import csr_spmv, bell_spmv, dense_spmv, dia_spmv, sell_spmv
 from .stencil import stencil7_matvec
 
 __all__ = [
@@ -13,5 +13,6 @@ __all__ = [
     "bell_spmv",
     "dense_spmv",
     "dia_spmv",
+    "sell_spmv",
     "stencil7_matvec",
 ]

@@ -20,7 +20,36 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..types import BlockedEllMatrix, CSRMatrix
+from ..types import BlockedEllMatrix, CSRMatrix, SellMatrix
+
+
+def sell_spmv(a: SellMatrix, x: jax.Array) -> jax.Array:
+    """Degree-bucketed ELL SpMV — the fast path for scattered matrices.
+
+    Per bucket: one flat gather of ``x`` at the (nb·k) stored column indices
+    (the irreducible random-access cost, measured ~7.3 ns/element on v5e —
+    identical to a bare gather) and a vectorized multiply + k-axis reduction.
+    The diagonal contributes as a plain stream and one final gather restores
+    row order from the degree-sorted bucket concatenation.  Unlike
+    :func:`csr_spmv` there is NO segmented scalar reduction — on scattered
+    patterns this halves the per-nnz cost (docs/performance.md).
+    """
+    out_dtype = jnp.promote_types(a.dtype, x.dtype)
+    acc = _acc(out_dtype)
+    xa = x.astype(acc)
+    # ONE gather over every stored slot (separate per-bucket gathers pay a
+    # fixed XLA-op cost each — measured 12.3 vs 6.9 ns/nnz at 30 buckets)
+    prods = a.vals_flat.astype(acc) * xa[a.cols_flat]
+    parts, base = [], 0
+    for nb, k in a.bucket_meta:
+        if k == 0:
+            parts.append(jnp.zeros((nb,), dtype=acc))
+            continue
+        parts.append(prods[base : base + nb * k].reshape(nb, k).sum(axis=1))
+        base += nb * k
+    y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    y = a.diag.astype(acc) * xa + y_sorted[a.pos]
+    return y.astype(out_dtype)
 
 
 def csr_spmv(a: CSRMatrix, x: jax.Array) -> jax.Array:

@@ -549,6 +549,210 @@ class DIAMatrix(LinearOperator):
         return float(self.diags.size) / max(self.nnz, 1)
 
 
+def _sell_ladder(max_degree: int) -> Tuple[int, ...]:
+    """Geometric row-width ladder {1,2,3,4,6,8,12,16,...}: padding a row to
+    the next rung wastes at most 50% of its slots."""
+    ks = []
+    k = 1
+    while k < max_degree:
+        ks += [k, k + (k + 1) // 2] if k > 1 else [1, 2]
+        k *= 2
+    ks = sorted({v for v in ks if v <= max_degree} | {max_degree})
+    return tuple(ks)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SellMatrix(LinearOperator):
+    """Degree-bucketed ELL ("sliced-ELL") — the TPU layout for SCATTERED
+    sparse matrices, where DIA/blocked-ELL padding explodes and CSR falls
+    back to gather + segment-sum.
+
+    Measured motivation (v5e, docs/performance.md): random access on TPU has
+    a hard ~7-8 ns/element scalar floor, and the CSR path pays it TWICE — a
+    gather of ``x[indices]`` plus a scalar segmented reduction (15.9 ns/nnz
+    total).  This layout pays it exactly once: rows are grouped into buckets
+    by (off-diagonal) degree, each bucket stores dense ``(rows, k)`` column/
+    value slabs, and the per-slot products reduce along the k axis with
+    vectorized adds — no segment-sum at all (7.3 ns/nnz, the gather-only
+    rate).  The main diagonal is split out as a plain stream (every SPD
+    matrix has one), which both removes its entries from the gather and
+    makes ``diagonal()`` (Jacobi setup) free.
+
+    Storage: ``diag[n]``; ONE flat slot array pair ``cols_flat``/``vals_flat``
+    holding every bucket's row-major (nb, k) slab back to back (padding
+    slots: col 0, val 0 — gathering x[0]*0 needs no masking); and ``pos[n]``
+    mapping row → its slot in the degree-sorted concatenation, so ``matvec``
+    restores row order with one gather.  The slabs are flat rather than
+    per-bucket arrays because each separate XLA gather op pays a fixed cost
+    — measured at n=1.5M/30 buckets, per-bucket gathers ran at 12.3 ns/nnz
+    vs 6.9 for one flat gather.  Replaces the reference's scalar-row CSR
+    kernel (VectorOperations.hpp:438-466) for irregular SuiteSparse-class
+    patterns (bus networks, circuits) where no banded/blocked layout exists
+    even after RCM.
+    """
+
+    diag: jax.Array  # (n,)
+    pos: jax.Array  # (n,) int32: row i's index in the bucket concatenation
+    cols_flat: jax.Array  # (total_slots,) int32
+    vals_flat: jax.Array  # (total_slots,)
+    bucket_meta: Tuple[Tuple[int, int], ...]  # per bucket: (nb, k), static
+    shape: Tuple[int, int]
+    nnz: int  # true nnz (pre-padding), static metadata
+
+    def tree_flatten(self):
+        return (self.diag, self.pos, self.cols_flat, self.vals_flat), (
+            self.bucket_meta,
+            self.shape,
+            self.nnz,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        diag, pos, cols_flat, vals_flat = children
+        return cls(diag, pos, cols_flat, vals_flat, aux[0], aux[1], aux[2])
+
+    @staticmethod
+    def from_csr_host(
+        data: np.ndarray,
+        indices: np.ndarray,
+        indptr: np.ndarray,
+        shape: Tuple[int, int],
+        dtype=None,
+    ) -> "SellMatrix":
+        """Host-side CSR → bucketed ELL (done once at ingest, O(nnz))."""
+        n, ncols = shape
+        data = np.asarray(data)
+        if dtype is not None:
+            data = data.astype(dtype)
+        indices = np.asarray(indices, dtype=np.int64)
+        indptr = np.asarray(indptr, dtype=np.int64)
+        nnz = int(len(data))
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+
+        on_diag = indices == row_ids
+        diag = np.zeros(n, dtype=data.dtype)
+        np.add.at(diag, row_ids[on_diag], data[on_diag])
+        off_r = row_ids[~on_diag]
+        off_c = indices[~on_diag]
+        off_v = data[~on_diag]
+
+        deg = np.bincount(off_r, minlength=n).astype(np.int64)
+        max_deg = int(deg.max()) if len(deg) else 0
+        if max_deg == 0:
+            # pure-diagonal matrix: a single k=0 bucket covering every row
+            return SellMatrix(
+                jnp.asarray(diag),
+                jnp.asarray(np.arange(n, dtype=np.int32)),
+                jnp.zeros((0,), jnp.int32),
+                jnp.zeros((0,), diag.dtype),
+                ((n, 0),),
+                (n, ncols),
+                nnz,
+            )
+        ladder = np.asarray(_sell_ladder(max_deg), dtype=np.int64)
+        k_of_row = np.where(
+            deg > 0, ladder[np.searchsorted(ladder, deg)], 0
+        )
+        row_perm = np.argsort(k_of_row, kind="stable")  # rows grouped by k
+        pos = np.empty(n, dtype=np.int32)
+        pos[row_perm] = np.arange(n, dtype=np.int32)
+
+        # slot of each off-diagonal entry within its row (CSR order kept)
+        off_row_start = np.concatenate([[0], np.cumsum(deg)[:-1]])
+        slot = np.arange(len(off_r), dtype=np.int64) - off_row_start[off_r]
+
+        sorted_k = k_of_row[row_perm]
+        # bucket boundaries: runs of equal k in the sorted row order
+        cut = np.flatnonzero(np.concatenate([[True], sorted_k[1:] != sorted_k[:-1]]))
+        ends = np.concatenate([cut[1:], [n]])
+        meta = [
+            (int(e - s), int(sorted_k[s])) for s, e in zip(cut, ends)
+        ]
+        # flat slot index of every off-diagonal entry: its row's slab start
+        # (bucket base + local_row * k) plus its within-row slot
+        slab_sizes = np.array([nb * k for nb, k in meta], dtype=np.int64)
+        slab_base = np.concatenate([[0], np.cumsum(slab_sizes)[:-1]])
+        total = int(slab_sizes.sum())
+        # per-row flat start, computed in sorted-row order then mapped back
+        row_start_sorted = np.repeat(slab_base, [nb for nb, _ in meta]) + (
+            np.arange(n, dtype=np.int64)
+            - np.repeat(cut, [nb for nb, _ in meta])
+        ) * sorted_k
+        row_start = row_start_sorted[pos.astype(np.int64)]
+        flat_idx = row_start[off_r] + slot
+        cols_flat = np.zeros(total, dtype=np.int32)
+        vals_flat = np.zeros(total, dtype=data.dtype)
+        cols_flat[flat_idx] = off_c.astype(np.int32)
+        vals_flat[flat_idx] = off_v
+        return SellMatrix(
+            jnp.asarray(diag),
+            jnp.asarray(pos),
+            jnp.asarray(cols_flat),
+            jnp.asarray(vals_flat),
+            tuple(meta),
+            (n, ncols),
+            nnz,
+        )
+
+    @staticmethod
+    def from_csr(csr: "CSRMatrix") -> "SellMatrix":
+        return SellMatrix.from_csr_host(
+            np.asarray(csr.data),
+            np.asarray(csr.indices),
+            np.asarray(csr.indptr),
+            csr.shape,
+        )
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def dtype(self):
+        return self.diag.dtype
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from .ops.spmv import sell_spmv
+
+        return sell_spmv(self, x)
+
+    def diagonal(self) -> jax.Array:
+        return self.diag
+
+    def to_dense(self) -> jax.Array:
+        n, ncols = self.shape
+        out = jnp.zeros((n, ncols), dtype=self.dtype)
+        out = out.at[jnp.arange(n), jnp.arange(n)].add(self.diag)
+        row_perm = jnp.argsort(self.pos)
+        start, base = 0, 0
+        for nb, k in self.bucket_meta:
+            if k == 0:
+                start += nb
+                continue
+            cb = self.cols_flat[base : base + nb * k]
+            vb = self.vals_flat[base : base + nb * k]
+            rows = jnp.repeat(row_perm[start : start + nb], k)
+            # padding slots carry val 0 — the scatter-add of 0 is harmless
+            out = out.at[rows, cb].add(vb)
+            start += nb
+            base += nb * k
+        return out
+
+    def memory_footprint(self) -> int:
+        return (
+            self.diag.size * self.diag.dtype.itemsize
+            + self.pos.size * self.pos.dtype.itemsize
+            + self.cols_flat.size * self.cols_flat.dtype.itemsize
+            + self.vals_flat.size * self.vals_flat.dtype.itemsize
+        )
+
+    def padding_ratio(self) -> float:
+        """Stored slots / true nnz — the bandwidth overhead of the layout."""
+        slots = self.diag.size + int(self.vals_flat.size)
+        return float(slots) / max(self.nnz, 1)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class DenseOperator(LinearOperator):

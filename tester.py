@@ -35,7 +35,7 @@ def main(argv=None) -> int:
                     help="absolute tolerance on ||r||2 (reference: 1e-24)")
     ap.add_argument("--maxiter", type=int, default=None,
                     help="iteration cap (reference: N+1)")
-    ap.add_argument("--layout", choices=("auto", "csr", "bell", "dia"), default="csr",
+    ap.add_argument("--layout", choices=("auto", "csr", "sell", "bell", "dia"), default="csr",
                     help="device operator layout: auto picks by sparsity "
                          "pattern; bell = blocked-ELL tiles; dia = diagonal "
                          "storage (banded fast path)")

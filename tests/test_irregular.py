@@ -47,11 +47,14 @@ def test_spd(bus1138):
     assert np.linalg.eigvalsh(a).min() > 0
 
 
-def test_choose_layout_falls_back_to_csr(bus1138):
+def test_choose_layout_falls_back_to_sell(bus1138):
+    # scattered pattern: both streaming layouts pad too much; the fallback
+    # is the bucketed-ELL gather layout (round 2's irregular fast path),
+    # which beats CSR's gather+segment-sum 2x on hardware (docs/performance.md)
     lay = choose_layout(
         np.asarray(bus1138.indices), np.asarray(bus1138.indptr), bus1138.shape
     )
-    assert lay == "csr"
+    assert lay == "sell"
 
 
 def test_blocked_ell_padding_blowup(bus1138):
