@@ -20,6 +20,7 @@ analysis).  Other configs:
   --config pcg       fused Jacobi-PCG iteration (config 3)
   --config batched   multi-RHS per-RHS amortization (R = 1/8/32)
   --config large     the cg config at 1.5M rows (G3_circuit scale)
+  --config irregular SELL vs CSR SpMV on the 1.5M-row power-law pattern
 """
 
 from __future__ import annotations
@@ -405,6 +406,63 @@ def bench_batched(n: int = 131072, reps=(1, 8, 32)):
     }
 
 
+def bench_irregular(n: int = 786432):
+    # n defaults to half the north-star scale: same gather-bound regime
+    # (x far exceeds any cache), but generation + upload + the chip-grant
+    # wait fit one bench invocation; docs/performance.md records the
+    # full-scale numbers.
+    """Scattered-matrix SpMV: SELL (degree-bucketed gather) vs CSR
+    (gather + scalar segment-sum) on the power-law north-star pattern.
+    Both are random-access bound, so the honest unit is ns per nonzero
+    against the measured ~7 ns scalar-access floor — GB/s is meaningless
+    for a gather-bound kernel.  value = SELL's speedup over CSR;
+    vs_baseline = floor_ns / sell_ns (1.0 == paying the irreducible
+    random-access cost exactly once per nonzero)."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.problems import powerlaw_spd_coo
+    from conjugategradient_tpu.types import CSRMatrix, SellMatrix
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s, time_loop_s
+
+    rows, cols, vals, shape = powerlaw_spd_coo(n, avg_degree=4.8, seed=0)
+    # build CSR on the HOST once and feed both layouts from it — pulling
+    # device arrays back through the dispatch tunnel costs ~a minute at
+    # this size, uploading twice costs nothing
+    order = np.lexsort((cols, rows))
+    r, c, v = rows[order], cols[order], vals[order].astype(np.float32)
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, r + 1, 1)
+    indptr = np.cumsum(indptr)
+    csr = CSRMatrix.from_arrays(v, c, indptr, shape)
+    sell = SellMatrix.from_csr_host(v, c, indptr, shape)
+    x0 = jnp.ones((n,), jnp.float32)
+    ovh = rpc_overhead_s()
+    times = {}
+    for name, op, K in (("csr", csr, 8), ("sell", sell, 16)):
+        t = time_loop_s(
+            lambda v, op=op: op.matvec(v) * 1e-6 + x0, x0, K=K, iters=2,
+            overhead_s=ovh,
+        )
+        times[name] = t
+    nnz = csr.nnz
+    sell_ns = times["sell"] / nnz * 1e9
+    csr_ns = times["csr"] / nnz * 1e9
+    floor_ns = 6.9  # measured bare-gather rate (docs/performance.md)
+    return {
+        "metric": "irregular_spmv_sell_vs_csr",
+        "value": round(csr_ns / sell_ns, 2),
+        "unit": "x speedup",
+        "vs_baseline": round(floor_ns / sell_ns, 4),
+        "detail": {"n": n, "nnz": nnz,
+                   "sell_ms": round(times["sell"] * 1e3, 1),
+                   "csr_ms": round(times["csr"] * 1e3, 1),
+                   "sell_ns_per_nnz": round(sell_ns, 2),
+                   "csr_ns_per_nnz": round(csr_ns, 2),
+                   "gather_floor_ns": floor_ns,
+                   "sell_padding": round(sell.padding_ratio(), 3)},
+    }
+
+
 def bench_large(n: int = 1572864, iters: int = 64):
     """North-star-scale CG iteration: ~1.5M rows (G3_circuit-class), 2.4 GB
     operator stream — BASELINE.md configs 2/5 scale on one chip."""
@@ -420,7 +478,8 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--config",
         default="cg",
-        choices=("spmv", "stencil", "cg", "pcg", "batched", "large"),
+        choices=("spmv", "stencil", "cg", "pcg", "batched", "large",
+                 "irregular"),
     )
     args = ap.parse_args(argv)
     out = {
@@ -430,6 +489,7 @@ def main(argv=None) -> int:
         "pcg": bench_pcg,
         "batched": bench_batched,
         "large": bench_large,
+        "irregular": bench_irregular,
     }[args.config]()
     print(json.dumps(out))
     return 0
