@@ -36,6 +36,7 @@ from .solver import (
     cg_solve_batched,
     cg_step,
     expected_step_count,
+    block_jacobi_preconditioner,
     jacobi_preconditioner,
     memory_footprint,
 )
@@ -62,6 +63,7 @@ __all__ = [
     "cg_solve_batched",
     "cg_step",
     "expected_step_count",
+    "block_jacobi_preconditioner",
     "jacobi_preconditioner",
     "memory_footprint",
     "CG",

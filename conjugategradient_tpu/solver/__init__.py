@@ -13,7 +13,13 @@ from .checkpoint import load_state, run_cg, save_state
 from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
 from .pipelined import pipelined_cg_solve
-from .precond import identity_preconditioner, jacobi_preconditioner
+from .precond import (
+    block_jacobi_preconditioner,
+    chebyshev_preconditioner,
+    estimate_spectral_bounds,
+    identity_preconditioner,
+    jacobi_preconditioner,
+)
 
 __all__ = [
     "cg_solve_batched",
@@ -35,5 +41,8 @@ __all__ = [
     "fused_stencil_supported",
     "pipelined_cg_solve",
     "jacobi_preconditioner",
+    "block_jacobi_preconditioner",
+    "chebyshev_preconditioner",
+    "estimate_spectral_bounds",
     "identity_preconditioner",
 ]

@@ -38,6 +38,138 @@ def identity_preconditioner() -> Callable[[jax.Array], jax.Array]:
     return lambda r: r
 
 
+def _diagonal_blocks_host(op: Any, b: int):
+    """Extract A's diagonal b×b blocks as a host (nb, b, b) array.
+
+    Host-side, once at setup (like RCM / layout packing).  Rows past n pad
+    with identity so the batched inversion stays well-posed.
+    """
+    import numpy as np
+
+    from ..types import (
+        CSRMatrix,
+        DenseOperator,
+        DIAMatrix,
+        SellMatrix,
+        StencilOperator,
+    )
+
+    n = op.shape[0]
+    nb = -(-n // b)
+    blocks = np.zeros((nb, b, b), dtype=np.float64)
+    pad = np.arange(n, nb * b)
+    blocks[pad // b, pad % b, pad % b] = 1.0
+
+    def scatter(rows, cols, vals):
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        keep = rows // b == cols // b
+        r, c, v = rows[keep], cols[keep], np.asarray(vals, np.float64)[keep]
+        np.add.at(blocks, (r // b, r % b, c % b), v)
+
+    if isinstance(op, CSRMatrix):
+        scatter(np.asarray(op.row_ids), np.asarray(op.indices), np.asarray(op.data))
+    elif isinstance(op, SellMatrix):
+        rows = np.arange(n, dtype=np.int64)
+        scatter(rows, rows, np.asarray(op.diag))
+        row_perm = np.argsort(np.asarray(op.pos, dtype=np.int64), kind="stable")
+        cols_flat = np.asarray(op.cols_flat, dtype=np.int64)
+        vals_flat = np.asarray(op.vals_flat, dtype=np.float64)
+        start = base = 0
+        for nb_, k in op.bucket_meta:
+            if k == 0:
+                start += nb_
+                continue
+            r = np.repeat(row_perm[start : start + nb_], k)
+            # padding slots carry val 0 — harmless in the scatter-add
+            scatter(r, cols_flat[base : base + nb_ * k], vals_flat[base : base + nb_ * k])
+            start += nb_
+            base += nb_ * k
+    elif isinstance(op, DIAMatrix):
+        diags = np.asarray(op.diags, dtype=np.float64)
+        for d, off in enumerate(op.offsets):
+            if abs(off) >= b:
+                continue
+            i = np.arange(max(0, -off), min(n, n - off), dtype=np.int64)
+            scatter(i, i + off, diags[d, i])
+    elif isinstance(op, StencilOperator):
+        nx, ny, nz = op.grid_shape
+        center = float(np.asarray(op.center))
+        off = float(np.asarray(op.off))
+        i = np.arange(n, dtype=np.int64)
+        scatter(i, i, np.full(n, center))
+        # the only index-adjacent coupling is the z±1 neighbor, absent
+        # across a z-line boundary ((i+1) % nz == 0); x/y neighbors are
+        # ±nz·{1, ny} away and land in-block only if b > nz
+        for stride in (1, nz, ny * nz):
+            if stride >= n:
+                continue
+            j = i[: n - stride]
+            if stride == 1:
+                j = j[(j + 1) % nz != 0]
+            elif stride == nz:
+                j = j[(j // nz + 1) % ny != 0]
+            vals = np.full(len(j), off)
+            scatter(j, j + stride, vals)
+            scatter(j + stride, j, vals)
+    elif isinstance(op, DenseOperator):
+        a = np.asarray(op.a, dtype=np.float64)
+        for i in range(nb):
+            lo, hi = i * b, min((i + 1) * b, n)
+            blocks[i, : hi - lo, : hi - lo] = a[lo:hi, lo:hi]
+    else:
+        raise TypeError(
+            f"block_jacobi_preconditioner cannot extract diagonal blocks "
+            f"from {type(op).__name__}; build it from a CSR/SELL/DIA/dense/"
+            "stencil operator or pass an explicit preconditioner"
+        )
+    return blocks
+
+
+def block_jacobi_preconditioner(
+    A: Any, block_size: int = 8, n: int = None
+) -> Callable[[jax.Array], jax.Array]:
+    """Block-Jacobi: M = block-diag(A) with ``block_size``×``block_size``
+    blocks, M⁻¹ r applied as one batched (nb, b, b)×(nb, b) contraction.
+
+    TPU-first generalization of scalar Jacobi: the blocks are extracted and
+    inverted ONCE at setup (host-side batched inversion — SPD principal
+    submatrices of an SPD matrix are SPD, hence invertible), and the apply
+    is dense batched matmul work the MXU/VPU streams at full rate — no
+    triangular solves (forward/back substitution serializes; hostile to the
+    hardware, which is why IC(0)/SSOR are deliberately absent).  With
+    ``block_size=1`` this reduces to scalar Jacobi exactly.  Stronger local
+    coupling captured per block ⇒ fewer CG iterations ⇒ fewer psum rounds
+    when sharded — the classic line-Jacobi effect on grid problems (pick
+    ``block_size = nz`` for a z-line smoother on a stencil).
+    """
+    import numpy as np
+
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    op = as_linear_operator(A, n=n)
+    if block_size == 1:
+        return jacobi_preconditioner(op)
+    m = op.shape[0]
+    blocks = _diagonal_blocks_host(op, block_size)
+    inv_blocks = jnp.asarray(np.linalg.inv(blocks), dtype=op.dtype)
+    npad = inv_blocks.shape[0] * block_size
+
+    def apply(r: jax.Array) -> jax.Array:
+        rp = jnp.pad(r, (0, npad - m)) if npad != m else r
+        y = jnp.einsum(
+            "nij,nj->ni",
+            inv_blocks.astype(r.dtype),
+            rp.reshape(-1, block_size),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return y.reshape(-1)[:m]
+
+    apply.inv_blocks = inv_blocks
+    apply.block_size = block_size
+    return apply
+
+
 def estimate_spectral_bounds(
     A: Any,
     n: int = None,

@@ -45,7 +45,8 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", choices=("float32", "float64", "bfloat16"),
                     default="float64",
                     help="solve dtype (float64 matches the reference's double)")
-    ap.add_argument("--precond", choices=("none", "jacobi", "chebyshev"),
+    ap.add_argument("--precond",
+                    choices=("none", "jacobi", "blockjacobi", "chebyshev"),
                     default="none")
     ap.add_argument("--method", choices=("standard", "pipelined"),
                     default="standard",
@@ -54,6 +55,8 @@ def main(argv=None) -> int:
                          "unpreconditioned)")
     ap.add_argument("--cheb-degree", type=int, default=8,
                     help="Chebyshev polynomial degree (with --precond chebyshev)")
+    ap.add_argument("--block-size", type=int, default=8, dest="block_size",
+                    help="diagonal-block size (with --precond blockjacobi)")
     ap.add_argument("--bm", type=int, default=128, help="blocked-ELL row tile")
     ap.add_argument("--bn", type=int, default=128, help="blocked-ELL col tile")
     ap.add_argument("--history", action="store_true",
@@ -101,6 +104,12 @@ def main(argv=None) -> int:
         b = b[jnp.asarray(perm)]
     if args.precond == "jacobi":
         M = jacobi_preconditioner(A)
+    elif args.precond == "blockjacobi":
+        from conjugategradient_tpu.solver.precond import (
+            block_jacobi_preconditioner,
+        )
+
+        M = block_jacobi_preconditioner(A, block_size=args.block_size)
     elif args.precond == "chebyshev":
         from conjugategradient_tpu.solver.precond import (
             chebyshev_preconditioner,

@@ -124,3 +124,147 @@ def test_chebyshev_apply_is_linear():
     lhs = M(2.0 * u - 3.0 * v)
     rhs = 2.0 * M(u) - 3.0 * M(v)
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), rtol=1e-10, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# block-Jacobi (round 2+: batched b×b inverses, MXU-friendly apply)
+# ---------------------------------------------------------------------------
+
+def _dense_block_jacobi_apply(a_dense, b, r):
+    """Reference apply: invert the block diagonal densely with numpy."""
+    n = a_dense.shape[0]
+    nb = -(-n // b)
+    out = np.zeros(n)
+    for i in range(nb):
+        lo, hi = i * b, min((i + 1) * b, n)
+        out[lo:hi] = np.linalg.solve(a_dense[lo:hi, lo:hi], r[lo:hi])
+    return out
+
+
+def test_block_jacobi_b1_equals_scalar_jacobi():
+    from conjugategradient_tpu import block_jacobi_preconditioner
+
+    A, b, _ = _problem(n=200)
+    M1 = block_jacobi_preconditioner(A, block_size=1)
+    Mj = jacobi_preconditioner(A)
+    r = jnp.asarray(np.random.default_rng(0).standard_normal(200))
+    np.testing.assert_array_equal(np.asarray(M1(r)), np.asarray(Mj(r)))
+
+
+def test_block_jacobi_apply_matches_dense_reference():
+    from conjugategradient_tpu import block_jacobi_preconditioner
+
+    A, _, _ = _problem(n=203)  # n not divisible by b: exercises padding
+    a_dense = np.asarray(A.to_dense())
+    r = np.random.default_rng(1).standard_normal(203)
+    for bsz in (4, 8, 16):
+        M = block_jacobi_preconditioner(A, block_size=bsz)
+        np.testing.assert_allclose(
+            np.asarray(M(jnp.asarray(r))),
+            _dense_block_jacobi_apply(a_dense, bsz, r),
+            rtol=1e-10, atol=1e-12,
+        )
+
+
+def test_block_jacobi_extraction_parity_across_layouts():
+    """CSR, DIA, SELL and dense extractions of the same matrix must yield
+    the same preconditioner."""
+    from conjugategradient_tpu import block_jacobi_preconditioner
+    from conjugategradient_tpu.types import DenseOperator, DIAMatrix, SellMatrix
+
+    A, _, _ = _problem(n=160, bw=4)
+    ops = [
+        A,
+        DIAMatrix.from_csr(A),
+        SellMatrix.from_csr(A),
+        DenseOperator(A.to_dense()),
+    ]
+    r = jnp.asarray(np.random.default_rng(2).standard_normal(160))
+    ref = None
+    for op in ops:
+        M = block_jacobi_preconditioner(op, block_size=8)
+        y = np.asarray(M(r))
+        if ref is None:
+            ref = y
+        else:
+            np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-14)
+
+
+def test_block_jacobi_stencil_matches_csr():
+    """The analytic stencil block extraction must agree with extracting from
+    the same operator materialized as CSR (poisson3d == 7-point stencil)."""
+    from conjugategradient_tpu import block_jacobi_preconditioner
+    from conjugategradient_tpu.problems import poisson3d_coo
+    from conjugategradient_tpu.types import StencilOperator
+
+    nx, ny, nz = 4, 5, 6
+    rows, cols, vals, shape = poisson3d_coo(nx, ny, nz)
+    csr = CSRMatrix.from_coo(rows, cols, vals, shape)
+    st = StencilOperator.poisson((nx, ny, nz), dtype=jnp.float64)
+    r = jnp.asarray(np.random.default_rng(3).standard_normal(shape[0]))
+    for bsz in (3, nz, 2 * nz):  # within-line, one z-line, two z-lines
+        Mc = block_jacobi_preconditioner(csr, block_size=bsz)
+        Ms = block_jacobi_preconditioner(st, block_size=bsz)
+        np.testing.assert_allclose(
+            np.asarray(Ms(r)), np.asarray(Mc(r)), rtol=1e-12, atol=1e-14
+        )
+
+
+def test_block_jacobi_is_spd():
+    from conjugategradient_tpu import block_jacobi_preconditioner
+
+    A, _, _ = _problem(n=64)
+    M = block_jacobi_preconditioner(A, block_size=8)
+    eye = np.eye(64)
+    m_inv = np.stack([np.asarray(M(jnp.asarray(eye[i]))) for i in range(64)])
+    np.testing.assert_allclose(m_inv, m_inv.T, rtol=1e-12, atol=1e-13)
+    assert np.linalg.eigvalsh(m_inv).min() > 0
+
+
+def test_block_jacobi_cuts_iterations_vs_scalar_jacobi():
+    """Line-Jacobi effect: on a 2-D Poisson problem with strong in-line
+    coupling, b = one grid line captures the tridiagonal coupling and must
+    converge in fewer iterations than scalar Jacobi."""
+    from conjugategradient_tpu import block_jacobi_preconditioner
+    from conjugategradient_tpu.problems import poisson2d_coo
+
+    # anisotropic Poisson: strong coupling along the line direction
+    ny = 24
+    rows, cols, vals, shape = poisson2d_coo(24, ny)
+    vals = vals.copy()
+    # scale in-line couplings (|i-j| == 1) by 50: strong anisotropy
+    inline = np.abs(rows - cols) == 1
+    vals[inline] *= 50.0
+    diag = rows == cols
+    vals[diag] = 1.0  # rebuild diagonal for SPD via dominance
+    a = np.zeros(shape)
+    np.add.at(a, (rows, cols), vals)
+    np.fill_diagonal(a, 0.0)
+    d = np.abs(a).sum(axis=1) + 1.0
+    A = CSRMatrix.from_coo(
+        np.concatenate([rows[~diag], np.arange(shape[0])]),
+        np.concatenate([cols[~diag], np.arange(shape[0])]),
+        np.concatenate([vals[~diag], d]),
+        shape,
+    )
+    b = jnp.asarray(reference_rhs(shape[0]))
+    Mj = jacobi_preconditioner(A)
+    Mb = block_jacobi_preconditioner(A, block_size=ny)
+    _, ij = cg_solve(A, b, tol=1e-10, maxiter=2000, M=Mj)
+    _, ib = cg_solve(A, b, tol=1e-10, maxiter=2000, M=Mb)
+    assert bool(ib.converged) and bool(ij.converged)
+    assert int(ib.iterations) < int(ij.iterations)
+
+
+def test_block_jacobi_rejects_bad_input():
+    import pytest
+
+    from conjugategradient_tpu import block_jacobi_preconditioner
+    from conjugategradient_tpu.types import MatrixFreeOperator
+
+    A, _, _ = _problem(n=32)
+    with pytest.raises(ValueError):
+        block_jacobi_preconditioner(A, block_size=0)
+    op = MatrixFreeOperator(lambda x: x, 32, jnp.float64)
+    with pytest.raises(TypeError):
+        block_jacobi_preconditioner(op, block_size=4)
