@@ -9,6 +9,8 @@ falls out of the compiler rather than being hand-written.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Callable
 
 import jax
@@ -170,6 +172,52 @@ def block_jacobi_preconditioner(
     return apply
 
 
+@functools.partial(jax.jit, static_argnames=("op_static", "k"))
+def _lanczos_tridiag_device(op_arrays, op_static, v0, k: int):
+    """k Lanczos steps with full reorthogonalization, entirely on device.
+
+    One jitted dispatch instead of k eager matvecs — the eager version cost
+    a dispatch round-trip AND an n-vector device→host pull per step (~26 ms
+    + the tunnel transfer each; minutes at the 1.5M-row target sizes).
+    Returns (alphas, betas) of the Lanczos tridiagonal; a (near-)zero
+    beta[j] marks an invariant subspace — the caller truncates there.
+    """
+    op = jax.tree_util.tree_unflatten(op_static, op_arrays)
+    m = v0.shape[0]
+    dt = v0.dtype
+    v = v0 / jnp.linalg.norm(v0)
+
+    def body(j, carry):
+        V, alphas, betas, v, v_prev, beta = carry
+        V = V.at[j].set(v)
+        w = op.matvec(v).astype(dt)
+        alpha = jnp.vdot(v, w)
+        w = w - alpha * v - beta * v_prev
+        # full reorthogonalization keeps Ritz values clean at small k;
+        # rows past j are zero so the masked basis costs nothing extra
+        w = w - V.T @ (V @ w)
+        beta_new = jnp.linalg.norm(w)
+        # on breakdown (invariant subspace) freeze: emit zero vectors so
+        # later alphas stay 0 and the caller truncates at the zero beta
+        safe = beta_new > 1e-12
+        v_next = jnp.where(safe, w / jnp.where(safe, beta_new, 1.0), 0.0)
+        return (
+            V,
+            alphas.at[j].set(alpha),
+            betas.at[j].set(jnp.where(safe, beta_new, 0.0)),
+            v_next,
+            v,
+            jnp.where(safe, beta_new, 0.0),
+        )
+
+    V = jnp.zeros((k, m), dtype=dt)
+    alphas = jnp.zeros((k,), dtype=dt)
+    betas = jnp.zeros((k,), dtype=dt)
+    carry = (V, alphas, betas, v, jnp.zeros_like(v), jnp.asarray(0.0, dt))
+    _, alphas, betas, *_ = jax.lax.fori_loop(0, k, body, carry)
+    return alphas, betas
+
+
 def estimate_spectral_bounds(
     A: Any,
     n: int = None,
@@ -180,50 +228,38 @@ def estimate_spectral_bounds(
 ):
     """Estimate (λ_min, λ_max) of an SPD operator for Chebyshev setup.
 
-    Runs ``iters`` steps of Lanczos (with full reorthogonalization) and
-    takes the extreme Ritz values.  Ritz values approximate the spectrum
+    Runs ``iters`` steps of Lanczos (with full reorthogonalization) as ONE
+    jitted device dispatch and takes the extreme Ritz values of the small
+    tridiagonal (host eigvalsh).  Ritz values approximate the spectrum
     from the INSIDE — the largest underestimates λ_max and the smallest
     overestimates λ_min — so λ_max is inflated by ``safety`` and λ_min
-    deflated by ``min_margin``.  Cost: ``iters`` matvecs, host-side, once.
-    (An earlier min(diag)/2 heuristic exceeded the true λ_min on
-    Poisson-like matrices; Chebyshev stays SPD with a wrong interval but
-    loses contraction on the excluded low modes — err low on λ_min.)
-    Supply exact bounds when known — tighter intervals precondition better.
+    deflated by ``min_margin``.  (An earlier min(diag)/2 heuristic exceeded
+    the true λ_min on Poisson-like matrices; Chebyshev stays SPD with a
+    wrong interval but loses contraction on the excluded low modes — err
+    low on λ_min.)  Supply exact bounds when known — tighter intervals
+    precondition better.
     """
     import numpy as np
 
     op = as_linear_operator(A, n=n)
     m = op.shape[0]
-    # cap the reorthogonalization basis (float32) at ~1 GB so setup stays
-    # cheap at the framework's multi-million-row target sizes; the result
-    # is only a padded interval estimate, so a shorter basis is fine
-    k = min(iters, m, max(3, (1 << 30) // (4 * m)))
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(m)
-    v = v / np.linalg.norm(v)
-
-    V = np.zeros((k, m), dtype=np.float32)
-    alphas, betas = [], []
-    beta = 0.0
-    v_prev = np.zeros(m)
-    for j in range(k):
-        V[j] = v
-        w = np.asarray(op.matvec(jnp.asarray(v, dtype=op.dtype)), dtype=np.float64)
-        alpha = float(v @ w)
-        w = w - alpha * v - beta * v_prev
-        # full reorthogonalization keeps Ritz values clean at small k
-        w = w - V[: j + 1].T @ (V[: j + 1] @ w)
-        alphas.append(alpha)
-        beta = float(np.linalg.norm(w))
-        if beta < 1e-12:  # invariant subspace found: Ritz values are exact
-            break
-        betas.append(beta)
-        v_prev = v
-        v = w / beta
-
-    T = np.diag(alphas)
-    if betas:
-        off = np.array(betas[: len(alphas) - 1])
+    # cap the reorthogonalization basis at ~1 GB of device memory; the
+    # result is only a padded interval estimate, so a shorter basis is fine
+    itemsize = jnp.dtype(op.dtype).itemsize
+    k = int(min(iters, m, max(3, (1 << 30) // (itemsize * m))))
+    v0 = jnp.asarray(
+        np.random.default_rng(seed).standard_normal(m), dtype=op.dtype
+    )
+    op_arrays, op_static = jax.tree_util.tree_flatten(op)
+    alphas, betas = _lanczos_tridiag_device(tuple(op_arrays), op_static, v0, k)
+    alphas = np.asarray(alphas, dtype=np.float64)
+    betas = np.asarray(betas, dtype=np.float64)
+    # truncate at the first breakdown: Ritz values are exact from there on
+    stop = np.flatnonzero(betas < 1e-12)
+    kk = int(stop[0]) + 1 if len(stop) else k
+    T = np.diag(alphas[:kk])
+    if kk > 1:
+        off = betas[: kk - 1]
         T = T + np.diag(off, 1) + np.diag(off, -1)
     ritz = np.linalg.eigvalsh(T)
     lam_max = float(ritz[-1]) * safety
