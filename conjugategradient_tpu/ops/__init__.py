@@ -1,5 +1,5 @@
 from .blas import dot, norm_sq, norm, saxpby, sapbx, sambx
-from .spmv import csr_spmv, bell_spmv, dense_spmv, dia_spmv, sell_spmv
+from .spmv import csr_spmv, bell_spmv, dense_spmv, dia_spmv, sell_spmv, sell_spmv_multi
 from .stencil import stencil7_matvec
 
 __all__ = [
@@ -14,5 +14,6 @@ __all__ = [
     "dense_spmv",
     "dia_spmv",
     "sell_spmv",
+    "sell_spmv_multi",
     "stencil7_matvec",
 ]

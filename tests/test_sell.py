@@ -150,3 +150,39 @@ def test_loader_auto_picks_sell(tmp_path):
     np.testing.assert_allclose(
         np.asarray(op.matvec(x)), np.asarray(csr.matvec(x)), rtol=1e-12, atol=1e-12
     )
+
+
+def test_sell_spmv_multi_parity(scattered):
+    from conjugategradient_tpu.ops import sell_spmv_multi
+
+    sell = SellMatrix.from_csr(scattered)
+    n = scattered.shape[0]
+    X = jnp.asarray(np.random.default_rng(5).standard_normal((n, 7)))
+    Y = sell_spmv_multi(sell, X)
+    for j in range(7):
+        np.testing.assert_allclose(
+            np.asarray(Y[:, j]), np.asarray(sell.matvec(X[:, j])),
+            rtol=1e-12, atol=1e-12,
+        )
+
+
+def test_batched_solve_on_sell_matches_solo(scattered):
+    """The lockstep multi-RHS loop on a SELL operator must track solo solves
+    per lane: same solutions, convergence flags, and iteration counts to ±1
+    (the (N,R)-layout dot reduces in a different summation order than the
+    solo solver's, which can move the tolerance crossing by one iteration
+    on an ill-conditioned scattered matrix)."""
+    from conjugategradient_tpu import cg_solve_batched
+
+    sell = SellMatrix.from_csr(scattered)
+    n = scattered.shape[0]
+    rng = np.random.default_rng(6)
+    B = jnp.asarray(rng.standard_normal((3, n)))
+    X, info = cg_solve_batched(sell, B, tol=1e-8, maxiter=n + 1)
+    for j in range(3):
+        xj, ij = cg_solve(sell, B[j], tol=1e-8, maxiter=n + 1)
+        assert bool(info.converged[j]) and bool(ij.converged)
+        assert abs(int(info.iterations[j]) - int(ij.iterations)) <= 1
+        np.testing.assert_allclose(
+            np.asarray(X[j]), np.asarray(xj), rtol=1e-9, atol=1e-10
+        )
