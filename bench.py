@@ -447,6 +447,18 @@ def bench_irregular(n: int = 786432):
     nnz = csr.nnz
     sell_ns = times["sell"] / nnz * 1e9
     csr_ns = times["csr"] / nnz * 1e9
+    # Multi-RHS: one flat gather fetches R CONTIGUOUS lane values per stored
+    # index, amortizing the scalar-access floor across right-hand sides
+    # (solver/batched.py's lockstep loop rides this kernel for SELL).
+    from conjugategradient_tpu.ops.spmv import sell_spmv_multi
+
+    R = 8
+    X0 = jnp.ones((n, R), jnp.float32)
+    t_multi = time_loop_s(
+        lambda V: sell_spmv_multi(sell, V) * 1e-6 + X0, X0, K=8, iters=2,
+        overhead_s=ovh,
+    )
+    sell_multi_ns = t_multi / R / nnz * 1e9
     floor_ns = 6.9  # measured bare-gather rate (docs/performance.md)
     return {
         "metric": "irregular_spmv_sell_vs_csr",
@@ -458,6 +470,8 @@ def bench_irregular(n: int = 786432):
                    "csr_ms": round(times["csr"] * 1e3, 1),
                    "sell_ns_per_nnz": round(sell_ns, 2),
                    "csr_ns_per_nnz": round(csr_ns, 2),
+                   "sell_multi8_per_rhs_ns_per_nnz": round(sell_multi_ns, 2),
+                   "sell_multi8_amortization_x": round(sell_ns / sell_multi_ns, 2),
                    "gather_floor_ns": floor_ns,
                    "sell_padding": round(sell.padding_ratio(), 3)},
     }

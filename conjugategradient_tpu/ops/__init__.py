@@ -1,5 +1,13 @@
 from .blas import dot, norm_sq, norm, saxpby, sapbx, sambx
-from .spmv import csr_spmv, bell_spmv, dense_spmv, dia_spmv, sell_spmv, sell_spmv_multi
+from .spmv import (
+    csr_spmv,
+    bell_spmv,
+    dense_spmv,
+    dia_spmv,
+    dia_spmv_multi,
+    sell_spmv,
+    sell_spmv_multi,
+)
 from .stencil import stencil7_matvec
 
 __all__ = [
@@ -13,6 +21,7 @@ __all__ = [
     "bell_spmv",
     "dense_spmv",
     "dia_spmv",
+    "dia_spmv_multi",
     "sell_spmv",
     "sell_spmv_multi",
     "stencil7_matvec",

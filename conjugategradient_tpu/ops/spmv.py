@@ -57,9 +57,11 @@ def sell_spmv_multi(a: SellMatrix, X: jax.Array) -> jax.Array:
 
     The flat gather fetches R CONTIGUOUS lane values per stored index, so
     the scalar-access floor amortizes over right-hand sides (measured on
-    v5e: 6.6 ns/element at R=1 → 0.58 at R=8 — the per-index cost even
-    drops).  This is the scattered-matrix counterpart of
-    :func:`bell_spmv_multi`'s tile-stream amortization.
+    v5e, power-law n=786K: 7.56 ns/nnz at R=1 → 0.75 per RHS at R=8, a
+    10.1× per-RHS amortization — one 8-wide contiguous fetch costs about
+    the same as one scalar; ``bench.py --config irregular``).  This is the
+    scattered-matrix counterpart of :func:`bell_spmv_multi`'s tile-stream
+    amortization.
     """
     out_dtype = jnp.promote_types(a.dtype, X.dtype)
     acc = _acc(out_dtype)
@@ -246,3 +248,30 @@ def dia_spmv(a, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
         lo = off + lpad
         y = y + a.diags[d].astype(acc) * jax.lax.slice(xp, (lo,), (lo + n,)).astype(acc)
     return y.astype(jnp.promote_types(a.dtype, x.dtype))
+
+
+def dia_spmv_multi(a, X: jax.Array) -> jax.Array:
+    """Multi-RHS DIA SpMV: ``Y[:, j] = A @ X[:, j]`` in one pass, X (n, R).
+
+    Same shifted-view formulation as :func:`dia_spmv` but each diagonal
+    multiplies an (n, R) slab — the diagonal stream (the dominant HBM
+    traffic for ndiag ≳ 3) is read ONCE for all R right-hand sides, the
+    DIA counterpart of :func:`bell_spmv_multi`'s tile amortization.
+    Measured (v5e, 13 diagonals, n=786K, f32): 2.94× per-RHS at R=8,
+    saturating ~3× — once the diagonal stream amortizes, each lane's own
+    vector traffic (2n bytes in/out per diagonal window pass) dominates.
+    """
+    n, ncols = a.shape
+    offsets = a.offsets
+    lpad = max(0, -min(offsets)) if offsets else 0
+    rpad = max(0, max(offsets) + n - ncols) if offsets else 0
+    Xp = jnp.pad(X, ((lpad, rpad), (0, 0))) if (lpad or rpad) else X
+    R = X.shape[1]
+
+    acc = jnp.promote_types(jnp.promote_types(a.dtype, X.dtype), jnp.float32)
+    Y = jnp.zeros((n, R), dtype=acc)
+    for d, off in enumerate(offsets):
+        lo = off + lpad
+        window = jax.lax.slice(Xp, (lo, 0), (lo + n, R)).astype(acc)
+        Y = Y + a.diags[d].astype(acc)[:, None] * window
+    return Y.astype(jnp.promote_types(a.dtype, X.dtype))

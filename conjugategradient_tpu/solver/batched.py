@@ -8,11 +8,13 @@ same HBM traffic (measured: bench.py --config batched).
 
 Two implementations, same per-lane semantics:
 
-* blocked-ELL and SELL operators get a dedicated lockstep loop whose matvec
-  is :func:`~conjugategradient_tpu.ops.spmv.bell_spmv_multi` /
-  :func:`~conjugategradient_tpu.ops.spmv.sell_spmv_multi` — ONE pass over
-  the operator (tile stream, or flat gather fetching R lane values per
-  stored index) per iteration for all R lanes; per-lane α/β/termination
+* blocked-ELL, SELL, and DIA operators get a dedicated lockstep loop whose
+  matvec is :func:`~conjugategradient_tpu.ops.spmv.bell_spmv_multi` /
+  :func:`~conjugategradient_tpu.ops.spmv.sell_spmv_multi` /
+  :func:`~conjugategradient_tpu.ops.spmv.dia_spmv_multi` — ONE pass over
+  the operator (tile stream, flat gather fetching R lane values per stored
+  index, or diagonal stream) per iteration for all R lanes; per-lane
+  α/β/termination
   are masked so each lane's iterations/converged/history are exactly what a
   solo solve reports;
 * everything else falls back to ``jax.vmap`` over the plain solver, whose
@@ -26,7 +28,7 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..types import BlockedEllMatrix, SellMatrix, as_linear_operator
+from ..types import BlockedEllMatrix, DIAMatrix, SellMatrix, as_linear_operator
 from .cg import CGInfo, cg_solve
 
 
@@ -124,13 +126,15 @@ def cg_solve_batched(
     if X0 is None:
         X0 = jnp.zeros_like(B)
 
-    if isinstance(op, (BlockedEllMatrix, SellMatrix)) and M is None:
-        from ..ops.spmv import bell_spmv_multi, sell_spmv_multi
+    if isinstance(op, (BlockedEllMatrix, SellMatrix, DIAMatrix)) and M is None:
+        from ..ops.spmv import bell_spmv_multi, dia_spmv_multi, sell_spmv_multi
 
         if isinstance(op, BlockedEllMatrix):
             mv = lambda X: bell_spmv_multi(op, X)
-        else:
+        elif isinstance(op, SellMatrix):
             mv = lambda X: sell_spmv_multi(op, X)
+        else:
+            mv = lambda X: dia_spmv_multi(op, X)
         mi = int(op.shape[0] + 1 if maxiter is None else maxiter)
         return _cg_solve_batched_lockstep(mv, B, X0, tol, mi)
 

@@ -83,3 +83,36 @@ def test_batched_bell_heterogeneous_convergence(rng):
     assert bool(jnp.all(X[0] == 0))
     r1 = np.asarray(B[1]) - np.asarray(bell.matvec(X[1]))
     assert np.linalg.norm(r1) < 1e-8
+
+
+def test_dia_spmv_multi_parity(rng):
+    from conjugategradient_tpu.ops import dia_spmv_multi
+    from conjugategradient_tpu.types import DIAMatrix
+
+    A, n = _problem(9)
+    dia = DIAMatrix.from_csr(A)
+    X = jnp.asarray(rng.standard_normal((n, 6)))
+    Y = dia_spmv_multi(dia, X)
+    for j in range(6):
+        np.testing.assert_allclose(
+            np.asarray(Y[:, j]), np.asarray(dia.matvec(X[:, j])),
+            rtol=1e-12, atol=1e-12,
+        )
+
+
+def test_batched_dia_dedicated_loop_matches_sequential(rng):
+    """DIAMatrix dispatches to the dia_spmv_multi lockstep loop; per-lane
+    iterations/history must match solo solves exactly (the shifted-slice
+    formulation reduces in the same order per lane)."""
+    from conjugategradient_tpu.types import DIAMatrix
+
+    A, n = _problem(12)
+    dia = DIAMatrix.from_csr(A)
+    B = jnp.asarray(rng.standard_normal((4, n)))
+    X, info = cg_solve_batched(dia, B, tol=1e-10)
+    assert X.shape == (4, n)
+    for i in range(4):
+        x_i, info_i = cg_solve(dia, B[i], tol=1e-10, fused="never")
+        np.testing.assert_allclose(np.asarray(X[i]), np.asarray(x_i), rtol=1e-8)
+        assert int(info.iterations[i]) == int(info_i.iterations)
+        assert bool(info.converged[i]) == bool(info_i.converged)
