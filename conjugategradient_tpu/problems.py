@@ -170,6 +170,98 @@ def powerlaw_spd_coo(
     )
 
 
+def elasticity3d_coo(nx: int, ny: int = None, nz: int = None, seed: int = 0):
+    """Block-structured SPD stiffness matrix — synthetic stand-in for
+    structural-mechanics SuiteSparse problems (bcsstk17-class).
+
+    The reference's other named workload class (BASELINE configs: bcsstk17,
+    a steam-turbine stiffness matrix: 3 dof/node, dense coupling blocks,
+    ~40 nnz/row) is reproduced in *shape* without egress: nodes on an
+    nx×ny×nz grid carry a 3-vector displacement dof, every 27-neighborhood
+    edge (p, q) with geometric offset d contributes the anisotropic spring
+    energy ``w·(u_p−u_q)ᵀ(I + d̂ d̂ᵀ)(u_p−u_q)`` — the rank-structure of an
+    elastic truss: stiffer along the member axis, like real elasticity's
+    directional coupling.  SPD because the energy is a sum of PSD terms
+    plus boundary pinning (z=0 face clamped, tiny ε·I everywhere).
+
+    Profile at nx=16: n=12,288, ~75 nnz/row of dense 3×3 blocks —
+    block-banded; `choose_layout` should pick a blocked layout and
+    block-Jacobi(3) should beat scalar Jacobi.  Returns (rows, cols, vals,
+    shape) COO with both triangles, block-row ordering (node-major,
+    dof-minor).
+    """
+    ny = ny or nx
+    nz = nz or nx
+    nn = nx * ny * nz
+    n = 3 * nn
+    rng = np.random.default_rng(seed)
+    idx = np.arange(nn, dtype=np.int64).reshape(nx, ny, nz)
+
+    # 13 positive-half offsets of the 27-point neighborhood
+    offsets = [
+        (dx, dy, dz)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+        if (dx, dy, dz) > (0, 0, 0)
+    ]
+    I3 = np.eye(3)
+    rows_l, cols_l, vals_l = [], [], []
+    # accumulate block diagonal contributions per node
+    diag_blocks = np.zeros((nn, 3, 3), dtype=np.float64)
+    a3 = np.arange(3, dtype=np.int64)
+
+    def emit(bp, bq, K):  # block rows bp, block cols bq, (m,3,3) values
+        m = len(bp)
+        rows_l.append(
+            np.broadcast_to(3 * bp[:, None, None] + a3[None, :, None], (m, 3, 3)).ravel()
+        )
+        cols_l.append(
+            np.broadcast_to(3 * bq[:, None, None] + a3[None, None, :], (m, 3, 3)).ravel()
+        )
+        vals_l.append(np.broadcast_to(K, (m, 3, 3)).ravel())
+
+    for dx, dy, dz in offsets:
+        sp = idx[
+            max(0, -dx) : nx - max(0, dx),
+            max(0, -dy) : ny - max(0, dy),
+            max(0, -dz) : nz - max(0, dz),
+        ].ravel()
+        sq = idx[
+            max(0, dx) : nx - max(0, -dx),
+            max(0, dy) : ny - max(0, -dy),
+            max(0, dz) : nz - max(0, -dz),
+        ].ravel()
+        d = np.array([dx, dy, dz], dtype=np.float64)
+        dhat = d / np.linalg.norm(d)
+        w = 1.0 / np.dot(d, d)  # farther members are softer
+        # heterogeneous member stiffness (real trusses are not uniform);
+        # also the reason block-Jacobi(3) beats scalar Jacobi here — with
+        # uniform weights the ±d contributions cancel the off-diagonal
+        # terms of interior nodes' 3×3 diagonal blocks exactly
+        we = w * (0.25 + 1.5 * rng.random(len(sp)))
+        Ke = we[:, None, None] * (I3 + np.outer(dhat, dhat))[None]
+        emit(sp, sq, -Ke)
+        emit(sq, sp, -Ke)
+        np.add.at(diag_blocks, sp, Ke)
+        np.add.at(diag_blocks, sq, Ke)
+
+    # boundary pinning (clamp the z=0 face) + jitter keeps it strictly SPD
+    # and non-trivially conditioned like a real stiffness matrix
+    pin = idx[:, :, 0].ravel()
+    diag_blocks[pin] += 4.0 * I3[None]
+    diag_blocks += (1e-3 + 0.01 * rng.random((nn, 1, 1))) * I3[None]
+    nodes = np.arange(nn, dtype=np.int64)
+    emit(nodes, nodes, diag_blocks)
+
+    return (
+        np.concatenate(rows_l),
+        np.concatenate(cols_l),
+        np.concatenate(vals_l),
+        (n, n),
+    )
+
+
 def reference_rhs(n: int, dtype=np.float64) -> np.ndarray:
     """The harness RHS: b[i] = i + 1 (test/Tester.cpp:27-30)."""
     return np.arange(1, n + 1, dtype=dtype)

@@ -29,7 +29,15 @@ from conjugategradient_tpu.problems import banded_spd_coo, poisson2d_coo, random
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument(
-        "kind", choices=("poisson2d", "poisson3d", "banded", "dense", "powerlaw")
+        "kind",
+        choices=(
+            "poisson2d",
+            "poisson3d",
+            "banded",
+            "dense",
+            "powerlaw",
+            "elasticity3d",
+        ),
     )
     ap.add_argument("--nx", type=int, default=64)
     ap.add_argument("--ny", type=int, default=None)
@@ -72,6 +80,16 @@ def main(argv=None) -> int:
         comment = (
             f"scattered power-law SPD (bus-network profile), n={args.n} "
             f"avg_degree={args.avg_degree} seed={args.seed}"
+        )
+    elif args.kind == "elasticity3d":
+        from conjugategradient_tpu.problems import elasticity3d_coo
+
+        rows, cols, vals, shape = elasticity3d_coo(
+            args.nx, args.ny, args.nz, seed=args.seed
+        )
+        comment = (
+            f"3-D block stiffness (bcsstk-class, 3 dof/node, 27-pt), "
+            f"{args.nx}x{args.ny or args.nx}x{args.nz or args.nx} seed={args.seed}"
         )
     else:  # dense
         a = random_spd_dense(args.n, seed=args.seed)
