@@ -6,9 +6,10 @@ Parallelization contract (SURVEY §2.4 / §5):
 * 1-D device mesh over axis "rows"; each chip owns a contiguous block of rows
   of A and the matching shards of x/b/r/p;
 * per iteration, the SpMV's remote-column reads are satisfied either by an
-  ``all_gather`` of p over ICI (general blocked-ELL operators — column
-  footprint may span all shards) or by a ring ``ppermute`` halo exchange
-  (DIA/banded operators — only ±bandwidth neighbor elements are remote);
+  ``all_gather`` of p over ICI (blocked-ELL operators, and SELL operators
+  for scattered patterns — column footprint may span all shards) or by a
+  ring ``ppermute`` halo exchange (DIA/banded operators — only ±bandwidth
+  neighbor elements are remote);
 * the two dot products reduce with ``psum`` over ICI;
 * the whole while_loop runs inside one ``shard_map``-ed jit: collectives are
   compiled into the loop body, zero host involvement — strictly better than
@@ -108,6 +109,101 @@ def partition_csr_rows(
     return blocks, block_cols, n_padded
 
 
+def partition_sell_rows(
+    data: np.ndarray,
+    indices: np.ndarray,
+    indptr: np.ndarray,
+    shape: Tuple[int, int],
+    n_shards: int,
+):
+    """Split host CSR into shape-homogeneous per-shard SELL row blocks.
+
+    The single-device answer to scattered patterns (``SellMatrix``: pay the
+    ~8 ns random-access floor once per nonzero instead of CSR's twice)
+    extended to the row-sharded mesh: every shard stores its rows'
+    off-diagonal entries in degree-bucketed slabs with GLOBAL column
+    indices, and the sharded matvec is one flat gather from the all-gathered
+    p.  The blocked-ELL partitioner pays tile padding ∝ the scattered
+    column footprint (catastrophic on power-law patterns — the same blowup
+    ``choose_layout`` flees on one device); this one stores exactly the
+    true nonzeros plus ≤50% bucket padding.
+
+    SPMD needs shape-homogeneous shards, so every shard shares ONE bucket
+    ladder and per-bucket row counts maxed over shards (virtual padding
+    rows own all-zero slab space that ``pos`` never references).
+
+    Returns ``(diag (S, m), pos (S, m), cols_flat (S, T), vals_flat (S, T),
+    bucket_meta, n_padded)`` — feed to :func:`sharded_sell_cg_solve`.
+    """
+    from ..types import _sell_ladder
+
+    n, ncols = shape
+    m = _cdiv(n, n_shards)
+    n_padded = m * n_shards
+    data = np.asarray(data)
+    indices = np.asarray(indices, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+
+    on_diag = indices == row_ids
+    deg_g = np.bincount(row_ids[~on_diag], minlength=n).astype(np.int64)
+    max_deg = int(deg_g.max()) if len(deg_g) else 0
+
+    # one global ladder; k=0 collects degree-0 (and virtual padding) rows
+    ladder = (
+        np.asarray(_sell_ladder(max_deg), dtype=np.int64)
+        if max_deg > 0
+        else np.zeros((0,), np.int64)
+    )
+    k_of_row = np.zeros(n_padded, np.int64)
+    if max_deg > 0:
+        k_of_row[:n] = np.where(
+            deg_g > 0, ladder[np.searchsorted(ladder, deg_g)], 0
+        )
+    ks_all = np.concatenate([[0], ladder])
+    shard_of_row = np.arange(n_padded, dtype=np.int64) // m
+    k_idx = np.searchsorted(ks_all, k_of_row)
+    counts = np.zeros((n_shards, len(ks_all)), np.int64)
+    np.add.at(counts, (shard_of_row, k_idx), 1)
+    nb_max = counts.max(axis=0)
+    keep = nb_max > 0
+    ks, nb = ks_all[keep], nb_max[keep]
+    meta = tuple((int(b), int(k)) for b, k in zip(nb, ks))
+    k_idx = np.searchsorted(ks, k_of_row)  # every row's k survives keep
+
+    slab_sizes = nb * ks
+    slab_base = np.concatenate([[0], np.cumsum(slab_sizes)[:-1]])
+    sorted_base = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    total = int(slab_sizes.sum())
+
+    # rank of each row within its (shard, bucket) group, row order kept
+    grp = shard_of_row * len(ks) + k_idx
+    order = np.argsort(grp, kind="stable")
+    grp_sorted = grp[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(grp_sorted)) + 1])
+    run_lengths = np.diff(np.concatenate([starts, [n_padded]]))
+    rank = np.empty(n_padded, np.int64)
+    rank[order] = np.arange(n_padded) - np.repeat(starts, run_lengths)
+
+    diag = np.zeros((n_shards, m), dtype=data.dtype)
+    dr = row_ids[on_diag]
+    np.add.at(diag, (dr // m, dr % m), data[on_diag])
+    pos = (sorted_base[k_idx] + rank).astype(np.int32).reshape(n_shards, m)
+
+    off_r = row_ids[~on_diag]
+    off_c = indices[~on_diag]
+    off_v = data[~on_diag]
+    off_row_start = np.concatenate([[0], np.cumsum(deg_g)[:-1]])
+    slot = np.arange(len(off_r), dtype=np.int64) - off_row_start[off_r]
+    row_start = slab_base[k_idx] + rank * ks[k_idx]  # (n_padded,)
+    flat_idx = row_start[off_r] + slot
+    cols_flat = np.zeros((n_shards, total), dtype=np.int32)
+    vals_flat = np.zeros((n_shards, total), dtype=data.dtype)
+    cols_flat[shard_of_row[off_r], flat_idx] = off_c.astype(np.int32)
+    vals_flat[shard_of_row[off_r], flat_idx] = off_v
+    return diag, pos, cols_flat, vals_flat, meta, n_padded
+
+
 def partition_dia_rows(
     diags: np.ndarray,
     shape: Tuple[int, int],
@@ -196,8 +292,32 @@ def _local_dia_matvec(diags_s, offsets, p_local, axis):
     return y.astype(jnp.promote_types(diags_s.dtype, p_local.dtype))
 
 
+def _local_sell_matvec(diag_s, pos_s, cols_s, vals_s, meta, p_local, axis):
+    """Bucketed-ELL SpMV on one row shard against the all-gathered operand.
+
+    Mirrors ops/spmv.sell_spmv: one flat gather over every stored slot
+    (GLOBAL column ids into the gathered p), vectorized per-bucket k-axis
+    reductions, diagonal applied to the LOCAL slice as a plain stream.
+    """
+    p_full = jax.lax.all_gather(p_local, axis, tiled=True)
+    acc = jnp.promote_types(
+        jnp.promote_types(vals_s.dtype, p_local.dtype), jnp.float32
+    )
+    prods = vals_s.astype(acc) * p_full[cols_s].astype(acc)
+    parts, base = [], 0
+    for nb, k in meta:
+        if k == 0:
+            parts.append(jnp.zeros((nb,), dtype=acc))
+            continue
+        parts.append(prods[base : base + nb * k].reshape(nb, k).sum(axis=1))
+        base += nb * k
+    y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    y = diag_s.astype(acc) * p_local.astype(acc) + y_sorted[pos_s]
+    return y.astype(jnp.promote_types(vals_s.dtype, p_local.dtype))
+
+
 # ---------------------------------------------------------------------------
-# the sharded PCG loop (shared by both operator front-ends)
+# the sharded PCG loop (shared by the operator front-ends)
 # ---------------------------------------------------------------------------
 
 
@@ -634,6 +754,96 @@ def sharded_dia_cg_solve(
 
     put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
     args = [put(jnp.asarray(diags_sharded)), put(b), put(x0)]
+    if with_m:
+        args.append(put(inv_diag))
+
+    x, k, done, rho, rnorm, hist = solve_jit(*args)
+    info = CGInfo(
+        iterations=k,
+        converged=done & ~jnp.isnan(rnorm),
+        rho=rho,
+        rnorm_sq=rnorm,
+        rho_history=hist,
+    )
+    return x, info
+
+
+def sharded_sell_cg_solve(
+    sell_sharded,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis: str = "rows",
+    tol: float = 0.0,
+    maxiter: Optional[int] = None,
+    inv_diag: Optional[jax.Array] = None,
+    method: str = "standard",
+):
+    """Row-sharded (P)CG with a SELL (degree-bucketed) operator — the
+    scattered-pattern path (north-star config 5 on power-law/circuit
+    matrices, where blocked-ELL tile padding explodes).
+
+    Per iteration: all_gather of p over ICI (a scattered column footprint
+    spans all shards — the same reason the single-device layout exists),
+    one flat gather per shard at the stored global indices (the per-shard
+    random-access cost is nnz_shard/n_shards of the single-device solve —
+    the scalar floor shards linearly), and the psum'd dots.
+
+    Args:
+      sell_sharded: the (diag, pos, cols_flat, vals_flat, bucket_meta,
+        n_padded) tuple from :func:`partition_sell_rows`.
+      method: "standard" (two psum rounds/iteration) or "pipelined"
+        (Chronopoulos–Gear, ONE psum round; unpreconditioned).
+    """
+    diag, pos, cols_flat, vals_flat, meta, n_padded_meta = sell_sharded
+    mesh = mesh or make_row_mesh(axis=axis)
+    n_shards = mesh.devices.size
+    assert np.asarray(diag).shape[0] == n_shards, (np.asarray(diag).shape, n_shards)
+    n_padded = int(b.shape[0])
+    assert n_padded == int(n_padded_meta), (n_padded, n_padded_meta)
+    maxiter = int(n_padded + 1 if maxiter is None else maxiter)
+    tol_arr = jnp.asarray(tol, dtype=b.dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    with_m = inv_diag is not None
+    if method not in ("standard", "pipelined"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "pipelined" and with_m:
+        raise ValueError("method='pipelined' is unpreconditioned (inv_diag=None)")
+
+    key = ("sell", _mesh_key(mesh), axis, maxiter, float(tol), with_m,
+           meta, str(b.dtype), method)
+    solve_jit = _cache_get(key)
+    if solve_jit is None:
+        def solve_shard(diag_s, pos_s, cols_s, vals_s, b_s, x0_s, inv_diag_s=None):
+            diag_s, pos_s = diag_s[0], pos_s[0]
+            cols_s, vals_s = cols_s[0], vals_s[0]
+
+            def local_matvec(v_local):
+                return _local_sell_matvec(
+                    diag_s, pos_s, cols_s, vals_s, meta, v_local, axis
+                )
+
+            if method == "pipelined":
+                return _sharded_pipelined_cg(
+                    local_matvec, b_s, x0_s, tol_arr, maxiter, axis
+                )
+            return _sharded_pcg(
+                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
+            )
+
+        in_specs = [P(axis)] * (7 if with_m else 6)
+        solve_jit = jax.jit(shard_map(
+            solve_shard,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(axis), P(), P(), P(), P(), P()),
+            check_vma=False,
+        ))
+        _cache_put(key, solve_jit)
+
+    put = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P(axis)))
+    args = [put(diag), put(pos), put(cols_flat), put(vals_flat), put(b), put(x0)]
     if with_m:
         args.append(put(inv_diag))
 

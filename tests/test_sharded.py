@@ -318,3 +318,99 @@ def test_sharded_pipelined_rejects_preconditioner():
             jnp.asarray(blocks), jnp.asarray(bcols), b,
             inv_diag=jnp.ones((n_pad,)), method="pipelined",
         )
+
+
+def _sell_setup(n=600, dtype=np.float64):
+    from conjugategradient_tpu.parallel import partition_sell_rows
+    from conjugategradient_tpu.problems import powerlaw_spd_coo
+
+    rows, cols, vals, shape = powerlaw_spd_coo(n, avg_degree=4.0, seed=7)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=dtype)
+    sell_sharded = partition_sell_rows(
+        np.asarray(A.data),
+        np.asarray(A.indices),
+        np.asarray(A.indptr),
+        shape,
+        N_DEV,
+    )
+    n_pad = sell_sharded[-1]
+    b = reference_rhs(n, dtype=dtype)
+    b_pad = jnp.zeros((n_pad,), dtype).at[:n].set(jnp.asarray(b))
+    return A, sell_sharded, b_pad, n
+
+
+def test_partition_sell_rows_matvec_equivalence(rng):
+    """The stacked per-shard SELL blocks applied shard-by-shard must equal
+    the global CSR matvec (bucket padding and virtual rows inert)."""
+    A, sell_sharded, b_pad, n = _sell_setup(500)
+    diag, pos, cols_flat, vals_flat, meta, n_pad = sell_sharded
+    m = n_pad // N_DEV
+    x = rng.standard_normal(n_pad)
+    x[n:] = 0.0
+    y = np.zeros(n_pad)
+    for s in range(N_DEV):
+        prods = vals_flat[s] * x[cols_flat[s]]
+        parts, base = [], 0
+        for nb, k in meta:
+            if k == 0:
+                parts.append(np.zeros(nb))
+                continue
+            parts.append(prods[base : base + nb * k].reshape(nb, k).sum(axis=1))
+            base += nb * k
+        y_sorted = np.concatenate(parts)
+        y[s * m : (s + 1) * m] = diag[s] * x[s * m : (s + 1) * m] + y_sorted[pos[s]]
+    y_ref = np.asarray(A.matvec(jnp.asarray(x[:n])))
+    np.testing.assert_allclose(y[:n], y_ref, rtol=1e-12, atol=1e-12)
+    assert np.all(y[n:] == 0)
+
+
+def test_sharded_sell_matches_single_device():
+    """Scattered-pattern sharded CG (config 5 on power-law matrices): the
+    all-gather + flat-gather path must track the single-device SELL solve
+    iteration-for-iteration."""
+    from conjugategradient_tpu.parallel import sharded_sell_cg_solve
+    from conjugategradient_tpu.types import SellMatrix
+
+    A, sell_sharded, b_pad, n = _sell_setup(600)
+    sell = SellMatrix.from_csr(A)
+    x_ref, info_ref = cg_solve(sell, jnp.asarray(reference_rhs(n)), tol=1e-10)
+    x_sh, info_sh = sharded_sell_cg_solve(sell_sharded, b_pad, tol=1e-10, maxiter=n + 1)
+    assert bool(info_sh.converged)
+    assert int(info_sh.iterations) == int(info_ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(x_sh[:n]), np.asarray(x_ref), rtol=1e-8, atol=1e-9
+    )
+
+
+def test_sharded_sell_jacobi_pcg():
+    from conjugategradient_tpu.parallel import sharded_sell_cg_solve
+
+    A, sell_sharded, b_pad, n = _sell_setup(400)
+    n_pad = b_pad.shape[0]
+    d = np.ones(n_pad)
+    d[:n] = np.asarray(A.diagonal())
+    inv_d_ref = jnp.asarray(1.0 / d[:n])
+    x_ref, info_ref = cg_solve(
+        A, jnp.asarray(reference_rhs(n)), tol=1e-10, M=lambda r: inv_d_ref * r
+    )
+    x_sh, info_sh = sharded_sell_cg_solve(
+        sell_sharded, b_pad, tol=1e-10, maxiter=n + 1,
+        inv_diag=jnp.asarray(1.0 / d),
+    )
+    assert bool(info_sh.converged)
+    assert int(info_sh.iterations) == int(info_ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(x_sh[:n]), np.asarray(x_ref), rtol=1e-8, atol=1e-9
+    )
+
+
+def test_sharded_sell_pipelined():
+    from conjugategradient_tpu.parallel import sharded_sell_cg_solve
+
+    A, sell_sharded, b_pad, n = _sell_setup(400)
+    x_sh, info_sh = sharded_sell_cg_solve(
+        sell_sharded, b_pad, tol=1e-10, maxiter=n + 1, method="pipelined"
+    )
+    assert bool(info_sh.converged)
+    r = np.asarray(reference_rhs(n)) - np.asarray(A.matvec(x_sh[:n]))
+    assert np.linalg.norm(r) < 1e-9 * max(1.0, np.linalg.norm(reference_rhs(n)))
