@@ -1,0 +1,108 @@
+"""`scipy.sparse.linalg.cg`-compatible front-end.
+
+The reference's users arrive from C++/SYCL (compat.CG / docs/migration.md
+cover them); Python users usually arrive from ``scipy.sparse.linalg.cg``.
+This shim speaks that exact signature and return convention so a scipy
+call site migrates by changing one import:
+
+    from conjugategradient_tpu.scipy_compat import cg
+    x, info = cg(A_scipy, b, rtol=1e-8)    # info == 0 on convergence
+
+Differences from the reference-parity API (`solver.cg.cg_solve`):
+
+* termination is scipy's: ``‖r_k‖₂ <= max(rtol·‖b‖₂, atol)``, tested on the
+  recurrence residual (scipy tests the same), vs the reference's absolute
+  tolerance;
+* return is scipy's ``(x, info)`` with ``info = 0`` converged, ``> 0`` the
+  iteration count at which the cap stopped the solve, ``< 0`` illegal input
+  / breakdown (NaN residual);
+* ``A`` may be anything `as_linear_operator` ingests — scipy.sparse
+  matrices included (duck-typed, CG.hpp:105-151's external-framework ingest
+  path) — and the solve runs on whatever backend JAX targets (TPU under
+  the default platform), whole loop in one jitted dispatch;
+* ``callback(xk)`` is supported but forces a host round-trip per iteration
+  (a step-at-a-time eager loop) — leave it None for the compiled path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .solver.cg import cg_solve
+from .types import as_linear_operator
+
+__all__ = ["cg"]
+
+
+def cg(
+    A: Any,
+    b,
+    x0=None,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    M: Optional[Any] = None,
+    callback: Optional[Callable] = None,
+) -> Tuple[jax.Array, int]:
+    """Drop-in for ``scipy.sparse.linalg.cg`` (see module docstring)."""
+    op = as_linear_operator(A)
+    b = jnp.asarray(b)
+    if b.ndim != 1 or b.shape[0] != op.shape[0]:
+        raise ValueError(
+            f"b has shape {b.shape}, expected ({op.shape[0]},)"
+        )
+    if x0 is not None:
+        x0 = jnp.asarray(x0, b.dtype)
+
+    # scipy's M is an operator approximating A^-1 applied as M @ r; accept
+    # a callable, anything with .matvec, or a LinearOperator-ingestible
+    M_fn = None
+    if M is not None:
+        if callable(M) and not hasattr(M, "matvec"):
+            M_fn = M
+        else:
+            M_op = as_linear_operator(M)
+            M_fn = M_op.matvec
+
+    bnorm = float(jnp.linalg.norm(b))
+    tol = max(float(rtol) * bnorm, float(atol))
+    n = op.shape[0]
+    mi = int(n * 10 if maxiter is None else maxiter)  # scipy default: 10n
+
+    if callback is None:
+        x, info = cg_solve(op, b, x0, tol=tol, maxiter=mi, M=M_fn)
+        if bool(jnp.isnan(info.rnorm_sq)):
+            return x, -1
+        return x, 0 if bool(info.converged) else mi
+
+    # callback path: step at a time so xk can be observed per iteration
+    from .ops.blas import dot
+    from .solver.cg import CGState, cg_step
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - op.matvec(x)
+    z = M_fn(r) if M_fn is not None else r
+    rho = dot(r, z) if M_fn is not None else dot(r, r)
+    rnorm0 = dot(r, r)
+    hist = jnp.full((mi + 1,), jnp.nan, dtype=rnorm0.dtype).at[0].set(rnorm0)
+    state = CGState(
+        k=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
+        x=x, r=r, p=z, rho=rho, rnorm_sq=rnorm0, hist=hist,
+    )
+    tol_arr = jnp.asarray(tol, b.dtype)
+    step = jax.jit(lambda s: cg_step(op, s, tol_arr, M=M_fn))
+    for _ in range(mi):
+        if float(jnp.sqrt(state.rnorm_sq)) <= tol:
+            return state.x, 0
+        if bool(jnp.isnan(state.rnorm_sq)):
+            return state.x, -1
+        state = step(state)
+        callback(np.asarray(state.x))
+    if float(jnp.sqrt(state.rnorm_sq)) <= tol:
+        return state.x, 0
+    return state.x, mi
