@@ -61,6 +61,12 @@ def main(argv=None) -> int:
     ap.add_argument("--bn", type=int, default=128, help="blocked-ELL col tile")
     ap.add_argument("--history", action="store_true",
                     help="also print the residual-norm history as JSON")
+    ap.add_argument("--estimate-steps", action="store_true",
+                    dest="estimate_steps",
+                    help="print the predicted CG iteration count before "
+                         "solving (Lanczos condition-number bound; the "
+                         "reference declares this API with an empty body, "
+                         "CG.hpp:235)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -126,6 +132,17 @@ def main(argv=None) -> int:
             return 2
     else:
         M = None
+
+    if args.estimate_steps:
+        from conjugategradient_tpu.solver.cg import expected_step_count
+
+        bnorm = float(jnp.linalg.norm(b))
+        eps = min(max(args.tol / max(bnorm, 1e-300), 1e-16), 0.5)
+        try:
+            k_est = expected_step_count(A, eps)
+            print(f"expected_steps {k_est} (eps={eps:.3g})")
+        except ValueError as e:
+            print(f"expected_steps unavailable: {e}", file=sys.stderr)
 
     # Warm-up outside the timed region: the reference times only solve()
     # (its kernels are compiled at build time); we match by running one
