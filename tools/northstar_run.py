@@ -135,14 +135,14 @@ def run_powerlaw_multi(n=1572864, avg_degree=4.8, tol_rel=1e-6, R=8):
     rows, cols, vals, shape = powerlaw_spd_coo(n, avg_degree=avg_degree, seed=0)
     csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
     op = SellMatrix.from_csr(csr)
-    # distinct manufactured solutions per lane; scales stay within 7% so
-    # the shared ABSOLUTE tolerance means the same RELATIVE target for
-    # every lane (a 1.7x lane scale forced that lane ~1.7x deeper toward
-    # the f32 stagnation region — 148 lockstep iterations vs 56)
-    scales = (1.0 + 0.01 * np.arange(R)).astype(np.float32)
+    # distinct manufactured solutions per lane, PER-LANE tolerances: near
+    # the f32 floor a shared absolute tol that is even 1% tighter in
+    # relative terms for some lane doubles that lane's iterations
+    # (measured: 129-139 vs 63 — see cg_solve_batched's tol docstring)
+    scales = (1.0 + 0.1 * np.arange(R)).astype(np.float32)
     Xstar = jnp.ones((n, R), jnp.float32) * jnp.asarray(scales)[None, :]
     B = sell_spmv_multi(op, Xstar).T  # (R, n)
-    tol = tol_rel * float(jnp.linalg.norm(B[0]))
+    tol = tol_rel * jnp.linalg.norm(B, axis=1)  # (R,)
 
     ovh = rpc_overhead_s()
     X, info = cg_solve_batched(op, B, tol=tol, maxiter=600)  # warm-up/compile
