@@ -135,73 +135,11 @@ def partition_sell_rows(
     Returns ``(diag (S, m), pos (S, m), cols_flat (S, T), vals_flat (S, T),
     bucket_meta, n_padded)`` — feed to :func:`sharded_sell_cg_solve`.
     """
-    from ..types import _sell_ladder
+    from ..types import _sell_pack_rows
 
-    n, ncols = shape
-    m = _cdiv(n, n_shards)
-    n_padded = m * n_shards
-    data = np.asarray(data)
-    indices = np.asarray(indices, dtype=np.int64)
-    indptr = np.asarray(indptr, dtype=np.int64)
-    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-
-    on_diag = indices == row_ids
-    deg_g = np.bincount(row_ids[~on_diag], minlength=n).astype(np.int64)
-    max_deg = int(deg_g.max()) if len(deg_g) else 0
-
-    # one global ladder; k=0 collects degree-0 (and virtual padding) rows
-    ladder = (
-        np.asarray(_sell_ladder(max_deg), dtype=np.int64)
-        if max_deg > 0
-        else np.zeros((0,), np.int64)
-    )
-    k_of_row = np.zeros(n_padded, np.int64)
-    if max_deg > 0:
-        k_of_row[:n] = np.where(
-            deg_g > 0, ladder[np.searchsorted(ladder, deg_g)], 0
-        )
-    ks_all = np.concatenate([[0], ladder])
-    shard_of_row = np.arange(n_padded, dtype=np.int64) // m
-    k_idx = np.searchsorted(ks_all, k_of_row)
-    counts = np.zeros((n_shards, len(ks_all)), np.int64)
-    np.add.at(counts, (shard_of_row, k_idx), 1)
-    nb_max = counts.max(axis=0)
-    keep = nb_max > 0
-    ks, nb = ks_all[keep], nb_max[keep]
-    meta = tuple((int(b), int(k)) for b, k in zip(nb, ks))
-    k_idx = np.searchsorted(ks, k_of_row)  # every row's k survives keep
-
-    slab_sizes = nb * ks
-    slab_base = np.concatenate([[0], np.cumsum(slab_sizes)[:-1]])
-    sorted_base = np.concatenate([[0], np.cumsum(nb)[:-1]])
-    total = int(slab_sizes.sum())
-
-    # rank of each row within its (shard, bucket) group, row order kept
-    grp = shard_of_row * len(ks) + k_idx
-    order = np.argsort(grp, kind="stable")
-    grp_sorted = grp[order]
-    starts = np.concatenate([[0], np.flatnonzero(np.diff(grp_sorted)) + 1])
-    run_lengths = np.diff(np.concatenate([starts, [n_padded]]))
-    rank = np.empty(n_padded, np.int64)
-    rank[order] = np.arange(n_padded) - np.repeat(starts, run_lengths)
-
-    diag = np.zeros((n_shards, m), dtype=data.dtype)
-    dr = row_ids[on_diag]
-    np.add.at(diag, (dr // m, dr % m), data[on_diag])
-    pos = (sorted_base[k_idx] + rank).astype(np.int32).reshape(n_shards, m)
-
-    off_r = row_ids[~on_diag]
-    off_c = indices[~on_diag]
-    off_v = data[~on_diag]
-    off_row_start = np.concatenate([[0], np.cumsum(deg_g)[:-1]])
-    slot = np.arange(len(off_r), dtype=np.int64) - off_row_start[off_r]
-    row_start = slab_base[k_idx] + rank * ks[k_idx]  # (n_padded,)
-    flat_idx = row_start[off_r] + slot
-    cols_flat = np.zeros((n_shards, total), dtype=np.int32)
-    vals_flat = np.zeros((n_shards, total), dtype=data.dtype)
-    cols_flat[shard_of_row[off_r], flat_idx] = off_c.astype(np.int32)
-    vals_flat[shard_of_row[off_r], flat_idx] = off_v
-    return diag, pos, cols_flat, vals_flat, meta, n_padded
+    # one packer shared with SellMatrix.from_csr_host (its n_shards=1 case)
+    # so bucket/slab conventions cannot drift between the two
+    return _sell_pack_rows(data, indices, indptr, shape, n_shards)
 
 
 def partition_dia_rows(

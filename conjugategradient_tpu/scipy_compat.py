@@ -38,6 +38,21 @@ from .types import as_linear_operator
 __all__ = ["cg"]
 
 
+def _check_traceable(fn, n, dtype, what: str):
+    """scipy users hand over numpy-backed LinearOperators whose matvec
+    cannot run under jit; fail at setup with a actionable message instead
+    of a TracerArrayConversionError from inside the compiled loop."""
+    try:
+        jax.eval_shape(fn, jax.ShapeDtypeStruct((n,), dtype))
+    except Exception as e:
+        raise TypeError(
+            f"{what} is not JAX-traceable ({type(e).__name__}: {e}); a "
+            "numpy-backed scipy LinearOperator cannot run inside the "
+            "compiled solve — pass a scipy.sparse matrix, a dense array, "
+            "or a callable written with jax.numpy"
+        ) from None
+
+
 def cg(
     A: Any,
     b,
@@ -50,12 +65,17 @@ def cg(
     callback: Optional[Callable] = None,
 ) -> Tuple[jax.Array, int]:
     """Drop-in for ``scipy.sparse.linalg.cg`` (see module docstring)."""
-    op = as_linear_operator(A)
     b = jnp.asarray(b)
-    if b.ndim != 1 or b.shape[0] != op.shape[0]:
+    if b.ndim != 1:
+        raise ValueError(f"b must be 1-D, got shape {b.shape}")
+    # n from b so LinearOperator-like / matrix-free A ingests without an
+    # explicit dimension (scipy accepts LinearOperator A first-class)
+    op = as_linear_operator(A, n=int(b.shape[0]))
+    if b.shape[0] != op.shape[0]:
         raise ValueError(
             f"b has shape {b.shape}, expected ({op.shape[0]},)"
         )
+    _check_traceable(op.matvec, op.shape[0], b.dtype, "A")
     if x0 is not None:
         x0 = jnp.asarray(x0, b.dtype)
 
@@ -66,8 +86,9 @@ def cg(
         if callable(M) and not hasattr(M, "matvec"):
             M_fn = M
         else:
-            M_op = as_linear_operator(M)
+            M_op = as_linear_operator(M, n=op.shape[0])
             M_fn = M_op.matvec
+        _check_traceable(M_fn, op.shape[0], b.dtype, "M")
 
     bnorm = float(jnp.linalg.norm(b))
     tol = max(float(rtol) * bnorm, float(atol))

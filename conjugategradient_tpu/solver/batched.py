@@ -23,6 +23,8 @@ Two implementations, same per-lane semantics:
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -42,21 +44,34 @@ def _dot_cols(U: jax.Array, V: jax.Array) -> jax.Array:
     return jnp.sum(U * V, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("op_static", "maxiter"))
 def _cg_solve_batched_lockstep(
-    matvec_multi: Callable[[jax.Array], jax.Array],
+    op_arrays,
+    op_static,
     B: jax.Array,
     X0: jax.Array,
-    tol: float,
+    tol_arr: jax.Array,
     maxiter: int,
-) -> Tuple[jax.Array, CGInfo]:
+):
     """Lockstep multi-RHS CG over (N, R) column blocks with a multi-vector
-    SpMV.  Per-lane semantics identical to cg_step: recurrence residual,
-    pre-update termination on ‖r_k‖², ρ==0 guard, NaN exit; finished lanes'
-    carries are frozen (the same masking vmap applies to a while_loop)."""
-    R, N = B.shape
-    Bt = B.T  # (N, R)
+    SpMV, the WHOLE solve one jitted dispatch (eager setup ops cost ~26 ms
+    each over the remote relay — same lesson as cg_solve's single-dispatch
+    round-2 fix).  Per-lane semantics identical to cg_step: recurrence
+    residual, pre-update termination on ‖r_k‖², ρ==0 guard, NaN exit;
+    finished lanes' carries are frozen (the same masking vmap applies to a
+    while_loop).  ``tol_arr`` is a scalar or (R,) — broadcasts vs rho."""
+    from ..ops.spmv import bell_spmv_multi, dia_spmv_multi, sell_spmv_multi
+
+    op = jax.tree_util.tree_unflatten(op_static, op_arrays)
+    if isinstance(op, BlockedEllMatrix):
+        matvec_multi = lambda X: bell_spmv_multi(op, X)
+    elif isinstance(op, SellMatrix):
+        matvec_multi = lambda X: sell_spmv_multi(op, X)
+    else:
+        matvec_multi = lambda X: dia_spmv_multi(op, X)
+    Bt = B.T  # caller passes (R, N); the loop runs on (N, R) columns
     X0t = X0.T
-    tol_arr = jnp.asarray(tol, B.dtype)  # scalar or (R,) — broadcasts vs rho
+    N, R = Bt.shape
 
     r0 = Bt - matvec_multi(X0t)
     rnorm0 = _dot_cols(r0, r0)  # (R,)
@@ -150,17 +165,25 @@ def cg_solve_batched(
     if X0 is None:
         X0 = jnp.zeros_like(B)
 
-    if isinstance(op, (BlockedEllMatrix, SellMatrix, DIAMatrix)) and M is None:
-        from ..ops.spmv import bell_spmv_multi, dia_spmv_multi, sell_spmv_multi
-
-        if isinstance(op, BlockedEllMatrix):
-            mv = lambda X: bell_spmv_multi(op, X)
-        elif isinstance(op, SellMatrix):
-            mv = lambda X: sell_spmv_multi(op, X)
-        else:
-            mv = lambda X: dia_spmv_multi(op, X)
+    use_lockstep = isinstance(op, (BlockedEllMatrix, SellMatrix, DIAMatrix)) and M is None
+    if use_lockstep and isinstance(op, DIAMatrix) and op.offsets:
+        # dia_spmv_multi is the XLA padded-slice formulation; at stencil-
+        # scale offsets (≥1024) that formulation collapses on TPU and the
+        # single-RHS auto policy flees to the Pallas windowed kernel (6.7×,
+        # docs/performance.md) — keep those operators on the vmap fallback
+        # so every lane rides the fast kernel
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover
+            backend = "cpu"
+        if backend == "tpu" and max(abs(o) for o in op.offsets) >= 1024:
+            use_lockstep = False
+    if use_lockstep:
         mi = int(op.shape[0] + 1 if maxiter is None else maxiter)
-        return _cg_solve_batched_lockstep(mv, B, X0, tol, mi)
+        op_arrays, op_static = jax.tree_util.tree_flatten(op)
+        return _cg_solve_batched_lockstep(
+            tuple(op_arrays), op_static, B, X0, tol, mi
+        )
 
     def solve_one(b, x0, t):
         return cg_solve(op, b, x0, tol=t, maxiter=maxiter, M=M, fused="never")

@@ -561,6 +561,88 @@ def _sell_ladder(max_degree: int) -> Tuple[int, ...]:
     return tuple(ks)
 
 
+def _sell_pack_rows(data, indices, indptr, shape, n_shards: int):
+    """Host-side CSR → degree-bucketed SELL slabs, split into ``n_shards``
+    shape-homogeneous row blocks.
+
+    The ONE packer behind both :meth:`SellMatrix.from_csr_host`
+    (``n_shards=1``) and the sharded partitioner
+    (``parallel.partition_sell_rows``): rows bucket by off-diagonal degree
+    on one global geometric ladder, every shard's per-bucket row count is
+    maxed over shards (virtual padding rows own all-zero slab space that
+    ``pos`` never references), the main diagonal splits out as a stream,
+    and each row's entries keep CSR order inside its slab.  Column indices
+    stay GLOBAL.
+
+    Returns ``(diag (S, m), pos (S, m) int32, cols_flat (S, T) int32,
+    vals_flat (S, T), bucket_meta, n_padded)`` with ``m = n_padded /
+    n_shards``.
+    """
+    n, ncols = shape
+    m = -(-n // n_shards)
+    n_padded = m * n_shards
+    data = np.asarray(data)
+    indices = np.asarray(indices, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+
+    on_diag = indices == row_ids
+    deg = np.bincount(row_ids[~on_diag], minlength=n).astype(np.int64)
+    max_deg = int(deg.max()) if len(deg) else 0
+
+    # one global ladder; k=0 collects degree-0 (and virtual padding) rows
+    ladder = (
+        np.asarray(_sell_ladder(max_deg), dtype=np.int64)
+        if max_deg > 0
+        else np.zeros((0,), np.int64)
+    )
+    k_of_row = np.zeros(n_padded, np.int64)
+    if max_deg > 0:
+        k_of_row[:n] = np.where(deg > 0, ladder[np.searchsorted(ladder, deg)], 0)
+    ks_all = np.concatenate([[0], ladder])
+    shard_of_row = np.arange(n_padded, dtype=np.int64) // m
+    k_idx = np.searchsorted(ks_all, k_of_row)
+    counts = np.zeros((n_shards, len(ks_all)), np.int64)
+    np.add.at(counts, (shard_of_row, k_idx), 1)
+    nb_max = counts.max(axis=0)
+    keep = nb_max > 0
+    ks, nb = ks_all[keep], nb_max[keep]
+    meta = tuple((int(b), int(k)) for b, k in zip(nb, ks))
+    k_idx = np.searchsorted(ks, k_of_row)  # every row's k survives keep
+
+    slab_sizes = nb * ks
+    slab_base = np.concatenate([[0], np.cumsum(slab_sizes)[:-1]])
+    sorted_base = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    total = int(slab_sizes.sum())
+
+    # rank of each row within its (shard, bucket) group, row order kept
+    grp = shard_of_row * len(ks) + k_idx
+    order = np.argsort(grp, kind="stable")
+    grp_sorted = grp[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(grp_sorted)) + 1])
+    run_lengths = np.diff(np.concatenate([starts, [n_padded]]))
+    rank = np.empty(n_padded, np.int64)
+    rank[order] = np.arange(n_padded) - np.repeat(starts, run_lengths)
+
+    diag = np.zeros((n_shards, m), dtype=data.dtype)
+    dr = row_ids[on_diag]
+    np.add.at(diag, (dr // m, dr % m), data[on_diag])
+    pos = (sorted_base[k_idx] + rank).astype(np.int32).reshape(n_shards, m)
+
+    off_r = row_ids[~on_diag]
+    off_c = indices[~on_diag]
+    off_v = data[~on_diag]
+    off_row_start = np.concatenate([[0], np.cumsum(deg)[:-1]])
+    slot = np.arange(len(off_r), dtype=np.int64) - off_row_start[off_r]
+    row_start = slab_base[k_idx] + rank * ks[k_idx]  # (n_padded,)
+    flat_idx = row_start[off_r] + slot
+    cols_flat = np.zeros((n_shards, total), dtype=np.int32)
+    vals_flat = np.zeros((n_shards, total), dtype=data.dtype)
+    cols_flat[shard_of_row[off_r], flat_idx] = off_c.astype(np.int32)
+    vals_flat[shard_of_row[off_r], flat_idx] = off_v
+    return diag, pos, cols_flat, vals_flat, meta, n_padded
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class SellMatrix(LinearOperator):
@@ -620,79 +702,26 @@ class SellMatrix(LinearOperator):
         shape: Tuple[int, int],
         dtype=None,
     ) -> "SellMatrix":
-        """Host-side CSR → bucketed ELL (done once at ingest, O(nnz))."""
-        n, ncols = shape
+        """Host-side CSR → bucketed ELL (done once at ingest, O(nnz)).
+
+        The single-shard case of :func:`_sell_pack_rows` — the sharded
+        partitioner (``parallel.partition_sell_rows``) is the same packer
+        with ``n_shards > 1``, so bucket/slab conventions cannot drift.
+        """
         data = np.asarray(data)
         if dtype is not None:
             data = data.astype(dtype)
-        indices = np.asarray(indices, dtype=np.int64)
-        indptr = np.asarray(indptr, dtype=np.int64)
-        nnz = int(len(data))
-        row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-
-        on_diag = indices == row_ids
-        diag = np.zeros(n, dtype=data.dtype)
-        np.add.at(diag, row_ids[on_diag], data[on_diag])
-        off_r = row_ids[~on_diag]
-        off_c = indices[~on_diag]
-        off_v = data[~on_diag]
-
-        deg = np.bincount(off_r, minlength=n).astype(np.int64)
-        max_deg = int(deg.max()) if len(deg) else 0
-        if max_deg == 0:
-            # pure-diagonal matrix: a single k=0 bucket covering every row
-            return SellMatrix(
-                jnp.asarray(diag),
-                jnp.asarray(np.arange(n, dtype=np.int32)),
-                jnp.zeros((0,), jnp.int32),
-                jnp.zeros((0,), diag.dtype),
-                ((n, 0),),
-                (n, ncols),
-                nnz,
-            )
-        ladder = np.asarray(_sell_ladder(max_deg), dtype=np.int64)
-        k_of_row = np.where(
-            deg > 0, ladder[np.searchsorted(ladder, deg)], 0
+        diag, pos, cols_flat, vals_flat, meta, _ = _sell_pack_rows(
+            data, indices, indptr, shape, 1
         )
-        row_perm = np.argsort(k_of_row, kind="stable")  # rows grouped by k
-        pos = np.empty(n, dtype=np.int32)
-        pos[row_perm] = np.arange(n, dtype=np.int32)
-
-        # slot of each off-diagonal entry within its row (CSR order kept)
-        off_row_start = np.concatenate([[0], np.cumsum(deg)[:-1]])
-        slot = np.arange(len(off_r), dtype=np.int64) - off_row_start[off_r]
-
-        sorted_k = k_of_row[row_perm]
-        # bucket boundaries: runs of equal k in the sorted row order
-        cut = np.flatnonzero(np.concatenate([[True], sorted_k[1:] != sorted_k[:-1]]))
-        ends = np.concatenate([cut[1:], [n]])
-        meta = [
-            (int(e - s), int(sorted_k[s])) for s, e in zip(cut, ends)
-        ]
-        # flat slot index of every off-diagonal entry: its row's slab start
-        # (bucket base + local_row * k) plus its within-row slot
-        slab_sizes = np.array([nb * k for nb, k in meta], dtype=np.int64)
-        slab_base = np.concatenate([[0], np.cumsum(slab_sizes)[:-1]])
-        total = int(slab_sizes.sum())
-        # per-row flat start, computed in sorted-row order then mapped back
-        row_start_sorted = np.repeat(slab_base, [nb for nb, _ in meta]) + (
-            np.arange(n, dtype=np.int64)
-            - np.repeat(cut, [nb for nb, _ in meta])
-        ) * sorted_k
-        row_start = row_start_sorted[pos.astype(np.int64)]
-        flat_idx = row_start[off_r] + slot
-        cols_flat = np.zeros(total, dtype=np.int32)
-        vals_flat = np.zeros(total, dtype=data.dtype)
-        cols_flat[flat_idx] = off_c.astype(np.int32)
-        vals_flat[flat_idx] = off_v
         return SellMatrix(
-            jnp.asarray(diag),
-            jnp.asarray(pos),
-            jnp.asarray(cols_flat),
-            jnp.asarray(vals_flat),
-            tuple(meta),
-            (n, ncols),
-            nnz,
+            jnp.asarray(diag[0]),
+            jnp.asarray(pos[0]),
+            jnp.asarray(cols_flat[0]),
+            jnp.asarray(vals_flat[0]),
+            meta,
+            shape,
+            int(len(data)),
         )
 
     @staticmethod

@@ -136,11 +136,12 @@ def test_batched_per_lane_tol(rng):
     # the loose lane stops earlier than the tight lane would have
     assert int(info.iterations[1]) < int(info.iterations[0]) + n
 
-    # vmap fallback path (CSR) accepts per-lane tol too
+    # vmap fallback path (CSR) honors per-lane tol too: each lane must
+    # match its own solo CSR solve exactly
     Xc, infoc = cg_solve_batched(A, B, tol=tols)
     for i in range(2):
-        assert int(infoc.iterations[i]) == int(info.iterations[i]) or True
-        x_i, _ = cg_solve(A, B[i], tol=float(tols[i]), fused="never")
+        x_i, info_i = cg_solve(A, B[i], tol=float(tols[i]), fused="never")
+        assert int(infoc.iterations[i]) == int(info_i.iterations)
         np.testing.assert_allclose(np.asarray(Xc[i]), np.asarray(x_i), rtol=1e-8)
 
     # wrong length rejected

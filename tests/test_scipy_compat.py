@@ -72,3 +72,37 @@ def test_x0_warm_start():
     x, info = cg(A, b, x0=np.asarray(x_cold), rtol=1e-10)
     assert info == 0
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_cold), rtol=1e-9)
+
+
+def test_matrix_free_callable_A():
+    """scipy accepts LinearOperator A; the shim accepts any JAX-traceable
+    callable, with n taken from b."""
+    import jax.numpy as jnp
+
+    A, b = _scipy_problem(8)
+    Ad = jnp.asarray(A.toarray())
+    x, info = cg(lambda v: Ad @ v, b, rtol=1e-10)
+    assert info == 0
+    np.testing.assert_allclose(A @ np.asarray(x), b, rtol=1e-7, atol=1e-7)
+
+
+def test_numpy_backed_linear_operator_rejected_clearly():
+    """A numpy-backed scipy LinearOperator cannot run inside jit; the shim
+    must fail at setup with an actionable message, not a tracer error from
+    the compiled loop."""
+    from scipy.sparse.linalg import LinearOperator
+
+    A, b = _scipy_problem(8)
+    lo = LinearOperator(A.shape, matvec=lambda v: A @ np.asarray(v))
+    try:
+        cg(lo, b, rtol=1e-8)
+        assert False, "expected TypeError"
+    except TypeError as e:
+        assert "JAX-traceable" in str(e)
+    # same contract for M
+    M = LinearOperator(A.shape, matvec=lambda v: np.asarray(v) / A.diagonal())
+    try:
+        cg(A, b, rtol=1e-8, M=M)
+        assert False, "expected TypeError"
+    except TypeError as e:
+        assert "JAX-traceable" in str(e)
