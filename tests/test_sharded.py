@@ -414,3 +414,56 @@ def test_sharded_sell_pipelined():
     assert bool(info_sh.converged)
     r = np.asarray(reference_rhs(n)) - np.asarray(A.matvec(x_sh[:n]))
     assert np.linalg.norm(r) < 1e-9 * max(1.0, np.linalg.norm(reference_rhs(n)))
+
+
+def test_sharded_batched_bell_matches_single_device_lockstep(rng):
+    """Mesh × lanes composition: the row-sharded multi-RHS solve must track
+    the single-device lockstep loop per lane (same recurrences, psum'd
+    partial dots instead of full-array dots)."""
+    from conjugategradient_tpu import cg_solve_batched
+    from conjugategradient_tpu.parallel import sharded_cg_solve_batched
+    from conjugategradient_tpu.types import BlockedEllMatrix
+
+    rows, cols, vals, shape = poisson2d_coo(16)
+    A, blocks, bcols, b_pad, n = _sharded_setup(rows, cols, vals, shape)
+    n_pad = b_pad.shape[0]
+    R = 3
+    B = np.zeros((R, n_pad))
+    B[:, :n] = rng.standard_normal((R, n))
+    B = jnp.asarray(B)
+    X, info = sharded_cg_solve_batched(blocks, bcols, B, tol=1e-10, maxiter=n + 1)
+    assert X.shape == (R, n_pad)
+
+    bell = BlockedEllMatrix.from_csr(A, bm=8, bn=128)
+    Xr, infor = cg_solve_batched(bell, B[:, :n], tol=1e-10, maxiter=n + 1)
+    for i in range(R):
+        assert bool(info.converged[i])
+        assert int(info.iterations[i]) == int(infor.iterations[i])
+        np.testing.assert_allclose(
+            np.asarray(X[i, :n]), np.asarray(Xr[i]), rtol=1e-8, atol=1e-9
+        )
+
+
+def test_sharded_batched_sell_with_jacobi_and_per_lane_tol(rng):
+    """Scattered-pattern sharded multi-RHS: Jacobi + per-lane tolerances;
+    each lane must satisfy ITS residual target."""
+    from conjugategradient_tpu.parallel import sharded_sell_cg_solve_batched
+
+    A, sell_sharded, b_pad, n = _sell_setup(400)
+    n_pad = b_pad.shape[0]
+    R = 2
+    B = np.zeros((R, n_pad))
+    B[:, :n] = rng.standard_normal((R, n))
+    B = jnp.asarray(B)
+    d = np.ones(n_pad)
+    d[:n] = np.asarray(A.diagonal())
+    tols = jnp.asarray([1e-9, 1e-4])
+    X, info = sharded_sell_cg_solve_batched(
+        sell_sharded, B, tol=tols, maxiter=n + 1,
+        inv_diag=jnp.asarray(1.0 / d),
+    )
+    assert bool(jnp.all(info.converged))
+    assert int(info.iterations[1]) < int(info.iterations[0])
+    for i in range(R):
+        r = np.asarray(B[i, :n]) - np.asarray(A.matvec(X[i, :n]))
+        assert np.linalg.norm(r) <= 1.05 * float(tols[i])
