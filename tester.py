@@ -59,6 +59,11 @@ def main(argv=None) -> int:
                     help="diagonal-block size (with --precond blockjacobi)")
     ap.add_argument("--bm", type=int, default=128, help="blocked-ELL row tile")
     ap.add_argument("--bn", type=int, default=128, help="blocked-ELL col tile")
+    ap.add_argument("--nrhs", type=int, default=1,
+                    help="solve this many right-hand sides at once (lane j "
+                         "gets roll(b, j)) via the lockstep multi-RHS loop; "
+                         "the 4-column line reports lane 0 and the wall for "
+                         "all lanes, plus a per-lane JSON line")
     ap.add_argument("--history", action="store_true",
                     help="also print the residual-norm history as JSON")
     ap.add_argument("--estimate-steps", action="store_true",
@@ -156,6 +161,10 @@ def main(argv=None) -> int:
             print("error: --method pipelined is unpreconditioned",
                   file=sys.stderr)
             return 2
+        if args.nrhs > 1:
+            print("error: --nrhs > 1 uses the lockstep loop, not --method "
+                  "pipelined", file=sys.stderr)
+            return 2
         from conjugategradient_tpu.solver.pipelined import pipelined_cg_solve
 
         solve = jax.jit(
@@ -163,6 +172,18 @@ def main(argv=None) -> int:
                 A, b_, tol=args.tol, maxiter=args.maxiter
             )
         )
+    elif args.nrhs > 1:
+        from conjugategradient_tpu import cg_solve_batched
+
+        # lane j solves against roll(b, j): same norm per lane (one shared
+        # absolute tol stays fair), R distinct systems
+        B = jnp.stack([jnp.roll(b, j) for j in range(args.nrhs)])
+
+        def solve(b_):
+            X, info = cg_solve_batched(
+                A, B, tol=args.tol, maxiter=args.maxiter, M=M
+            )
+            return X[0], info
     else:
         solve = jax.jit(
             lambda b_: cg_solve(A, b_, tol=args.tol, maxiter=args.maxiter, M=M)
@@ -179,16 +200,32 @@ def main(argv=None) -> int:
     # conjugategradient_tpu.reorder.unpermute_vector when extracting x.
     rel_err = float(accuracy(A, b, x))
     # The reference's output line "dim NNZ time_ms rel_error",
-    # space-separated (test/Tester.cpp:54).
+    # space-separated (test/Tester.cpp:54).  With --nrhs > 1 the line
+    # reports lane 0 (whose RHS is the reference's b) and the wall covers
+    # all lanes; the JSON line below carries the per-lane detail.
     print(f"{n} {nnz} {t.get_duration()} {rel_err}")
+    if args.nrhs > 1:
+        print(json.dumps({
+            "nrhs": args.nrhs,
+            "iterations": [int(v) for v in np.asarray(info.iterations)],
+            "converged": [bool(v) for v in np.asarray(info.converged)],
+            "per_rhs_ms": t.get_duration() / args.nrhs,
+        }))
     if args.history:
-        k = int(info.iterations)
-        hist = np.sqrt(np.asarray(info.rho_history)[: k + 1])
+        hist_all = np.asarray(info.rho_history)
+        if hist_all.ndim == 2:  # --nrhs: report lane 0
+            k = int(np.asarray(info.iterations)[0])
+            hist = np.sqrt(hist_all[0][: k + 1])
+            conv = bool(np.asarray(info.converged)[0])
+        else:
+            k = int(info.iterations)
+            hist = np.sqrt(hist_all[: k + 1])
+            conv = bool(info.converged)
         # NaN entries (breakdown iterations) are not valid JSON -> null
         hist_json = [None if not np.isfinite(v) else float(v) for v in hist]
         print(json.dumps({
             "iterations": k,
-            "converged": bool(info.converged),
+            "converged": conv,
             "residual_norms": hist_json,
         }))
     return 0
