@@ -91,10 +91,14 @@ def load_matrix(
     """Load a MatrixMarket file as a device operator.
 
     layout: "auto" (pattern-based choice), "csr", "bell", "sell", or "dia".
-    reorder: apply RCM first (bandwidth reduction).  When True the return
-      value is ``(operator, perm)`` with ``perm[new] = old``; solve
-      ``A' y = b[perm]`` and map back with ``x[perm] = y``
-      (reorder.unpermute_vector).  When False returns just the operator.
+    reorder: apply the layout-enabling permutation first.  RCM (bandwidth
+      reduction) for the streaming layouts; when the layout resolves to
+      ``sell`` a stable degree sort is composed on top so the packed
+      ``pos`` is the identity and the matvec skips its order-restore
+      gather.  When True the return value is ``(operator, perm)`` with
+      ``perm[new] = old``; solve ``A' y = b[perm]`` and map back with
+      ``x[perm] = y`` (reorder.unpermute_vector).  When False returns just
+      the operator.
     """
     data, indices, indptr, shape = read_csr_host(path, dtype=np.float64)
 
@@ -105,6 +109,13 @@ def load_matrix(
 
     if layout == "auto":
         layout = choose_layout(indices, indptr, shape, bm=bm, bn=bn)
+
+    if layout == "sell" and reorder:
+        from ..reorder import degree_sort_permutation
+
+        dperm = degree_sort_permutation(indices, indptr, shape[0])
+        data, indices, indptr = permute_csr(data, indices, indptr, shape, dperm)
+        perm = perm[dperm]  # compose: total[new] = rcm[degree_sort[new]]
 
     if layout == "csr":
         op = CSRMatrix.from_arrays(data, indices, indptr, shape, dtype=dtype)

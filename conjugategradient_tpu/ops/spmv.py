@@ -48,7 +48,10 @@ def sell_spmv(a: SellMatrix, x: jax.Array) -> jax.Array:
         parts.append(prods[base : base + nb * k].reshape(nb, k).sum(axis=1))
         base += nb * k
     y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-    y = a.diag.astype(acc) * xa + y_sorted[a.pos]
+    # degree-sorted systems (reorder.degree_sort_permutation) skip the
+    # order-restore gather — pos is the identity, statically known
+    y_off = y_sorted[: a.shape[0]] if a.pos_identity else y_sorted[a.pos]
+    y = a.diag.astype(acc) * xa + y_off
     return y.astype(out_dtype)
 
 
@@ -76,7 +79,8 @@ def sell_spmv_multi(a: SellMatrix, X: jax.Array) -> jax.Array:
         parts.append(prods[base : base + nb * k].reshape(nb, k, R).sum(axis=1))
         base += nb * k
     y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-    Y = a.diag.astype(acc)[:, None] * Xa + y_sorted[a.pos]
+    Y_off = y_sorted[: a.shape[0]] if a.pos_identity else y_sorted[a.pos]
+    Y = a.diag.astype(acc)[:, None] * Xa + Y_off
     return Y.astype(out_dtype)
 
 

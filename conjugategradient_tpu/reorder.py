@@ -161,3 +161,27 @@ def count_diagonals(indices: np.ndarray, indptr: np.ndarray) -> int:
     n = len(indptr) - 1
     row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     return int(len(np.unique(indices - row_ids)))
+
+
+def degree_sort_permutation(
+    indices: np.ndarray, indptr: np.ndarray, n: int
+) -> np.ndarray:
+    """Stable off-diagonal-degree sort — the SELL-layout enabler.
+
+    Returns ``perm`` with ``perm[new] = old`` (same gather convention as
+    :func:`rcm_permutation`).  Applying it symmetrically puts rows in the
+    exact order ``SellMatrix``'s degree bucketing would sort them into, so
+    the packed layout's ``pos`` becomes the identity and the matvec skips
+    its order-restore gather (~20% of the gather-bound matvec at 1.5M
+    rows — the per-row result is already in row order).  RCM is the
+    analogous enabler for the DIA layout; this is the scattered-pattern
+    counterpart, used by ``load_matrix(reorder=True)`` when the layout
+    resolves to sell.
+    """
+    indices = np.asarray(indices, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    if len(indptr) - 1 != n:
+        raise ValueError(f"indptr describes {len(indptr)-1} rows, expected {n}")
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    off_deg = np.bincount(row_ids[indices != row_ids], minlength=n)
+    return np.argsort(off_deg, kind="stable").astype(np.int64)

@@ -186,3 +186,34 @@ def test_batched_solve_on_sell_matches_solo(scattered):
         np.testing.assert_allclose(
             np.asarray(X[j]), np.asarray(xj), rtol=1e-9, atol=1e-10
         )
+
+
+def test_degree_sort_reorder_makes_pos_identity(tmp_path):
+    """load_matrix(reorder=True) on a scattered pattern composes a stable
+    degree sort so the SELL pack's pos is the identity (the matvec skips
+    its order-restore gather); the permuted solve must still map back to
+    the unpermuted solution."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.io.loader import load_matrix
+    from conjugategradient_tpu.io.mtx import write_mtx
+    from conjugategradient_tpu.problems import powerlaw_spd_coo
+    from conjugategradient_tpu.reorder import unpermute_vector
+
+    rows, cols, vals, shape = powerlaw_spd_coo(300, avg_degree=4.0, seed=3)
+    path = str(tmp_path / "p.mtx")
+    write_mtx(path, rows, cols, vals, shape, symmetric=True)
+
+    plain = load_matrix(path, layout="sell", dtype=np.float64)
+    assert not plain.pos_identity
+    op, perm = load_matrix(path, layout="sell", dtype=np.float64, reorder=True)
+    assert op.pos_identity
+    assert np.array_equal(np.asarray(op.pos), np.arange(shape[0]))
+
+    n = shape[0]
+    b = np.random.default_rng(4).standard_normal(n)
+    x_plain, info_plain = cg_solve(plain, jnp.asarray(b), tol=1e-10)
+    y, info_perm = cg_solve(op, jnp.asarray(b[perm]), tol=1e-10)
+    assert bool(info_plain.converged) and bool(info_perm.converged)
+    x_back = unpermute_vector(np.asarray(y), perm)
+    np.testing.assert_allclose(x_back, np.asarray(x_plain), rtol=1e-8, atol=1e-9)
