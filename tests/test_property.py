@@ -1,0 +1,106 @@
+"""Property-based invariants (hypothesis) for layout packing and solves.
+
+The fixed-seed suites pin exact behaviors; these sweep randomized sparsity
+patterns so pack/unpack edge cases (empty rows, hub rows, duplicate COO
+entries, ragged shard splits) cannot hide between the chosen seeds.
+Bounded sizes + derandomized runs keep the suite fast and deterministic.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from conjugategradient_tpu import CSRMatrix, cg_solve
+from conjugategradient_tpu.types import (
+    BlockedEllMatrix,
+    DIAMatrix,
+    SellMatrix,
+    _sell_pack_rows,
+)
+
+SETTINGS = dict(max_examples=25, derandomize=True, deadline=None)
+
+
+@st.composite
+def sym_coo(draw, max_n=32):
+    """Random symmetric COO with duplicates allowed and an SPD-making
+    dominant diagonal; returns (rows, cols, vals, n, dense)."""
+    n = draw(st.integers(min_value=2, max_value=max_n))
+    m = draw(st.integers(min_value=0, max_value=3 * n))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31 - 1)))
+    i = rng.integers(0, n, size=m)
+    j = rng.integers(0, n, size=m)
+    v = np.round(rng.standard_normal(m), 3)
+    rows = np.concatenate([i, j, np.arange(n)])
+    cols = np.concatenate([j, i, np.arange(n)])
+    diag = np.ones(n)
+    np.add.at(diag, rows[: 2 * m], np.abs(np.concatenate([v, v])))
+    vals = np.concatenate([v, v, diag])
+    dense = np.zeros((n, n))
+    np.add.at(dense, (rows, cols), vals)
+    return rows, cols, vals, n, dense
+
+
+@given(sym_coo())
+@settings(**SETTINGS)
+def test_all_layouts_agree_with_dense(problem):
+    rows, cols, vals, n, dense = problem
+    csr = CSRMatrix.from_coo(rows, cols, vals, (n, n))
+    x = np.linspace(-1, 1, n)
+    want = dense @ x
+    xj = jnp.asarray(x)
+    for op in (
+        csr,
+        SellMatrix.from_csr(csr),
+        DIAMatrix.from_csr(csr),
+        BlockedEllMatrix.from_csr(csr, bm=4, bn=8),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(op.matvec(xj)), want, rtol=1e-10, atol=1e-10,
+            err_msg=type(op).__name__,
+        )
+
+
+@given(sym_coo(max_n=24), st.integers(min_value=1, max_value=5))
+@settings(**SETTINGS)
+def test_sell_pack_shard_invariance(problem, n_shards):
+    """_sell_pack_rows must represent the same matrix for every shard
+    count: reassembling per-shard slabs reproduces the CSR matvec, and
+    virtual padding rows stay inert."""
+    rows, cols, vals, n, dense = problem
+    csr = CSRMatrix.from_coo(rows, cols, vals, (n, n))
+    diag, pos, cols_flat, vals_flat, meta, n_pad = _sell_pack_rows(
+        np.asarray(csr.data), np.asarray(csr.indices), np.asarray(csr.indptr),
+        (n, n), n_shards,
+    )
+    m = n_pad // n_shards
+    x = np.zeros(n_pad)
+    x[:n] = np.linspace(1, 2, n)
+    y = np.zeros(n_pad)
+    for s in range(n_shards):
+        prods = vals_flat[s] * x[cols_flat[s]]
+        parts, base = [], 0
+        for nb, k in meta:
+            if k == 0:
+                parts.append(np.zeros(nb))
+                continue
+            parts.append(prods[base : base + nb * k].reshape(nb, k).sum(axis=1))
+            base += nb * k
+        y_sorted = np.concatenate(parts) if parts else np.zeros(0)
+        y[s * m : (s + 1) * m] = diag[s] * x[s * m : (s + 1) * m] + y_sorted[pos[s]]
+    np.testing.assert_allclose(y[:n], dense @ x[:n], rtol=1e-10, atol=1e-10)
+    assert np.all(y[n:] == 0)
+
+
+@given(sym_coo(max_n=20))
+@settings(**SETTINGS)
+def test_cg_solves_random_spd(problem):
+    """Diagonally dominant symmetric ⇒ SPD ⇒ CG must converge and satisfy
+    the residual bound, whatever the pattern."""
+    rows, cols, vals, n, dense = problem
+    csr = CSRMatrix.from_coo(rows, cols, vals, (n, n))
+    b = jnp.asarray(np.linspace(-1, 1, n))
+    x, info = cg_solve(csr, b, tol=1e-10, maxiter=5 * n)
+    assert bool(info.converged)
+    r = np.asarray(b) - dense @ np.asarray(x)
+    assert np.linalg.norm(r) <= 1e-8
