@@ -415,9 +415,11 @@ def bench_irregular(n: int = 786432):
     (gather + scalar segment-sum) on the power-law north-star pattern.
     Both are random-access bound, so the honest unit is ns per nonzero
     against the measured ~7 ns scalar-access floor — GB/s is meaningless
-    for a gather-bound kernel.  value = SELL's speedup over CSR;
-    vs_baseline = floor_ns / sell_ns (1.0 == paying the irreducible
-    random-access cost exactly once per nonzero)."""
+    for a gather-bound kernel.  value = the degree-sorted SELL pack's
+    speedup over CSR; vs_baseline = floor_ns / sell_sorted_ns (1.0 ==
+    paying the irreducible random-access cost exactly once per nonzero;
+    >1 is legitimate — the diagonal split keeps ~20% of the nonzeros out
+    of the gather entirely, and identity pos skips the order restore)."""
     import jax.numpy as jnp
 
     from conjugategradient_tpu.problems import powerlaw_spd_coo
