@@ -2,6 +2,7 @@ from .blas import dot, norm_sq, norm, saxpby, sapbx, sambx
 from .spmv import (
     csr_spmv,
     bell_spmv,
+    bell_spmv_multi,
     dense_spmv,
     dia_spmv,
     dia_spmv_multi,
@@ -20,6 +21,7 @@ __all__ = [
     "csr_spmv",
     "bell_spmv",
     "dense_spmv",
+    "bell_spmv_multi",
     "dia_spmv",
     "dia_spmv_multi",
     "sell_spmv",

@@ -87,6 +87,10 @@ def fused_stencil_dir_dot(
     while nx % sx:
         sx //= 2
     sx = max(sx, 2)  # slicing pv[:-1] needs at least 2 planes
+    if nx % sx:
+        # sx collapsed to a non-divisor (odd nx): the grid would cover only
+        # nx//sx*sx planes and silently leave the rest uninitialized
+        raise ValueError(f"need nx divisible by 2, got nx={nx}")
     ng = nx // sx
     co = jnp.stack([center.astype(jnp.float32), off.astype(jnp.float32)])
 

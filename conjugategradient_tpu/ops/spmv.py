@@ -23,6 +23,28 @@ import jax.numpy as jnp
 from ..types import BlockedEllMatrix, CSRMatrix, SellMatrix
 
 
+def sell_bucket_reduce(prods: jax.Array, meta) -> jax.Array:
+    """Per-bucket k-axis reduction of flat SELL slot products.
+
+    ``prods`` is (slots,) or (slots, R); ``meta`` the static (nb, k) bucket
+    list.  Returns the bucket-concatenated row sums ((Σnb,) or (Σnb, R)).
+    The ONE implementation behind every SELL matvec — single-RHS,
+    multi-RHS, and the sharded local matvecs — so slab conventions cannot
+    drift between them.
+    """
+    trailing = prods.shape[1:]
+    parts, base = [], 0
+    for nb, k in meta:
+        if k == 0:
+            parts.append(jnp.zeros((nb,) + trailing, dtype=prods.dtype))
+            continue
+        parts.append(
+            prods[base : base + nb * k].reshape((nb, k) + trailing).sum(axis=1)
+        )
+        base += nb * k
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def sell_spmv(a: SellMatrix, x: jax.Array) -> jax.Array:
     """Degree-bucketed ELL SpMV — the fast path for scattered matrices.
 
@@ -40,14 +62,7 @@ def sell_spmv(a: SellMatrix, x: jax.Array) -> jax.Array:
     # ONE gather over every stored slot (separate per-bucket gathers pay a
     # fixed XLA-op cost each — measured 12.3 vs 6.9 ns/nnz at 30 buckets)
     prods = a.vals_flat.astype(acc) * xa[a.cols_flat]
-    parts, base = [], 0
-    for nb, k in a.bucket_meta:
-        if k == 0:
-            parts.append(jnp.zeros((nb,), dtype=acc))
-            continue
-        parts.append(prods[base : base + nb * k].reshape(nb, k).sum(axis=1))
-        base += nb * k
-    y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    y_sorted = sell_bucket_reduce(prods, a.bucket_meta)
     # degree-sorted systems (reorder.degree_sort_permutation) skip the
     # order-restore gather — pos is the identity, statically known
     y_off = y_sorted[: a.shape[0]] if a.pos_identity else y_sorted[a.pos]
@@ -69,16 +84,8 @@ def sell_spmv_multi(a: SellMatrix, X: jax.Array) -> jax.Array:
     out_dtype = jnp.promote_types(a.dtype, X.dtype)
     acc = _acc(out_dtype)
     Xa = X.astype(acc)
-    R = X.shape[1]
     prods = a.vals_flat.astype(acc)[:, None] * Xa[a.cols_flat]  # (slots, R)
-    parts, base = [], 0
-    for nb, k in a.bucket_meta:
-        if k == 0:
-            parts.append(jnp.zeros((nb, R), dtype=acc))
-            continue
-        parts.append(prods[base : base + nb * k].reshape(nb, k, R).sum(axis=1))
-        base += nb * k
-    y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    y_sorted = sell_bucket_reduce(prods, a.bucket_meta)
     Y_off = y_sorted[: a.shape[0]] if a.pos_identity else y_sorted[a.pos]
     Y = a.diag.astype(acc)[:, None] * Xa + Y_off
     return Y.astype(out_dtype)

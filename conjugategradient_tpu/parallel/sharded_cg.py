@@ -237,19 +237,14 @@ def _local_sell_matvec(diag_s, pos_s, cols_s, vals_s, meta, p_local, axis):
     (GLOBAL column ids into the gathered p), vectorized per-bucket k-axis
     reductions, diagonal applied to the LOCAL slice as a plain stream.
     """
+    from ..ops.spmv import sell_bucket_reduce
+
     p_full = jax.lax.all_gather(p_local, axis, tiled=True)
     acc = jnp.promote_types(
         jnp.promote_types(vals_s.dtype, p_local.dtype), jnp.float32
     )
     prods = vals_s.astype(acc) * p_full[cols_s].astype(acc)
-    parts, base = [], 0
-    for nb, k in meta:
-        if k == 0:
-            parts.append(jnp.zeros((nb,), dtype=acc))
-            continue
-        parts.append(prods[base : base + nb * k].reshape(nb, k).sum(axis=1))
-        base += nb * k
-    y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    y_sorted = sell_bucket_reduce(prods, meta)
     y = diag_s.astype(acc) * p_local.astype(acc) + y_sorted[pos_s]
     return y.astype(jnp.promote_types(vals_s.dtype, p_local.dtype))
 
@@ -1033,23 +1028,14 @@ def sharded_sell_cg_solve_batched(
             cols_s, vals_s = cols_s[0], vals_s[0]
 
             def local_matvec_multi(v_local):  # (m, R)
+                from ..ops.spmv import sell_bucket_reduce
+
                 v_full = jax.lax.all_gather(v_local, axis, tiled=True)
                 acc = jnp.promote_types(
                     jnp.promote_types(vals_s.dtype, v_local.dtype), jnp.float32
                 )
                 prods = vals_s.astype(acc)[:, None] * v_full[cols_s].astype(acc)
-                parts, base = [], 0
-                for nb, kk in meta:
-                    if kk == 0:
-                        parts.append(jnp.zeros((nb, v_local.shape[1]), dtype=acc))
-                        continue
-                    parts.append(
-                        prods[base : base + nb * kk]
-                        .reshape(nb, kk, -1)
-                        .sum(axis=1)
-                    )
-                    base += nb * kk
-                y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                y_sorted = sell_bucket_reduce(prods, meta)
                 y = diag_s.astype(acc)[:, None] * v_local.astype(acc) + y_sorted[pos_s]
                 return y.astype(jnp.promote_types(vals_s.dtype, v_local.dtype))
 

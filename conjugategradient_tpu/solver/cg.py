@@ -256,7 +256,7 @@ def cg_solve(
     # "fused preconditioner-apply kernel").
     inv_diag = getattr(M, "inv_diag", None)
     if (
-        fused == "auto"
+        fused in ("auto", "always")
         and inv_diag is not None
         and recompute_r_every == 0
     ):
@@ -266,7 +266,22 @@ def cg_solve(
             return fused_bell_pcg_solve(
                 op, b, inv_diag, x0, tol=tol, maxiter=maxiter
             )
+        if fused == "always":
+            raise ValueError(
+                "fused='always' with Jacobi needs a fused-capable "
+                "blocked-ELL operator on a TPU backend (solver/fused.py)"
+            )
 
+    if fused == "always" and (
+        (M is not None and inv_diag is None) or recompute_r_every != 0
+    ):
+        # "always" must fail loudly rather than silently run the portable
+        # loop: only Jacobi preconditioning folds into the fused kernels,
+        # and restarts have no fused variant
+        raise ValueError(
+            "fused='always' supports only unpreconditioned or Jacobi "
+            "(jacobi_preconditioner) solves with recompute_r_every=0"
+        )
     if fused != "never" and M is None and recompute_r_every == 0:
         from .fused import fused_bell_cg_solve, fused_supported
         from .fused_stencil import (
@@ -276,9 +291,22 @@ def cg_solve(
 
         bdt = getattr(b, "dtype", None)
         if fused == "always":
-            if fused_supported(op, dtype=bdt, interpret=True):
+            try:
+                backend = jax.default_backend()
+            except Exception:  # pragma: no cover
+                backend = "cpu"
+            if backend != "tpu":
+                # the compiled (non-interpret) Pallas kernels only lower on
+                # TPU; crashing inside pallas_call on CPU helps nobody
+                raise ValueError(
+                    "fused='always' needs a TPU backend; for CPU testing "
+                    "call solver.fused.fused_bell_cg_solve / "
+                    "solver.fused_stencil.fused_stencil_cg_solve with "
+                    "interpret=True"
+                )
+            if fused_supported(op, dtype=bdt):
                 return fused_bell_cg_solve(op, b, x0, tol=tol, maxiter=maxiter)
-            if fused_stencil_supported(op, dtype=bdt, interpret=True):
+            if fused_stencil_supported(op, dtype=bdt):
                 return fused_stencil_cg_solve(
                     op, b, x0, tol=tol, maxiter=maxiter
                 )

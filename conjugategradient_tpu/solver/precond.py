@@ -187,19 +187,27 @@ def _lanczos_tridiag_device(op_arrays, op_static, v0, k: int):
     dt = v0.dtype
     v = v0 / jnp.linalg.norm(v0)
 
+    # MXU default-precision f32 matmuls round operands through bf16 —
+    # poison for the Ritz values Chebyshev/expected_step_count consume
+    # (same rule as every compute path feeding CG; CLAUDE.md)
+    hi = jax.lax.Precision.HIGHEST
+    # breakdown threshold must live above the dtype's noise floor or the
+    # invariant-subspace truncation never fires in f32
+    breakdown_tol = 1e-12 if jnp.dtype(dt).itemsize >= 8 else 1e-6
+
     def body(j, carry):
         V, alphas, betas, v, v_prev, beta = carry
         V = V.at[j].set(v)
         w = op.matvec(v).astype(dt)
-        alpha = jnp.vdot(v, w)
+        alpha = jnp.dot(v, w, precision=hi)
         w = w - alpha * v - beta * v_prev
         # full reorthogonalization keeps Ritz values clean at small k;
         # rows past j are zero so the masked basis costs nothing extra
-        w = w - V.T @ (V @ w)
+        w = w - jnp.matmul(V.T, jnp.matmul(V, w, precision=hi), precision=hi)
         beta_new = jnp.linalg.norm(w)
         # on breakdown (invariant subspace) freeze: emit zero vectors so
         # later alphas stay 0 and the caller truncates at the zero beta
-        safe = beta_new > 1e-12
+        safe = beta_new > breakdown_tol
         v_next = jnp.where(safe, w / jnp.where(safe, beta_new, 1.0), 0.0)
         return (
             V,

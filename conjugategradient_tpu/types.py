@@ -180,6 +180,10 @@ class CSRMatrix(LinearOperator):
             raise TypeError(f"not a scipy.sparse-like matrix: {type(a)!r}")
         if not hasattr(a, "indptr") or getattr(a, "format", "csr") != "csr":
             a = a.tocsr()
+        elif hasattr(a, "copy"):
+            # canonicalization below mutates in place — never restructure
+            # the CALLER's matrix (nnz can shrink, index order changes)
+            a = a.copy()
         # scipy may carry unsorted indices or explicit duplicates depending
         # on how the matrix was built; canonicalize like the reference's
         # ingest scan does

@@ -156,3 +156,70 @@ class TestGuards:
         assert ("key", 0) not in sc._SOLVE_CACHE
         assert ("key", sc._SOLVE_CACHE_MAX + 9) in sc._SOLVE_CACHE
         sc._SOLVE_CACHE.clear()
+
+
+def test_fused_always_fails_loudly_on_cpu():
+    """fused='always' must raise a clear error on non-TPU backends instead
+    of crashing inside pallas_call, and must not be silently ignored when
+    the configuration has no fused variant."""
+    import jax.numpy as jnp
+    import pytest
+
+    from conjugategradient_tpu import CSRMatrix, cg_solve
+    from conjugategradient_tpu.problems import poisson2d_coo
+    from conjugategradient_tpu.types import BlockedEllMatrix
+
+    rows, cols, vals, shape = poisson2d_coo(16)
+    csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    bell = BlockedEllMatrix.from_csr(csr, bm=128, bn=128)
+    b = jnp.ones((shape[0],), jnp.float32)
+
+    with pytest.raises(ValueError, match="TPU backend"):
+        cg_solve(bell, b, tol=1e-5, fused="always")
+    # a non-Jacobi preconditioner has no fused variant: loud failure
+    with pytest.raises(ValueError, match="Jacobi"):
+        cg_solve(bell, b, tol=1e-5, fused="always", M=lambda r: r * 0.5)
+    with pytest.raises(ValueError, match="recompute_r_every"):
+        cg_solve(bell, b, tol=1e-5, fused="always", recompute_r_every=4)
+
+
+def test_fused_stencil_rejects_odd_nx():
+    import jax.numpy as jnp
+    import pytest
+
+    from conjugategradient_tpu.ops.pallas.fused_stencil import (
+        fused_stencil_dir_dot,
+    )
+
+    r = jnp.ones((3, 8, 128), jnp.float32)
+    with pytest.raises(ValueError, match="divisible by 2"):
+        fused_stencil_dir_dot(
+            r, r, jnp.ones((1, 1), jnp.float32),
+            jnp.asarray(6.0), jnp.asarray(-1.0), interpret=True,
+        )
+
+
+def test_from_scipy_does_not_mutate_caller():
+    scipy_sparse = __import__("pytest").importorskip("scipy.sparse")
+
+    from conjugategradient_tpu.types import CSRMatrix
+
+    # duplicate entries: canonicalization would shrink nnz in place
+    a = scipy_sparse.csr_matrix(
+        (np.array([1.0, 2.0, 3.0]), (np.array([0, 0, 1]), np.array([1, 1, 0]))),
+        shape=(2, 2),
+    )
+    nnz_before = a.nnz
+    data_before = a.data.copy()
+    op = CSRMatrix.from_scipy(a)
+    assert a.nnz == nnz_before
+    np.testing.assert_array_equal(a.data, data_before)
+    assert op.nnz == 2  # duplicates summed in OUR copy
+
+
+def test_ops_exports_all_multi_kernels():
+    from conjugategradient_tpu.ops import (  # noqa: F401
+        bell_spmv_multi,
+        dia_spmv_multi,
+        sell_spmv_multi,
+    )
