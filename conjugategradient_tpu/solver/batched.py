@@ -16,7 +16,9 @@ Two implementations, same per-lane semantics:
   index, or diagonal stream) per iteration for all R lanes; per-lane
   α/β/termination
   are masked so each lane's iterations/converged/history are exactly what a
-  solo solve reports;
+  solo solve reports.  Jacobi preconditioners (anything carrying
+  ``.inv_diag``) ride the same loop — the M⁻¹ apply is one (N, R)
+  elementwise multiply, so the amortization is kept;
 * everything else falls back to ``jax.vmap`` over the plain solver, whose
   vmapped ``lax.while_loop`` masks finished lanes the same way.
 """
@@ -52,14 +54,18 @@ def _cg_solve_batched_lockstep(
     X0: jax.Array,
     tol_arr: jax.Array,
     maxiter: int,
+    inv_diag=None,
 ):
-    """Lockstep multi-RHS CG over (N, R) column blocks with a multi-vector
-    SpMV, the WHOLE solve one jitted dispatch (eager setup ops cost ~26 ms
-    each over the remote relay — same lesson as cg_solve's single-dispatch
-    round-2 fix).  Per-lane semantics identical to cg_step: recurrence
-    residual, pre-update termination on ‖r_k‖², ρ==0 guard, NaN exit;
-    finished lanes' carries are frozen (the same masking vmap applies to a
-    while_loop).  ``tol_arr`` is a scalar or (R,) — broadcasts vs rho."""
+    """Lockstep multi-RHS (P)CG over (N, R) column blocks with a
+    multi-vector SpMV, the WHOLE solve one jitted dispatch (eager setup ops
+    cost ~26 ms each over the remote relay — same lesson as cg_solve's
+    single-dispatch round-2 fix).  Per-lane semantics identical to cg_step:
+    recurrence residual, pre-update termination on ‖r_k‖², ρ==0 guard, NaN
+    exit; finished lanes' carries are frozen (the same masking vmap applies
+    to a while_loop).  ``tol_arr`` is a scalar or (R,) — broadcasts vs the
+    lane residuals.  ``inv_diag`` (n,) enables Jacobi preconditioning —
+    applied to the whole (N, R) slab, so the operator amortization is kept
+    (the vmap fallback would stream the operator once PER lane)."""
     from ..ops.spmv import bell_spmv_multi, dia_spmv_multi, sell_spmv_multi
 
     op = jax.tree_util.tree_unflatten(op_static, op_arrays)
@@ -73,8 +79,13 @@ def _cg_solve_batched_lockstep(
     X0t = X0.T
     N, R = Bt.shape
 
+    def precond(Rv):
+        return Rv if inv_diag is None else inv_diag[:, None] * Rv
+
     r0 = Bt - matvec_multi(X0t)
+    z0 = precond(r0)
     rnorm0 = _dot_cols(r0, r0)  # (R,)
+    rho0 = rnorm0 if inv_diag is None else _dot_cols(r0, z0)
     hist = jnp.full((maxiter + 1, R), jnp.nan, dtype=rnorm0.dtype)
     hist = hist.at[0].set(rnorm0)
     carry = (
@@ -82,13 +93,14 @@ def _cg_solve_batched_lockstep(
         jnp.zeros((R,), bool),  # per-lane done
         X0t,
         r0,
-        r0,  # p
-        rnorm0,  # rho
+        z0,  # p
+        rho0,
+        rnorm0,
         hist,
     )
 
     def body(c):
-        k, done, X, Rv, P, rho, hist = c
+        k, done, X, Rv, P, rho, rnorm, hist = c
         active = (~done) & (k < maxiter)
         Q = matvec_multi(P)
         pap = _dot_cols(P, Q)
@@ -97,29 +109,32 @@ def _cg_solve_batched_lockstep(
         am = jnp.where(active, alpha, 0)  # frozen lanes: no-op updates
         X = X + am * P
         Rv = Rv - am * Q
-        done_new = jnp.isnan(rho) | (jnp.sqrt(rho) <= tol_arr)
+        done_new = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr)
+        Z = precond(Rv)
         rnorm_next = _dot_cols(Rv, Rv)
-        beta = jnp.where(exact, 0, rnorm_next / jnp.where(exact, 1, rho))
-        P = jnp.where(active, Rv + beta * P, P)
+        rho_next = rnorm_next if inv_diag is None else _dot_cols(Rv, Z)
+        beta = jnp.where(exact, 0, rho_next / jnp.where(exact, 1, rho))
+        P = jnp.where(active, Z + beta * P, P)
         k = jnp.where(active, k + 1, k)
-        rho = jnp.where(active, rnorm_next, rho)
+        rho = jnp.where(active, rho_next, rho)
+        rnorm = jnp.where(active, rnorm_next, rnorm)
         hist_col = jnp.where(
             active, rnorm_next, jnp.take_along_axis(hist, k[None, :], 0)[0]
         )
         hist = hist.at[k, jnp.arange(R)].set(hist_col)
         done = jnp.where(active, done_new, done)
-        return (k, done, X, Rv, P, rho, hist)
+        return (k, done, X, Rv, P, rho, rnorm, hist)
 
     def cond(c):
         k, done = c[0], c[1]
         return jnp.any((~done) & (k < maxiter))
 
-    k, done, X, Rv, P, rho, hist = jax.lax.while_loop(cond, body, carry)
+    k, done, X, Rv, P, rho, rnorm, hist = jax.lax.while_loop(cond, body, carry)
     info = CGInfo(
         iterations=k,
-        converged=done & ~jnp.isnan(rho),
+        converged=done & ~jnp.isnan(rnorm),
         rho=rho,
-        rnorm_sq=rho,
+        rnorm_sq=rnorm,
         rho_history=hist.T,  # (R, maxiter+1), matching the vmap layout
     )
     return X.T, info
@@ -165,7 +180,13 @@ def cg_solve_batched(
     if X0 is None:
         X0 = jnp.zeros_like(B)
 
-    use_lockstep = isinstance(op, (BlockedEllMatrix, SellMatrix, DIAMatrix)) and M is None
+    # Jacobi preconditioners carry their diagonal (precond.py), so the
+    # lockstep loop can apply M to the whole (N, R) slab and KEEP the
+    # operator amortization; any other M falls back to vmap
+    inv_diag = getattr(M, "inv_diag", None)
+    use_lockstep = isinstance(op, (BlockedEllMatrix, SellMatrix, DIAMatrix)) and (
+        M is None or inv_diag is not None
+    )
     if use_lockstep and isinstance(op, DIAMatrix) and op.offsets:
         # dia_spmv_multi is the XLA padded-slice formulation; at stencil-
         # scale offsets (≥1024) that formulation collapses on TPU and the
@@ -182,7 +203,7 @@ def cg_solve_batched(
         mi = int(op.shape[0] + 1 if maxiter is None else maxiter)
         op_arrays, op_static = jax.tree_util.tree_flatten(op)
         return _cg_solve_batched_lockstep(
-            tuple(op_arrays), op_static, B, X0, tol, mi
+            tuple(op_arrays), op_static, B, X0, tol, mi, inv_diag
         )
 
     def solve_one(b, x0, t):

@@ -150,3 +150,20 @@ def test_batched_per_lane_tol(rng):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_batched_bell_jacobi_lockstep_matches_solo(rng):
+    """Jacobi M rides the lockstep loop (operator amortization kept);
+    per-lane iterations/solutions must match solo PCG solves exactly."""
+    from conjugategradient_tpu.types import BlockedEllMatrix
+
+    A, n = _problem(16)
+    bell = BlockedEllMatrix.from_csr(A, bm=8, bn=128)
+    M = jacobi_preconditioner(bell)
+    B = jnp.asarray(rng.standard_normal((3, n)))
+    X, info = cg_solve_batched(bell, B, tol=1e-10, M=M)
+    for i in range(3):
+        x_i, info_i = cg_solve(bell, B[i], tol=1e-10, M=M, fused="never")
+        assert int(info.iterations[i]) == int(info_i.iterations)
+        assert bool(info.converged[i]) == bool(info_i.converged)
+        np.testing.assert_allclose(np.asarray(X[i]), np.asarray(x_i), rtol=1e-8)
