@@ -16,9 +16,9 @@ Two implementations, same per-lane semantics:
   index, or diagonal stream) per iteration for all R lanes; per-lane
   α/β/termination
   are masked so each lane's iterations/converged/history are exactly what a
-  solo solve reports.  Jacobi preconditioners (anything carrying
-  ``.inv_diag``) ride the same loop — the M⁻¹ apply is one (N, R)
-  elementwise multiply, so the amortization is kept;
+  solo solve reports.  Any traceable per-vector preconditioner rides the
+  same loop (vmapped over the R columns — for Jacobi/block-Jacobi the
+  apply fuses into one (N, R) pass), so the amortization survives PCG;
 * everything else falls back to ``jax.vmap`` over the plain solver, whose
   vmapped ``lax.while_loop`` masks finished lanes the same way.
 """
@@ -46,7 +46,7 @@ def _dot_cols(U: jax.Array, V: jax.Array) -> jax.Array:
     return jnp.sum(U * V, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("op_static", "maxiter"))
+@functools.partial(jax.jit, static_argnames=("op_static", "maxiter", "M"))
 def _cg_solve_batched_lockstep(
     op_arrays,
     op_static,
@@ -54,7 +54,7 @@ def _cg_solve_batched_lockstep(
     X0: jax.Array,
     tol_arr: jax.Array,
     maxiter: int,
-    inv_diag=None,
+    M=None,
 ):
     """Lockstep multi-RHS (P)CG over (N, R) column blocks with a
     multi-vector SpMV, the WHOLE solve one jitted dispatch (eager setup ops
@@ -63,9 +63,10 @@ def _cg_solve_batched_lockstep(
     recurrence residual, pre-update termination on ‖r_k‖², ρ==0 guard, NaN
     exit; finished lanes' carries are frozen (the same masking vmap applies
     to a while_loop).  ``tol_arr`` is a scalar or (R,) — broadcasts vs the
-    lane residuals.  ``inv_diag`` (n,) enables Jacobi preconditioning —
-    applied to the whole (N, R) slab, so the operator amortization is kept
-    (the vmap fallback would stream the operator once PER lane)."""
+    lane residuals.  ``M`` (static, like the solo core's) is any traceable
+    per-vector preconditioner apply — vmapped over the R columns, so the
+    OPERATOR amortization is kept (a vmap over whole solves would stream
+    the operator once PER lane)."""
     from ..ops.spmv import bell_spmv_multi, dia_spmv_multi, sell_spmv_multi
 
     op = jax.tree_util.tree_unflatten(op_static, op_arrays)
@@ -79,13 +80,12 @@ def _cg_solve_batched_lockstep(
     X0t = X0.T
     N, R = Bt.shape
 
-    def precond(Rv):
-        return Rv if inv_diag is None else inv_diag[:, None] * Rv
+    precond = (lambda Rv: Rv) if M is None else jax.vmap(M, in_axes=1, out_axes=1)
 
     r0 = Bt - matvec_multi(X0t)
     z0 = precond(r0)
     rnorm0 = _dot_cols(r0, r0)  # (R,)
-    rho0 = rnorm0 if inv_diag is None else _dot_cols(r0, z0)
+    rho0 = rnorm0 if M is None else _dot_cols(r0, z0)
     hist = jnp.full((maxiter + 1, R), jnp.nan, dtype=rnorm0.dtype)
     hist = hist.at[0].set(rnorm0)
     carry = (
@@ -112,7 +112,7 @@ def _cg_solve_batched_lockstep(
         done_new = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr)
         Z = precond(Rv)
         rnorm_next = _dot_cols(Rv, Rv)
-        rho_next = rnorm_next if inv_diag is None else _dot_cols(Rv, Z)
+        rho_next = rnorm_next if M is None else _dot_cols(Rv, Z)
         beta = jnp.where(exact, 0, rho_next / jnp.where(exact, 1, rho))
         P = jnp.where(active, Z + beta * P, P)
         k = jnp.where(active, k + 1, k)
@@ -180,13 +180,9 @@ def cg_solve_batched(
     if X0 is None:
         X0 = jnp.zeros_like(B)
 
-    # Jacobi preconditioners carry their diagonal (precond.py), so the
-    # lockstep loop can apply M to the whole (N, R) slab and KEEP the
-    # operator amortization; any other M falls back to vmap
-    inv_diag = getattr(M, "inv_diag", None)
-    use_lockstep = isinstance(op, (BlockedEllMatrix, SellMatrix, DIAMatrix)) and (
-        M is None or inv_diag is not None
-    )
+    # any traceable per-vector M rides the lockstep loop (vmapped over the
+    # R columns), so the operator amortization survives preconditioning
+    use_lockstep = isinstance(op, (BlockedEllMatrix, SellMatrix, DIAMatrix))
     if use_lockstep and isinstance(op, DIAMatrix) and op.offsets:
         # dia_spmv_multi is the XLA padded-slice formulation; at stencil-
         # scale offsets (≥1024) that formulation collapses on TPU and the
@@ -203,7 +199,7 @@ def cg_solve_batched(
         mi = int(op.shape[0] + 1 if maxiter is None else maxiter)
         op_arrays, op_static = jax.tree_util.tree_flatten(op)
         return _cg_solve_batched_lockstep(
-            tuple(op_arrays), op_static, B, X0, tol, mi, inv_diag
+            tuple(op_arrays), op_static, B, X0, tol, mi, M
         )
 
     def solve_one(b, x0, t):

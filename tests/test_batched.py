@@ -167,3 +167,20 @@ def test_batched_bell_jacobi_lockstep_matches_solo(rng):
         assert int(info.iterations[i]) == int(info_i.iterations)
         assert bool(info.converged[i]) == bool(info_i.converged)
         np.testing.assert_allclose(np.asarray(X[i]), np.asarray(x_i), rtol=1e-8)
+
+
+def test_batched_sell_blockjacobi_lockstep_matches_solo(rng):
+    """Any traceable M rides the lockstep loop (column-vmapped apply):
+    block-Jacobi on a SELL operator must match solo PCG per lane."""
+    from conjugategradient_tpu.solver.precond import block_jacobi_preconditioner
+    from conjugategradient_tpu.types import SellMatrix
+
+    A, n = _problem(12)
+    sell = SellMatrix.from_csr(A)
+    M = block_jacobi_preconditioner(A, block_size=4)
+    B = jnp.asarray(rng.standard_normal((3, n)))
+    X, info = cg_solve_batched(sell, B, tol=1e-10, M=M)
+    for i in range(3):
+        x_i, info_i = cg_solve(sell, B[i], tol=1e-10, M=M, fused="never")
+        assert int(info.iterations[i]) == int(info_i.iterations)
+        np.testing.assert_allclose(np.asarray(X[i]), np.asarray(x_i), rtol=1e-8)
