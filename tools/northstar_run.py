@@ -220,7 +220,7 @@ def run_elasticity(nx=48, tol_rel=1e-6):
     iters_bj = int(info.iterations)
     _, info_j = cg_solve(op, b, tol=tol, maxiter=4000, M=jacobi_preconditioner(csr))
     return {
-        "metric": "elasticity48_blockjacobi_solve_wall",
+        "metric": f"elasticity{nx}_blockjacobi_solve_wall",
         "value": round(wall * 1e3, 1),
         "unit": "ms",
         "vs_baseline": round(rel, 12),
@@ -270,11 +270,20 @@ def main(argv=None) -> int:
         choices=("poisson3d", "powerlaw", "powerlaw-multi", "elasticity",
                  "stencil"),
     )
+    ap.add_argument("--nx", type=int, default=None,
+                    help="grid edge override (poisson3d/elasticity/stencil; "
+                         "elasticity --nx 80 is the Flan_1565-class scale: "
+                         "n=1.54M, ~124M nnz)")
     args = ap.parse_args(argv)
+    kw = {}
+    if args.nx is not None:
+        if args.config not in ("poisson3d", "elasticity", "stencil"):
+            ap.error("--nx applies to poisson3d/elasticity/stencil")
+        kw["nx"] = args.nx
     out = {"poisson3d": run_poisson3d, "powerlaw": run_powerlaw,
            "powerlaw-multi": run_powerlaw_multi,
            "elasticity": run_elasticity,
-           "stencil": run_stencil}[args.config]()
+           "stencil": run_stencil}[args.config](**kw)
     print(json.dumps(out))
     return 0
 
