@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+
+from collections import OrderedDict
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -329,16 +331,74 @@ def cg_solve(
     # solve before this), and jax.jit's cache keys on the operator pytree
     # structure + shapes, so repeat solves skip retracing entirely.
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
+
+    # DIA fast path on TPU: compile the solve PER OPERATOR with the
+    # diagonals closed over as jit constants.  A diagonal array passed as a
+    # jit ARGUMENT costs a per-iteration relayout in front of the Pallas
+    # kernel (measured at 99 diagonals / n=331K: 0.62 ms/matvec as an arg
+    # vs 0.19 as a constant — neither blocked re-layouts nor flat-1-D args
+    # recover it, and XLA does not hoist the conversion out of the
+    # while_loop); as a CONSTANT, XLA pre-tiles it once at compile time
+    # and pins what fits in VMEM.  Worth a per-operator compile exactly in
+    # the production pattern (one A, many b); bounded LRU, big-operator
+    # gate (closures ≳400 MB die in remote-compile — CLAUDE.md).
+    from ..types import DIAMatrix
+
+    if isinstance(op, DIAMatrix):
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover
+            backend = "cpu"
+        nbytes = op.diags.size * op.diags.dtype.itemsize
+        if backend == "tpu" and (1 << 20) <= nbytes <= (320 << 20):
+            return _dia_const_solve(
+                op, b, x0, tol_arr, maxiter, M, recompute_r_every
+            )
+
     if x0 is None:
         return _cg_solve_core(op, b, None, tol_arr, maxiter, M,
                               recompute_r_every)
     return _cg_solve_core(op, b, x0, tol_arr, maxiter, M, recompute_r_every)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("maxiter", "M", "recompute_r_every")
-)
-def _cg_solve_core(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
+# per-operator compiled DIA solves (see the dispatch comment above): each
+# entry closes over one operator's diagonals as compile-time constants.
+# Keyed on everything else static; the stored diags reference is identity-
+# checked so a different operator with equal shapes cannot reuse a program.
+_DIA_CONST_CACHE: "OrderedDict" = OrderedDict()
+_DIA_CONST_CACHE_MAX = 4
+
+
+def _dia_const_solve(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
+    key = (
+        op.offsets, op.shape, str(op.dtype), str(b.dtype), b.shape,
+        maxiter, M, recompute_r_every, x0 is None,
+    )
+    ent = _DIA_CONST_CACHE.get(key)
+    if ent is not None and ent[0] is op.diags:
+        _DIA_CONST_CACHE.move_to_end(key)
+        fn = ent[1]
+    else:
+        if x0 is None:
+            fn = jax.jit(
+                lambda b_, t_: _cg_solve_core_impl(
+                    op, b_, None, t_, maxiter, M, recompute_r_every
+                )
+            )
+        else:
+            fn = jax.jit(
+                lambda b_, x0_, t_: _cg_solve_core_impl(
+                    op, b_, x0_, t_, maxiter, M, recompute_r_every
+                )
+            )
+        _DIA_CONST_CACHE[key] = (op.diags, fn)
+        _DIA_CONST_CACHE.move_to_end(key)
+        while len(_DIA_CONST_CACHE) > _DIA_CONST_CACHE_MAX:
+            _DIA_CONST_CACHE.popitem(last=False)
+    return fn(b, tol_arr) if x0 is None else fn(b, x0, tol_arr)
+
+
+def _cg_solve_core_impl(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
     state0 = cg_init(op, b, x0, M=M, maxiter=maxiter)
 
     def cond(s: CGState):
@@ -379,6 +439,11 @@ def _cg_solve_core(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
         rho_history=s.hist,
     )
     return s.x, info
+
+
+_cg_solve_core = functools.partial(
+    jax.jit, static_argnames=("maxiter", "M", "recompute_r_every")
+)(_cg_solve_core_impl)
 
 
 def accuracy(A: Any, b: jax.Array, x: jax.Array, n: Optional[int] = None) -> jax.Array:

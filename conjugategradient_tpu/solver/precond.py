@@ -154,18 +154,50 @@ def block_jacobi_preconditioner(
         return jacobi_preconditioner(op)
     m = op.shape[0]
     blocks = _diagonal_blocks_host(op, block_size)
-    inv_blocks = jnp.asarray(np.linalg.inv(blocks), dtype=op.dtype)
+    inv_np = np.linalg.inv(blocks)
+    inv_blocks = jnp.asarray(inv_np, dtype=op.dtype)
     npad = inv_blocks.shape[0] * block_size
 
-    def apply(r: jax.Array) -> jax.Array:
-        rp = jnp.pad(r, (0, npad - m)) if npad != m else r
-        y = jnp.einsum(
-            "nij,nj->ni",
-            inv_blocks.astype(r.dtype),
-            rp.reshape(-1, block_size),
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return y.reshape(-1)[:m]
+    if block_size <= 16:
+        # Lane-friendly apply: a block-diagonal multiply IS a banded
+        # (DIA) matvec with 2b−1 diagonals — W_δ[k] = inv[k//b, k%b, k%b+δ]
+        # where in-block, else 0 — so the apply becomes 2b−1 shifted
+        # streaming multiply-adds.  The (nb, b)-shaped einsum wastes the
+        # 128-wide lanes on a b-element minor dim (measured on v5e at
+        # b=3, n=331K: 0.373 ms/apply vs ~0.03 ms of compulsory traffic —
+        # it dominated the whole PCG iteration); this formulation streams
+        # at the DIA rate.  Large blocks keep the einsum: b ≥ ~32 rows
+        # use the lanes properly and 2b−1 streams would pad too much.
+        bsz = block_size
+        k = np.arange(npad)
+        i_blk, a_row = k // bsz, k % bsz
+        W = np.zeros((2 * bsz - 1, npad), dtype=np.float64)
+        for d, delta in enumerate(range(-(bsz - 1), bsz)):
+            jcol = a_row + delta
+            ok = (jcol >= 0) & (jcol < bsz)
+            W[d, ok] = inv_np[i_blk[ok], a_row[ok], jcol[ok]]
+        Wj = jnp.asarray(W, dtype=op.dtype)
+        lpad = bsz - 1
+
+        def apply(r: jax.Array) -> jax.Array:
+            rp = jnp.pad(r, (lpad, lpad + npad - m))
+            y = jnp.zeros((npad,), dtype=jnp.promote_types(r.dtype, Wj.dtype))
+            for d, delta in enumerate(range(-(bsz - 1), bsz)):
+                lo = delta + lpad
+                y = y + Wj[d] * jax.lax.slice(rp, (lo,), (lo + npad,))
+            return y[:m].astype(r.dtype)
+
+    else:
+
+        def apply(r: jax.Array) -> jax.Array:
+            rp = jnp.pad(r, (0, npad - m)) if npad != m else r
+            y = jnp.einsum(
+                "nij,nj->ni",
+                inv_blocks.astype(r.dtype),
+                rp.reshape(-1, block_size),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return y.reshape(-1)[:m]
 
     apply.inv_blocks = inv_blocks
     apply.block_size = block_size
