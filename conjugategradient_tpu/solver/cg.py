@@ -350,10 +350,12 @@ def cg_solve(
         except Exception:  # pragma: no cover
             backend = "cpu"
         nbytes = op.diags.size * op.diags.dtype.itemsize
-        # the gate bounds the compiled program's constant footprint; a
-        # 608 MB closure verified OK through the remote relay (the earlier
-        # ~400 MB HTTP 413 ceiling no longer reproduces)
-        if backend == "tpu" and (1 << 20) <= nbytes <= (1 << 30):
+        # the gate bounds the compiled program's constant footprint: a
+        # 131 MB solve closure compiles through the remote relay, a 608 MB
+        # one dies with HTTP 413 (a trivial 608 MB closure alone passes —
+        # the limit is on the whole serialized program); the runtime
+        # fallback below catches relay-limit failures regardless
+        if backend == "tpu" and (1 << 20) <= nbytes <= (320 << 20):
             return _dia_const_solve(
                 op, b, x0, tol_arr, maxiter, M, recompute_r_every
             )
@@ -398,7 +400,16 @@ def _dia_const_solve(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
         _DIA_CONST_CACHE.move_to_end(key)
         while len(_DIA_CONST_CACHE) > _DIA_CONST_CACHE_MAX:
             _DIA_CONST_CACHE.popitem(last=False)
-    return fn(b, tol_arr) if x0 is None else fn(b, x0, tol_arr)
+    if fn is None:  # previously failed to compile for this operator
+        return _cg_solve_core(op, b, x0, tol_arr, maxiter, M, recompute_r_every)
+    try:
+        return fn(b, tol_arr) if x0 is None else fn(b, x0, tol_arr)
+    except Exception:
+        # relay program-size limits (HTTP 413) and friends: remember the
+        # failure so repeat solves skip the doomed compile, then run the
+        # portable operator-as-argument path
+        _DIA_CONST_CACHE[key] = (op.diags, None)
+        return _cg_solve_core(op, b, x0, tol_arr, maxiter, M, recompute_r_every)
 
 
 def _cg_solve_core_impl(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
