@@ -220,3 +220,68 @@ def dia_spmv_pallas(
         ),
     )(diags, xp)
     return y[:n]
+
+
+def _make_kernel_blocked(offsets, lpad: int, bl: int, acc_dtype):
+    """Same windowed kernel as :func:`_make_kernel` but reading its
+    diagonals from a (1, ndiag, bl) block of the PRE-BLOCKED (ng, ndiag,
+    bl) array — each grid step's block is one contiguous tiled region, so
+    a jit-ARGUMENT operator streams without the per-iteration relayout the
+    row-major (ndiag, n) layout pays (measured 3.2× at 99 diagonals)."""
+    base, window = _make_kernel(offsets, lpad, bl, acc_dtype)
+
+    class _RowView:
+        def __init__(self, ref):
+            self._ref = ref
+
+        def __getitem__(self, idx):
+            d, sl = idx
+            return self._ref[0, d, sl]
+
+    def _kernel(diags_ref, xp_hbm, y_ref, x_vmem, sems):
+        base(_RowView(diags_ref), xp_hbm, y_ref, x_vmem, sems)
+
+    return _kernel, window
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "n", "interpret"))
+def dia_spmv_pallas_blocked(
+    diags_blocked: jax.Array,
+    offsets: tuple,
+    x: jax.Array,
+    n: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """y (n,) = DIA @ x with the operator in the pre-blocked (ng, ndiag,
+    bl) layout from :meth:`DIAMatrix.with_blocked`."""
+    ng, ndiag, bl = diags_blocked.shape
+    n_pad = ng * bl
+    ncols = x.shape[0]
+    lpad = max(0, -min(offsets)) if offsets else 0
+    acc_dtype = jnp.promote_types(
+        jnp.promote_types(diags_blocked.dtype, x.dtype), jnp.float32
+    )
+    kernel, window = _make_kernel_blocked(tuple(offsets), lpad, bl, acc_dtype)
+    xp = jnp.pad(x, (lpad, max(0, n_pad - bl + window - lpad - ncols)))
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, ndiag, bl), lambda g: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((bl,), lambda g: (g,)),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), diags_blocked.dtype),
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((2 * window,), diags_blocked.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * n,
+            bytes_accessed=(ndiag + 2) * n * diags_blocked.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(diags_blocked, xp)
+    return y[:n]

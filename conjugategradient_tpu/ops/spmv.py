@@ -244,6 +244,15 @@ def dia_spmv(a, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
             and a.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
         )
     if pick_pallas:
+        if getattr(a, "diags_blocked", None) is not None:
+            # pre-blocked layout (DIAMatrix.with_blocked): each grid step's
+            # operand block is contiguous, so a jit-ARGUMENT operator
+            # streams without the per-iteration relayout (3.2× at 99 diags)
+            from .pallas.dia_spmv import dia_spmv_pallas_blocked
+
+            return dia_spmv_pallas_blocked(
+                a.diags_blocked, a.offsets, x, n=a.shape[0]
+            )
         from .pallas.dia_spmv import dia_spmv_pallas
 
         return dia_spmv_pallas(a.diags, a.offsets, x)

@@ -359,11 +359,41 @@ def cg_solve(
             return _dia_const_solve(
                 op, b, x0, tol_arr, maxiter, M, recompute_r_every
             )
+        if (
+            backend == "tpu"
+            and nbytes > (320 << 20)
+            and op.offsets
+            and max(abs(o) for o in op.offsets) >= 1024
+        ):
+            # too big for a constant closure, but in the Pallas-kernel
+            # regime: upgrade to the pre-blocked layout once per operator
+            # so the argument streams without per-iteration relayouts
+            op = _blocked_dia(op)
 
     if x0 is None:
         return _cg_solve_core(op, b, None, tol_arr, maxiter, M,
                               recompute_r_every)
     return _cg_solve_core(op, b, x0, tol_arr, maxiter, M, recompute_r_every)
+
+
+# per-operator pre-blocked DIA layouts (DIAMatrix.with_blocked), id-keyed
+# and identity-checked like the constant cache below
+_DIA_BLOCKED_CACHE: "OrderedDict" = OrderedDict()
+_DIA_BLOCKED_CACHE_MAX = 4
+
+
+def _blocked_dia(op):
+    key = id(op.diags)
+    ent = _DIA_BLOCKED_CACHE.get(key)
+    if ent is not None and ent[0] is op.diags:
+        _DIA_BLOCKED_CACHE.move_to_end(key)
+        return ent[1]
+    upgraded = op.with_blocked()
+    _DIA_BLOCKED_CACHE[key] = (op.diags, upgraded)
+    _DIA_BLOCKED_CACHE.move_to_end(key)
+    while len(_DIA_BLOCKED_CACHE) > _DIA_BLOCKED_CACHE_MAX:
+        _DIA_BLOCKED_CACHE.popitem(last=False)
+    return upgraded
 
 
 # per-operator compiled DIA solves (see the dispatch comment above): each
@@ -400,8 +430,14 @@ def _dia_const_solve(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
         _DIA_CONST_CACHE.move_to_end(key)
         while len(_DIA_CONST_CACHE) > _DIA_CONST_CACHE_MAX:
             _DIA_CONST_CACHE.popitem(last=False)
+    def _arg_fallback():
+        o = op
+        if o.offsets and max(abs(x) for x in o.offsets) >= 1024:
+            o = _blocked_dia(o)  # keep the relayout-free argument layout
+        return _cg_solve_core(o, b, x0, tol_arr, maxiter, M, recompute_r_every)
+
     if fn is None:  # previously failed to compile for this operator
-        return _cg_solve_core(op, b, x0, tol_arr, maxiter, M, recompute_r_every)
+        return _arg_fallback()
     try:
         return fn(b, tol_arr) if x0 is None else fn(b, x0, tol_arr)
     except Exception:
@@ -409,7 +445,7 @@ def _dia_const_solve(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
         # failure so repeat solves skip the doomed compile, then run the
         # portable operator-as-argument path
         _DIA_CONST_CACHE[key] = (op.diags, None)
-        return _cg_solve_core(op, b, x0, tol_arr, maxiter, M, recompute_r_every)
+        return _arg_fallback()
 
 
 def _cg_solve_core_impl(op, b, x0, tol_arr, maxiter, M, recompute_r_every):

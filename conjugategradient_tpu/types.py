@@ -454,13 +454,42 @@ class DIAMatrix(LinearOperator):
     offsets: Tuple[int, ...]  # static
     shape: Tuple[int, int]
     nnz: int  # true nnz (pre-padding), static metadata
+    # Optional pre-blocked copy (ng, ndiag, bl) for the Pallas windowed
+    # kernel: a (ndiag, bl) BlockSpec block of the row-major (ndiag, n)
+    # array is ndiag strided row segments and XLA inserts a PER-ITERATION
+    # relayout in front of the custom call when the operator is a jit
+    # argument (measured 3.2× at 99 diagonals); each blocked slice is one
+    # contiguous tiled region, which streams clean.  Built once by
+    # :meth:`with_blocked`; `ops/spmv.dia_spmv` prefers it when present.
+    diags_blocked: Optional[jax.Array] = None
 
     def tree_flatten(self):
-        return (self.diags,), (self.offsets, self.shape, self.nnz)
+        if self.diags_blocked is None:
+            return (self.diags,), (self.offsets, self.shape, self.nnz, False)
+        return (self.diags, self.diags_blocked), (
+            self.offsets, self.shape, self.nnz, True,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0], aux[1], aux[2])
+        blocked = children[1] if aux[3] else None
+        return cls(children[0], aux[0], aux[1], aux[2], blocked)
+
+    def with_blocked(self, block_len: int = 16384) -> "DIAMatrix":
+        """Return a copy carrying the Pallas-blocked diagonal layout (one
+        device pass; do this ONCE per operator, outside jit)."""
+        if self.diags_blocked is not None:
+            return self
+        ndiag, n_stored = self.diags.shape
+        bl = min(block_len, n_stored)
+        n_pad = -(-n_stored // bl) * bl
+        dp = self.diags
+        if n_pad != n_stored:
+            dp = jnp.pad(dp, ((0, 0), (0, n_pad - n_stored)))
+        blocked = dp.reshape(ndiag, n_pad // bl, bl).transpose(1, 0, 2)
+        return DIAMatrix(
+            self.diags, self.offsets, self.shape, self.nnz, blocked
+        )
 
     @staticmethod
     def from_csr_host(

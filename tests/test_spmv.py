@@ -151,3 +151,50 @@ def test_mixed_precision_cg_converges(rng):
     # residual vs the TRUE (f32) operator is bf16-limited but bounded
     r = b - csr.matvec(x)
     assert float(jnp.linalg.norm(r)) < 1e-1
+
+
+def test_dia_blocked_layout_parity(rng):
+    """DIAMatrix.with_blocked carries a pre-blocked copy; the blocked
+    Pallas kernel (interpret mode) and the plain matvec must agree, and
+    the pytree round-trips with the extra leaf."""
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.ops.pallas.dia_spmv import dia_spmv_pallas_blocked
+    from conjugategradient_tpu.problems import banded_spd_coo
+    from conjugategradient_tpu.types import CSRMatrix, DIAMatrix
+
+    rows, cols, vals, shape = banded_spd_coo(300, bandwidth=5, seed=9)
+    csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    dia = DIAMatrix.from_csr(csr)
+    blk = dia.with_blocked(block_len=128)
+    assert blk.diags_blocked is not None
+    assert blk.with_blocked() is blk  # idempotent
+
+    x = jnp.asarray(rng.standard_normal(shape[0]).astype(np.float32))
+    y_ref = dia.matvec(x)
+    y_blk = dia_spmv_pallas_blocked(
+        blk.diags_blocked, blk.offsets, x, n=shape[0], interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_blk), np.asarray(y_ref), rtol=1e-6, atol=1e-6
+    )
+
+    # pytree round-trip keeps the blocked leaf
+    leaves, treedef = jax.tree_util.tree_flatten(blk)
+    assert len(leaves) == 2
+    back = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert back.diags_blocked is not None
+    np.testing.assert_array_equal(
+        np.asarray(back.diags_blocked), np.asarray(blk.diags_blocked)
+    )
+
+    # solving with the upgraded operator matches the plain one (CPU: the
+    # XLA path runs either way, exercising the pytree through the jit)
+    from conjugategradient_tpu import cg_solve
+
+    b = jnp.asarray(rng.standard_normal(shape[0]).astype(np.float32))
+    x1, i1 = cg_solve(dia, b, tol=1e-4, maxiter=400)
+    x2, i2 = cg_solve(blk, b, tol=1e-4, maxiter=400)
+    assert int(i1.iterations) == int(i2.iterations)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-6)
