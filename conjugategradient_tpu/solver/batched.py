@@ -55,6 +55,7 @@ def _cg_solve_batched_lockstep(
     tol_arr: jax.Array,
     maxiter: int,
     M=None,
+    inv_diag=None,
 ):
     """Lockstep multi-RHS (P)CG over (N, R) column blocks with a
     multi-vector SpMV, the WHOLE solve one jitted dispatch (eager setup ops
@@ -63,10 +64,12 @@ def _cg_solve_batched_lockstep(
     recurrence residual, pre-update termination on ‖r_k‖², ρ==0 guard, NaN
     exit; finished lanes' carries are frozen (the same masking vmap applies
     to a while_loop).  ``tol_arr`` is a scalar or (R,) — broadcasts vs the
-    lane residuals.  ``M`` (static, like the solo core's) is any traceable
-    per-vector preconditioner apply — vmapped over the R columns, so the
-    OPERATOR amortization is kept (a vmap over whole solves would stream
-    the operator once PER lane)."""
+    lane residuals.  Preconditioning keeps the OPERATOR amortization (a
+    vmap over whole solves would stream the operator once PER lane):
+    Jacobi-style diagonals pass DYNAMICALLY via ``inv_diag`` (fresh
+    preconditioner objects for same-shaped operators hit the jit cache),
+    any other traceable per-vector apply passes as the static ``M``
+    (like the solo core's) and is vmapped over the R columns."""
     from ..ops.spmv import bell_spmv_multi, dia_spmv_multi, sell_spmv_multi
 
     op = jax.tree_util.tree_unflatten(op_static, op_arrays)
@@ -80,12 +83,18 @@ def _cg_solve_batched_lockstep(
     X0t = X0.T
     N, R = Bt.shape
 
-    precond = (lambda Rv: Rv) if M is None else jax.vmap(M, in_axes=1, out_axes=1)
+    if inv_diag is not None:
+        precond = lambda Rv: inv_diag[:, None] * Rv
+    elif M is not None:
+        precond = jax.vmap(M, in_axes=1, out_axes=1)
+    else:
+        precond = lambda Rv: Rv
+    with_m = M is not None or inv_diag is not None
 
     r0 = Bt - matvec_multi(X0t)
     z0 = precond(r0)
     rnorm0 = _dot_cols(r0, r0)  # (R,)
-    rho0 = rnorm0 if M is None else _dot_cols(r0, z0)
+    rho0 = _dot_cols(r0, z0) if with_m else rnorm0
     hist = jnp.full((maxiter + 1, R), jnp.nan, dtype=rnorm0.dtype)
     hist = hist.at[0].set(rnorm0)
     carry = (
@@ -112,7 +121,7 @@ def _cg_solve_batched_lockstep(
         done_new = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr)
         Z = precond(Rv)
         rnorm_next = _dot_cols(Rv, Rv)
-        rho_next = rnorm_next if M is None else _dot_cols(Rv, Z)
+        rho_next = _dot_cols(Rv, Z) if with_m else rnorm_next
         beta = jnp.where(exact, 0, rho_next / jnp.where(exact, 1, rho))
         P = jnp.where(active, Z + beta * P, P)
         k = jnp.where(active, k + 1, k)
@@ -180,8 +189,11 @@ def cg_solve_batched(
     if X0 is None:
         X0 = jnp.zeros_like(B)
 
-    # any traceable per-vector M rides the lockstep loop (vmapped over the
-    # R columns), so the operator amortization survives preconditioning
+    # any traceable per-vector M rides the lockstep loop, so the operator
+    # amortization survives preconditioning; Jacobi-style Ms (carrying
+    # .inv_diag) pass their diagonal DYNAMICALLY so fresh preconditioner
+    # objects for same-shaped operators hit the jit cache (no retrace)
+    inv_diag = getattr(M, "inv_diag", None)
     use_lockstep = isinstance(op, (BlockedEllMatrix, SellMatrix, DIAMatrix))
     if use_lockstep and isinstance(op, DIAMatrix) and op.offsets:
         # dia_spmv_multi is the XLA padded-slice formulation; at stencil-
@@ -199,7 +211,8 @@ def cg_solve_batched(
         mi = int(op.shape[0] + 1 if maxiter is None else maxiter)
         op_arrays, op_static = jax.tree_util.tree_flatten(op)
         return _cg_solve_batched_lockstep(
-            tuple(op_arrays), op_static, B, X0, tol, mi, M
+            tuple(op_arrays), op_static, B, X0, tol, mi,
+            None if inv_diag is not None else M, inv_diag,
         )
 
     def solve_one(b, x0, t):

@@ -344,7 +344,10 @@ def cg_solve(
     # gate (closures ≳400 MB die in remote-compile — CLAUDE.md).
     from ..types import DIAMatrix
 
-    if isinstance(op, DIAMatrix):
+    # the per-operator caches below require a CONCRETE operator: under an
+    # outer jit op.diags is a tracer — caching it would leak the trace and
+    # compile the constant closure outside our failure fallback
+    if isinstance(op, DIAMatrix) and not isinstance(op.diags, jax.core.Tracer):
         try:
             backend = jax.default_backend()
         except Exception:  # pragma: no cover
@@ -364,6 +367,9 @@ def cg_solve(
             and nbytes > (320 << 20)
             and op.offsets
             and max(abs(o) for o in op.offsets) >= 1024
+            # mirror dia_spmv's Pallas dtype gate — other dtypes run the
+            # XLA path, where the blocked copy would be dead HBM weight
+            and op.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
         ):
             # too big for a constant closure, but in the Pallas-kernel
             # regime: upgrade to the pre-blocked layout once per operator
@@ -379,7 +385,16 @@ def cg_solve(
 # per-operator pre-blocked DIA layouts (DIAMatrix.with_blocked), id-keyed
 # and identity-checked like the constant cache below
 _DIA_BLOCKED_CACHE: "OrderedDict" = OrderedDict()
-_DIA_BLOCKED_CACHE_MAX = 4
+_DIA_BLOCKED_CACHE_MAX = 2
+
+
+def clear_dia_caches() -> None:
+    """Drop the per-operator DIA caches (pre-blocked layouts + compiled
+    constant-closure solves).  They hold strong references to operator
+    arrays — up to ~GBs of HBM at Flan-class sizes — so call this when
+    discarding large operators for good."""
+    _DIA_BLOCKED_CACHE.clear()
+    _DIA_CONST_CACHE.clear()
 
 
 def _blocked_dia(op):
@@ -406,8 +421,8 @@ _DIA_CONST_CACHE_MAX = 4
 
 def _dia_const_solve(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
     key = (
-        op.offsets, op.shape, str(op.dtype), str(b.dtype), b.shape,
-        maxiter, M, recompute_r_every, x0 is None,
+        id(op.diags), op.offsets, op.shape, str(op.dtype), str(b.dtype),
+        b.shape, maxiter, M, recompute_r_every, x0 is None,
     )
     ent = _DIA_CONST_CACHE.get(key)
     if ent is not None and ent[0] is op.diags:
@@ -440,11 +455,21 @@ def _dia_const_solve(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
         return _arg_fallback()
     try:
         return fn(b, tol_arr) if x0 is None else fn(b, x0, tol_arr)
-    except Exception:
-        # relay program-size limits (HTTP 413) and friends: remember the
-        # failure so repeat solves skip the doomed compile, then run the
-        # portable operator-as-argument path
-        _DIA_CONST_CACHE[key] = (op.diags, None)
+    except Exception as e:
+        from ..utils.logging import get_logger
+
+        deterministic = "413" in str(e) or "length limit" in str(e)
+        get_logger().warning(
+            "DIA constant-closure solve failed (%s: %.200s); falling back "
+            "to the operator-as-argument path%s",
+            type(e).__name__, e,
+            " and caching the failure" if deterministic else "",
+        )
+        if deterministic:
+            # relay program-size limit: deterministic, skip the doomed
+            # compile on repeat solves.  Transient errors are NOT cached —
+            # the next solve retries the fast path.
+            _DIA_CONST_CACHE[key] = (op.diags, None)
         return _arg_fallback()
 
 

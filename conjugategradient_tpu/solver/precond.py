@@ -155,8 +155,7 @@ def block_jacobi_preconditioner(
     m = op.shape[0]
     blocks = _diagonal_blocks_host(op, block_size)
     inv_np = np.linalg.inv(blocks)
-    inv_blocks = jnp.asarray(inv_np, dtype=op.dtype)
-    npad = inv_blocks.shape[0] * block_size
+    npad = inv_np.shape[0] * block_size
 
     if block_size <= 16:
         # Lane-friendly apply: a block-diagonal multiply IS a banded
@@ -187,7 +186,12 @@ def block_jacobi_preconditioner(
                 y = y + Wj[d] * jax.lax.slice(rp, (lo,), (lo + npad,))
             return y[:m].astype(r.dtype)
 
+        # introspection only — keep the blocks on the HOST here; a device
+        # copy would be dead HBM weight (the apply reads only Wj)
+        apply.inv_blocks = inv_np
+
     else:
+        inv_blocks = jnp.asarray(inv_np, dtype=op.dtype)
 
         def apply(r: jax.Array) -> jax.Array:
             rp = jnp.pad(r, (0, npad - m)) if npad != m else r
@@ -199,7 +203,8 @@ def block_jacobi_preconditioner(
             )
             return y.reshape(-1)[:m]
 
-    apply.inv_blocks = inv_blocks
+        apply.inv_blocks = inv_blocks
+
     apply.block_size = block_size
     return apply
 

@@ -481,7 +481,10 @@ class DIAMatrix(LinearOperator):
         if self.diags_blocked is not None:
             return self
         ndiag, n_stored = self.diags.shape
-        bl = min(block_len, n_stored)
+        # Mosaic's 1-D memref slices must be 1024-aligned, so the block
+        # length (and hence every scratch-window offset) must be a 1024
+        # multiple — round up rather than fail in lowering
+        bl = -(-min(block_len, max(n_stored, 1)) // 1024) * 1024
         n_pad = -(-n_stored // bl) * bl
         dp = self.diags
         if n_pad != n_stored:
