@@ -7,6 +7,7 @@ from .sharded_cg import (
     sharded_cg_solve,
     sharded_cg_solve_batched,
     sharded_dia_cg_solve,
+    sharded_dia_cg_solve_batched,
     sharded_sell_cg_solve,
     sharded_sell_cg_solve_batched,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "sharded_cg_solve",
     "sharded_cg_solve_batched",
     "sharded_dia_cg_solve",
+    "sharded_dia_cg_solve_batched",
     "sharded_sell_cg_solve",
     "sharded_sell_cg_solve_batched",
     "make_row_mesh",

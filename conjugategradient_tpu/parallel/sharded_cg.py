@@ -1064,3 +1064,100 @@ def sharded_sell_cg_solve_batched(
         args.append(put(inv_diag, P(axis)))
     X, k, done, rho, rnorm, hist = solve_jit(*args)
     return X, _lockstep_info(k, done, rho, rnorm, hist)
+
+
+def _local_dia_matvec_multi(diags_s, offsets, P_local, axis):
+    """Multi-RHS banded SpMV on one row shard: ONE ring halo moves all R
+    lanes' boundary slabs ((w, R) bytes per neighbor), the diagonal stream
+    is read once for all lanes."""
+    m, R = P_local.shape
+    w = max(max(abs(o) for o in offsets), 1)
+    window = ring_halo(P_local, w, axis)  # (m + 2w, R); rank-agnostic halo
+    acc = jnp.promote_types(
+        jnp.promote_types(diags_s.dtype, P_local.dtype), jnp.float32
+    )
+    Y = jnp.zeros((m, R), dtype=acc)
+    for d, off in enumerate(offsets):
+        lo = off + w
+        Y = Y + diags_s[d].astype(acc)[:, None] * jax.lax.slice(
+            window, (lo, 0), (lo + m, R)
+        ).astype(acc)
+    return Y.astype(jnp.promote_types(diags_s.dtype, P_local.dtype))
+
+
+def sharded_dia_cg_solve_batched(
+    diags_sharded,
+    offsets: Tuple[int, ...],
+    B: jax.Array,
+    X0: Optional[jax.Array] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis: str = "rows",
+    tol=0.0,
+    maxiter: Optional[int] = None,
+    inv_diag: Optional[jax.Array] = None,
+):
+    """Row-sharded multi-RHS (P)CG on the banded (DIA) layout — the ring
+    variant of :func:`sharded_cg_solve_batched`: per iteration two
+    ``ppermute``s move only the bandwidth-wide boundary of ALL R lanes
+    (O(w·R) bytes vs the all-gather's O(n·R)), the diagonal stream is read
+    once for all lanes, and the dots psum (R,) lane vectors.
+
+    Same contract as the bell variant; ``diags_sharded`` comes from
+    :func:`partition_dia_rows` and ``|off| <= rows_per_shard`` must hold.
+    """
+    mesh = mesh or make_row_mesh(axis=axis)
+    n_shards = mesh.devices.size
+    assert diags_sharded.shape[0] == n_shards, (diags_sharded.shape, n_shards)
+    rows_per_shard = int(diags_sharded.shape[-1])
+    w = max(max(abs(o) for o in offsets), 1)
+    if w > rows_per_shard:
+        raise ValueError(
+            f"bandwidth {w} exceeds rows_per_shard {rows_per_shard}; "
+            "use fewer shards or the blocked-ELL path"
+        )
+    if B.ndim != 2:
+        raise ValueError(f"B must be (nrhs, n_padded), got {B.shape}")
+    R, n_padded = int(B.shape[0]), int(B.shape[1])
+    maxiter = int(n_padded + 1 if maxiter is None else maxiter)
+    tol_arr = jnp.asarray(tol, dtype=B.dtype)
+    if tol_arr.ndim == 1 and tol_arr.shape[0] != R:
+        raise ValueError(f"per-lane tol has length {tol_arr.shape[0]}, expected {R}")
+    X0 = jnp.zeros_like(B) if X0 is None else X0
+    offsets = tuple(int(o) for o in offsets)
+    with_m = inv_diag is not None
+
+    key = ("dia-batched", _mesh_key(mesh), axis, maxiter, R, offsets,
+           str(B.dtype), with_m, tol_arr.shape)
+    solve_jit = _cache_get(key)
+    if solve_jit is None:
+        def solve_shard(diags_s, tol_a, B_s, X0_s, inv_diag_s=None):
+            diags_s = diags_s[0]
+
+            def local_matvec_multi(v_local):  # (m, R)
+                return _local_dia_matvec_multi(diags_s, offsets, v_local, axis)
+
+            return _sharded_lockstep_pcg(
+                local_matvec_multi, B_s, X0_s, inv_diag_s, tol_a, maxiter, axis
+            )
+
+        in_specs = [P(axis), P(), P(None, axis), P(None, axis)]
+        if with_m:
+            in_specs.append(P(axis))
+        solve_jit = jax.jit(shard_map(
+            solve_shard,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(None, axis), P(), P(), P(), P(), P()),
+            check_vma=False,
+        ))
+        _cache_put(key, solve_jit)
+
+    put = lambda a, spec: jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+    args = [put(diags_sharded, P(axis)),
+            put(jnp.broadcast_to(tol_arr, tol_arr.shape), P()),
+            put(B, P(None, axis)), put(X0, P(None, axis))]
+    if with_m:
+        args.append(put(inv_diag, P(axis)))
+    X, k, done, rho, rnorm, hist = solve_jit(*args)
+    return X, _lockstep_info(k, done, rho, rnorm, hist)

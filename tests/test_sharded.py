@@ -467,3 +467,35 @@ def test_sharded_batched_sell_with_jacobi_and_per_lane_tol(rng):
     for i in range(R):
         r = np.asarray(B[i, :n]) - np.asarray(A.matvec(X[i, :n]))
         assert np.linalg.norm(r) <= 1.05 * float(tols[i])
+
+
+def test_sharded_batched_dia_ring_matches_single_device_lockstep(rng):
+    """The banded mesh × lanes variant: ring halo moving all R lanes'
+    boundary slabs; per-lane parity vs the single-device lockstep loop."""
+    from conjugategradient_tpu import cg_solve_batched
+    from conjugategradient_tpu.parallel import (
+        partition_dia_rows,
+        sharded_dia_cg_solve_batched,
+    )
+    from conjugategradient_tpu.types import DIAMatrix
+
+    rows, cols, vals, shape = banded_spd_coo(280, bandwidth=6, seed=21)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    dia = DIAMatrix.from_csr(A)
+    n = shape[0]
+    diags_sh, n_pad = partition_dia_rows(np.asarray(dia.diags), shape, N_DEV)
+    R = 3
+    B = np.zeros((R, n_pad))
+    B[:, :n] = rng.standard_normal((R, n))
+    B = jnp.asarray(B)
+    X, info = sharded_dia_cg_solve_batched(
+        jnp.asarray(diags_sh), dia.offsets, B, tol=1e-10, maxiter=n + 1
+    )
+    assert X.shape == (R, n_pad)
+    Xr, infor = cg_solve_batched(dia, B[:, :n], tol=1e-10, maxiter=n + 1)
+    for i in range(R):
+        assert bool(info.converged[i])
+        assert int(info.iterations[i]) == int(infor.iterations[i])
+        np.testing.assert_allclose(
+            np.asarray(X[i, :n]), np.asarray(Xr[i]), rtol=1e-8, atol=1e-9
+        )
