@@ -84,61 +84,74 @@ def read_mtx_coo(path_or_file, dtype=np.float64) -> COOMatrix:
         size_parts = line.split()
         if header.fmt == "coordinate":
             nrows, ncols, nnz = (int(s) for s in size_parts[:3])
-            rows = np.empty(nnz, dtype=np.int64)
-            cols = np.empty(nnz, dtype=np.int64)
-            vals = np.empty(nnz, dtype=dtype)
             pattern = header.field == "pattern"
-            i = 0
-            for line in f:
-                s = line.split()
-                if not s or line.startswith("%"):
-                    continue
-                if len(s) < (2 if pattern else 3):
-                    raise ValueError(f"malformed entry line: {line!r}")
-                r_i = int(s[0]) - 1  # 1-based -> 0-based (mm_reader.cpp:62-66)
-                c_i = int(s[1]) - 1
-                if not (0 <= r_i < nrows and 0 <= c_i < ncols):
-                    raise ValueError(
-                        f"entry index out of range: {line.strip()!r} for a "
-                        f"{nrows}x{ncols} matrix (indices are 1-based)"
-                    )
-                rows[i] = r_i
-                cols[i] = c_i
-                vals[i] = 1.0 if pattern else float(s[2])
-                i += 1
-                if i == nnz:
-                    break
-            if i != nnz:
-                raise ValueError(f"expected {nnz} entries, got {i}")
+            need = 2 if pattern else 3
+            # bulk-parse the body with numpy's C tokenizer: the old
+            # entry-by-entry Python loop took minutes on Flan-class files
+            # (≳100 MB) when the native .so wasn't built (round-2 VERDICT)
+            try:
+                arr = np.loadtxt(f, comments="%", ndmin=2, dtype=np.float64)
+            except ValueError as e:
+                # ragged rows (loadtxt: "Wrong number of columns ...")
+                raise ValueError(f"malformed entry line: {e}") from e
+            if arr.size == 0:
+                arr = arr.reshape(0, need)
+            if arr.shape[0] < nnz:
+                raise ValueError(f"expected {nnz} entries, got {arr.shape[0]}")
+            if arr.shape[1] < need:
+                raise ValueError(
+                    f"malformed entry line: {arr.shape[1]} columns, "
+                    f"need {need}"
+                )
+            arr = arr[:nnz]
+            rows = arr[:, 0].astype(np.int64) - 1  # 1-based -> 0-based
+            cols = arr[:, 1].astype(np.int64) - 1  # (mm_reader.cpp:62-66)
+            if len(rows) and (
+                rows.min() < 0 or int(rows.max()) >= nrows
+                or cols.min() < 0 or int(cols.max()) >= ncols
+            ):
+                bad = np.flatnonzero(
+                    (rows < 0) | (rows >= nrows) | (cols < 0) | (cols >= ncols)
+                )[0]
+                raise ValueError(
+                    f"entry index out of range: ({rows[bad] + 1}, "
+                    f"{cols[bad] + 1}) for a {nrows}x{ncols} matrix "
+                    "(indices are 1-based)"
+                )
+            vals = (
+                np.ones(nnz, dtype=dtype)
+                if pattern
+                else arr[:, 2].astype(dtype)
+            )
         else:  # array (dense column-major)
             nrows, ncols = (int(s) for s in size_parts[:2])
-            data = []
-            for line in f:
-                if line.startswith("%") or not line.strip():
-                    continue
-                data.extend(float(tok) for tok in line.split())
+            body = f.read()
+            if "%" in body:
+                body = "\n".join(
+                    l for l in body.splitlines()
+                    if not l.lstrip().startswith("%")
+                )
+            try:
+                data = np.array(body.split(), dtype=np.float64)
+            except ValueError as e:
+                raise ValueError(f"malformed array body: {e}") from e
             if header.symmetry in ("symmetric", "skew-symmetric"):
                 # column-major lower triangle; skew-symmetric stores only the
-                # STRICTLY lower triangle (the diagonal is implicitly zero)
+                # STRICTLY lower triangle (the diagonal is implicitly zero).
+                # triu_indices(ncols, k, nrows) yields (j, i) pairs j-major
+                # with i >= j+k — exactly the stored column-major order.
                 skew = header.symmetry == "skew-symmetric"
-                rows_l, cols_l, vals_l = [], [], []
-                it = iter(data)
-                try:
-                    for j in range(ncols):
-                        for i in range(j + 1 if skew else j, nrows):
-                            rows_l.append(i)
-                            cols_l.append(j)
-                            vals_l.append(next(it))
-                except StopIteration:
+                cols, rows = np.triu_indices(ncols, 1 if skew else 0, nrows)
+                if data.size < rows.size:
                     raise ValueError(
                         "dense array body ends early for the declared "
                         f"{header.symmetry} {nrows}x{ncols} matrix"
-                    ) from None
-                rows = np.array(rows_l, dtype=np.int64)
-                cols = np.array(cols_l, dtype=np.int64)
-                vals = np.array(vals_l, dtype=dtype)
+                    )
+                rows = rows.astype(np.int64)
+                cols = cols.astype(np.int64)
+                vals = data[: rows.size].astype(dtype)
             else:
-                vals = np.array(data, dtype=dtype)
+                vals = data.astype(dtype)
                 if vals.size != nrows * ncols:
                     raise ValueError("dense array size mismatch")
                 cols, rows = np.meshgrid(

@@ -44,13 +44,19 @@ def _check_traceable(fn, n, dtype, what: str):
     of a TracerArrayConversionError from inside the compiled loop."""
     try:
         jax.eval_shape(fn, jax.ShapeDtypeStruct((n,), dtype))
-    except Exception as e:
+    except (
+        jax.errors.TracerArrayConversionError,
+        jax.errors.ConcretizationTypeError,
+    ) as e:
+        # only tracer-leak errors mean "not traceable"; genuine shape/dtype
+        # bugs in a perfectly traceable matvec propagate with their own
+        # traceback instead of a misleading diagnosis
         raise TypeError(
-            f"{what} is not JAX-traceable ({type(e).__name__}: {e}); a "
+            f"{what} is not JAX-traceable ({type(e).__name__}); a "
             "numpy-backed scipy LinearOperator cannot run inside the "
             "compiled solve — pass a scipy.sparse matrix, a dense array, "
             "or a callable written with jax.numpy"
-        ) from None
+        ) from e
 
 
 def cg(

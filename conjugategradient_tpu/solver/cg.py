@@ -344,10 +344,15 @@ def cg_solve(
     # gate (closures ≳400 MB die in remote-compile — CLAUDE.md).
     from ..types import DIAMatrix
 
-    # the per-operator caches below require a CONCRETE operator: under an
-    # outer jit op.diags is a tracer — caching it would leak the trace and
-    # compile the constant closure outside our failure fallback
-    if isinstance(op, DIAMatrix) and not isinstance(op.diags, jax.core.Tracer):
+    # the per-operator caches below require a CONCRETE operator AND concrete
+    # vectors: under an outer jit/vmap op.diags (or b/x0) is a tracer —
+    # caching the operator would leak the trace, and a traced b defers the
+    # constant-closure compile to outer execution, bypassing both the
+    # HTTP-413 runtime fallback and the failure caching below
+    def _concrete(a):
+        return a is None or not isinstance(a, jax.core.Tracer)
+
+    if isinstance(op, DIAMatrix) and _concrete(op.diags):
         try:
             backend = jax.default_backend()
         except Exception:  # pragma: no cover
@@ -358,7 +363,14 @@ def cg_solve(
         # one dies with HTTP 413 (a trivial 608 MB closure alone passes —
         # the limit is on the whole serialized program); the runtime
         # fallback below catches relay-limit failures regardless
-        if backend == "tpu" and (1 << 20) <= nbytes <= (320 << 20):
+        if (
+            backend == "tpu"
+            and (1 << 20) <= nbytes <= (320 << 20)
+            # a traced b/x0 defers compilation to the OUTER trace's execution,
+            # where the try/except fallback below cannot catch relay failures
+            and _concrete(b)
+            and _concrete(x0)
+        ):
             return _dia_const_solve(
                 op, b, x0, tol_arr, maxiter, M, recompute_r_every
             )
@@ -447,7 +459,15 @@ def _dia_const_solve(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
             _DIA_CONST_CACHE.popitem(last=False)
     def _arg_fallback():
         o = op
-        if o.offsets and max(abs(x) for x in o.offsets) >= 1024:
+        # same gates as cg_solve's >320MB branch: the blocked copy only pays
+        # off where dia_spmv runs the Pallas windowed kernel (offsets >= 1024
+        # AND an f32/bf16 operator) — other dtypes take the XLA path, where
+        # a pre-blocked copy would be dead HBM weight
+        if (
+            o.offsets
+            and max(abs(x) for x in o.offsets) >= 1024
+            and o.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        ):
             o = _blocked_dia(o)  # keep the relayout-free argument layout
         return _cg_solve_core(o, b, x0, tol_arr, maxiter, M, recompute_r_every)
 

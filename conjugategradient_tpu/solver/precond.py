@@ -221,7 +221,11 @@ def _lanczos_tridiag_device(op_arrays, op_static, v0, k: int):
     """
     op = jax.tree_util.tree_unflatten(op_static, op_arrays)
     m = v0.shape[0]
-    dt = v0.dtype
+    # run the recurrence in at least float32: a bf16 operator would otherwise
+    # put the whole reorthogonalization (and breakdown_tol=1e-6, far below
+    # bf16's resolution) in bf16 — only the matvec input drops to op.dtype
+    dt = jnp.promote_types(v0.dtype, jnp.float32)
+    v0 = v0.astype(dt)
     v = v0 / jnp.linalg.norm(v0)
 
     # MXU default-precision f32 matmuls round operands through bf16 —
@@ -235,7 +239,7 @@ def _lanczos_tridiag_device(op_arrays, op_static, v0, k: int):
     def body(j, carry):
         V, alphas, betas, v, v_prev, beta = carry
         V = V.at[j].set(v)
-        w = op.matvec(v).astype(dt)
+        w = op.matvec(v.astype(op.dtype)).astype(dt)
         alpha = jnp.dot(v, w, precision=hi)
         w = w - alpha * v - beta * v_prev
         # full reorthogonalization keeps Ritz values clean at small k;

@@ -143,16 +143,15 @@ class CSRMatrix(LinearOperator):
         order = np.lexsort((cols, rows))
         rows, cols, vals = rows[order], cols[order], vals[order]
         if sum_duplicates and len(rows):
-            keep = np.ones(len(rows), dtype=bool)
-            dup = (rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1])
-            if dup.any():
-                # accumulate duplicate entries into the first of each run
-                out_vals = vals.copy()
-                for i in np.nonzero(dup)[0]:
-                    out_vals[i + 1] += out_vals[i]
-                    keep[i] = False
-                vals = out_vals[keep]
-                rows, cols = rows[keep], cols[keep]
+            # vectorized duplicate summing (same bincount formulation as
+            # io/mtx.read_mtx_csr — the two ingest paths must agree): one
+            # group id per (row, col) run, accumulated in one pass
+            first = np.ones(len(rows), dtype=bool)
+            first[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+            if not first.all():
+                group = np.cumsum(first) - 1
+                vals = np.bincount(group, weights=vals).astype(vals.dtype)
+                rows, cols = rows[first], cols[first]
         indptr = np.zeros(shape[0] + 1, dtype=np.int64)
         np.add.at(indptr, rows + 1, 1)
         indptr = np.cumsum(indptr)
