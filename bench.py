@@ -264,7 +264,11 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto"):
         step = lambda a_, s: cg_step(a_, s, tol_arr)
         out = lambda s: s.rnorm_sq.reshape(1)
 
-    def run(K):
+    def run(K, reps=5):
+        """Median of ``reps`` full K-iteration chains.  Chip throughput
+        varies ~20% run-to-run (CLAUDE.md); round 2 archived a single sample
+        that undershot the documented band — the median of several chains is
+        the honest stable statistic, with the spread kept in detail."""
         def chain(blocks, cols, b_):
             a_ = make_a(blocks, cols)
             s = jax.lax.fori_loop(
@@ -276,14 +280,19 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto"):
         args = (a.blocks, a.block_cols, b)
         float(f(*args)[0])
         ts = []
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             float(f(*args)[0])
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return ts
 
     ovh = rpc_overhead_s()
-    t = (run(iters) - ovh) / iters
+    ts = sorted(run(iters))
+    t_med = ts[len(ts) // 2] if len(ts) % 2 else 0.5 * (
+        ts[len(ts) // 2 - 1] + ts[len(ts) // 2]
+    )
+    t = (t_med - ovh) / iters
+    rep_times = [(x - ovh) / iters for x in ts]
     tile_bytes = a.blocks.size * 4
     # analytic fallback: tiles + the fused iteration's 10 n-vector streams
     # (K1: r,p in / p,q out; K2: x,p,r,q in / x,r out), 7 streams unfused
@@ -309,6 +318,12 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto"):
                    "bytes_per_iter": bytes_it,
                    "bytes_model": bytes_src,
                    "bytes_models_all": bytes_all,
+                   "reps": len(rep_times),
+                   "reps_gbps": [round(bytes_it / x / 1e9, 2)
+                                 for x in rep_times],
+                   "reps_spread_gbps": round(
+                       bytes_it / min(rep_times) / 1e9
+                       - bytes_it / max(rep_times) / 1e9, 2),
                    "stream_roofline_gbps": round(roofline, 1)},
     }
 

@@ -282,11 +282,14 @@ def _sharded_lockstep_pcg(
     tol_arr: jax.Array,  # scalar or (R,)
     maxiter: int,
     axis: str,
+    recompute_r_every: int = 0,
 ):
     """Multi-RHS lockstep (P)CG per shard: the sharded composition of
     solver/batched.py's lane-masked loop — per-lane α/β/termination, psum'd
     (R,) lane dots, finished lanes frozen.  Per-lane semantics identical to
-    the single-device lockstep loop."""
+    the single-device lockstep loop (including per-lane residual-replacement
+    restarts: only lanes that executed this body restart, so frozen lanes
+    keep their converged state exactly)."""
 
     def pdot(U, V):
         acc = jnp.promote_types(U.dtype, jnp.float32)
@@ -342,7 +345,33 @@ def _sharded_lockstep_pcg(
         )
         hist = hist.at[k, jnp.arange(R)].set(hist_col)
         done = jnp.where(active, done_new, done)
-        return (k, done, X, Rv, P, rho, rnorm, hist)
+        c = (k, done, X, Rv, P, rho, rnorm, hist)
+        if recompute_r_every > 0:
+            # active lanes advance k together, so the per-lane restart mask
+            # is either empty or covers every still-active lane — the any()
+            # gate below therefore matches solo-solver restart timing lane
+            # for lane
+            restart = active & (k % recompute_r_every == 0)
+
+            def replace(c):
+                k, done, X, Rv, P, rho, rnorm, hist = c
+                Rt = Bt - local_matvec_multi(X)
+                rnorm_t = pdot(Rt, Rt)
+                Zt = precond(Rt)
+                rho_t = rnorm_t if inv_diag_s is None else pdot(Rt, Zt)
+                Rv = jnp.where(restart, Rt, Rv)
+                P = jnp.where(restart, Zt, P)
+                rho = jnp.where(restart, rho_t, rho)
+                rnorm = jnp.where(restart, rnorm_t, rnorm)
+                hist_col = jnp.where(
+                    restart, rnorm_t,
+                    jnp.take_along_axis(hist, k[None, :], 0)[0],
+                )
+                hist = hist.at[k, jnp.arange(R)].set(hist_col)
+                return (k, done, X, Rv, P, rho, rnorm, hist)
+
+            c = jax.lax.cond(jnp.any(restart), replace, lambda c: c, c)
+        return c
 
     def cond(c):
         k, done = c[0], c[1]
@@ -360,8 +389,11 @@ def _sharded_pcg(
     tol_arr: jax.Array,
     maxiter: int,
     axis: str,
+    recompute_r_every: int = 0,
 ):
-    """PCG body executed per shard; semantics mirror solver/cg.py exactly."""
+    """PCG body executed per shard; semantics mirror solver/cg.py exactly
+    (including the optional residual-replacement full restart — the f32
+    recurrence-drift fix matters MOST at the mesh scales this loop targets)."""
 
     def pdot(u, v):
         acc = jnp.promote_types(u.dtype, jnp.float32)
@@ -406,7 +438,26 @@ def _sharded_pcg(
         p = z + beta * p
         k = k + 1
         hist = hist.at[k].set(rnorm_next)
-        return (k, done, x, r, p, rho_next, rnorm_next, hist)
+        c = (k, done, x, r, p, rho_next, rnorm_next, hist)
+        if recompute_r_every > 0:
+            def replace(c):
+                # Full restart: true residual AND direction reset — same
+                # semantics as solver/cg.py's single-device restart (a
+                # replaced r with the drifted p diverges; see cg.py).  The
+                # extra SpMV's all_gather/ring halo and the psum dot ride
+                # the same collectives as a normal iteration.
+                k, done, x, r, p, rho, rnorm, hist = c
+                r_true = b_s - local_matvec(x)
+                rnorm_t = pdot(r_true, r_true)
+                z_t = precond(r_true)
+                rho_t = rnorm_t if inv_diag_s is None else pdot(r_true, z_t)
+                hist = hist.at[k].set(rnorm_t)
+                return (k, done, x, r_true, z_t, rho_t, rnorm_t, hist)
+
+            c = jax.lax.cond(
+                (c[0] % recompute_r_every) == 0, replace, lambda c: c, c
+            )
+        return c
 
     def cond(c):
         return (c[0] < maxiter) & (~c[1])
@@ -620,6 +671,7 @@ def sharded_cg_solve(
     use_fused: str = "auto",
     interpret: bool = False,
     method: str = "standard",
+    recompute_r_every: int = 0,
 ):
     """Row-sharded (P)CG over a 1-D mesh, blocked-ELL operator.
 
@@ -642,6 +694,11 @@ def sharded_cg_solve(
         "pipelined" (Chronopoulos–Gear, ONE psum of the stacked [γ, δ]
         pair/iteration — halves collective latency; see solver/pipelined.py
         for the rounding trade).  "pipelined" is unpreconditioned.
+      recompute_r_every: if > 0, replace the recurrence residual with the
+        true residual AND reset the direction every that many iterations
+        (full restart — solver/cg.py's residual-replacement semantics on the
+        mesh).  Takes the XLA per-shard path (no fused variant, like the
+        single-device dispatch) and excludes method="pipelined".
 
     Returns (x, CGInfo); x is row-sharded but exposed as a global jax.Array.
     """
@@ -659,14 +716,26 @@ def sharded_cg_solve(
         raise ValueError(f"unknown method {method!r}")
     if method == "pipelined" and with_m:
         raise ValueError("method='pipelined' is unpreconditioned (inv_diag=None)")
-    fused = method == "standard" and (
+    recompute_r_every = int(recompute_r_every)
+    if method == "pipelined" and recompute_r_every:
+        raise ValueError(
+            "method='pipelined' has no residual-replacement variant "
+            "(recompute_r_every must be 0)"
+        )
+    if use_fused == "always" and recompute_r_every:
+        raise ValueError(
+            "use_fused='always' has no residual-replacement variant — "
+            "restarts run the per-shard XLA path (recompute_r_every=0 "
+            "to force fused)"
+        )
+    fused = method == "standard" and recompute_r_every == 0 and (
         use_fused == "always"
         or (use_fused == "auto"
             and _fused_shards_supported(blocks, b, with_m, interpret))
     )
 
     key = ("bell", _mesh_key(mesh), axis, maxiter, float(tol), with_m, bn,
-           str(b.dtype), fused, interpret, method)
+           str(b.dtype), fused, interpret, method, recompute_r_every)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
@@ -689,7 +758,8 @@ def sharded_cg_solve(
                 )
 
             return _sharded_pcg(
-                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
+                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis,
+                recompute_r_every=recompute_r_every,
             )
 
         in_specs = [P(axis)] * (5 if with_m else 4)
@@ -729,6 +799,7 @@ def sharded_dia_cg_solve(
     tol: float = 0.0,
     maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
+    recompute_r_every: int = 0,
 ):
     """Row-sharded (P)CG with a DIA (banded) operator and ring-halo SpMV.
 
@@ -758,9 +829,10 @@ def sharded_dia_cg_solve(
     x0 = jnp.zeros_like(b) if x0 is None else x0
     offsets = tuple(int(o) for o in offsets)
     with_m = inv_diag is not None
+    recompute_r_every = int(recompute_r_every)
 
     key = ("dia", _mesh_key(mesh), axis, maxiter, float(tol), with_m, offsets,
-           str(b.dtype))
+           str(b.dtype), recompute_r_every)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(diags_s, b_s, x0_s, inv_diag_s=None):
@@ -770,7 +842,8 @@ def sharded_dia_cg_solve(
                 return _local_dia_matvec(diags_s, offsets, v_local, axis)
 
             return _sharded_pcg(
-                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
+                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis,
+                recompute_r_every=recompute_r_every,
             )
 
         in_specs = [P(axis)] * (4 if with_m else 3)
@@ -810,6 +883,7 @@ def sharded_sell_cg_solve(
     maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
     method: str = "standard",
+    recompute_r_every: int = 0,
 ):
     """Row-sharded (P)CG with a SELL (degree-bucketed) operator — the
     scattered-pattern path (north-star config 5 on power-law/circuit
@@ -841,9 +915,15 @@ def sharded_sell_cg_solve(
         raise ValueError(f"unknown method {method!r}")
     if method == "pipelined" and with_m:
         raise ValueError("method='pipelined' is unpreconditioned (inv_diag=None)")
+    recompute_r_every = int(recompute_r_every)
+    if method == "pipelined" and recompute_r_every:
+        raise ValueError(
+            "method='pipelined' has no residual-replacement variant "
+            "(recompute_r_every must be 0)"
+        )
 
     key = ("sell", _mesh_key(mesh), axis, maxiter, float(tol), with_m,
-           meta, str(b.dtype), method)
+           meta, str(b.dtype), method, recompute_r_every)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(diag_s, pos_s, cols_s, vals_s, b_s, x0_s, inv_diag_s=None):
@@ -860,7 +940,8 @@ def sharded_sell_cg_solve(
                     local_matvec, b_s, x0_s, tol_arr, maxiter, axis
                 )
             return _sharded_pcg(
-                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
+                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis,
+                recompute_r_every=recompute_r_every,
             )
 
         in_specs = [P(axis)] * (7 if with_m else 6)
@@ -910,6 +991,7 @@ def sharded_cg_solve_batched(
     tol=0.0,
     maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
+    recompute_r_every: int = 0,
 ):
     """Row-sharded multi-RHS (P)CG — the mesh × lanes composition: each
     chip owns its row block of A and an (m, R) slab of every lane's
@@ -941,9 +1023,10 @@ def sharded_cg_solve_batched(
         raise ValueError(f"per-lane tol has length {tol_arr.shape[0]}, expected {R}")
     X0 = jnp.zeros_like(B) if X0 is None else X0
     with_m = inv_diag is not None
+    recompute_r_every = int(recompute_r_every)
 
     key = ("bell-batched", _mesh_key(mesh), axis, maxiter, R, bn,
-           str(B.dtype), with_m, tol_arr.shape)
+           str(B.dtype), with_m, tol_arr.shape, recompute_r_every)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(blocks_s, cols_s, tol_a, B_s, X0_s, inv_diag_s=None):
@@ -957,7 +1040,7 @@ def sharded_cg_solve_batched(
 
             X, k, done, rho, rnorm, hist = _sharded_lockstep_pcg(
                 local_matvec_multi, B_s, X0_s, inv_diag_s, tol_a,
-                maxiter, axis,
+                maxiter, axis, recompute_r_every=recompute_r_every,
             )
             return X, k, done, rho, rnorm, hist
 
@@ -993,6 +1076,7 @@ def sharded_sell_cg_solve_batched(
     tol=0.0,
     maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
+    recompute_r_every: int = 0,
 ):
     """Row-sharded multi-RHS (P)CG on the scattered-pattern SELL layout —
     where multi-RHS matters most: the flat gather at each shard's stored
@@ -1017,9 +1101,10 @@ def sharded_sell_cg_solve_batched(
         raise ValueError(f"per-lane tol has length {tol_arr.shape[0]}, expected {R}")
     X0 = jnp.zeros_like(B) if X0 is None else X0
     with_m = inv_diag is not None
+    recompute_r_every = int(recompute_r_every)
 
     key = ("sell-batched", _mesh_key(mesh), axis, maxiter, R, meta,
-           str(B.dtype), with_m, tol_arr.shape)
+           str(B.dtype), with_m, tol_arr.shape, recompute_r_every)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(diag_s, pos_s, cols_s, vals_s, tol_a, B_s, X0_s,
@@ -1040,7 +1125,8 @@ def sharded_sell_cg_solve_batched(
                 return y.astype(jnp.promote_types(vals_s.dtype, v_local.dtype))
 
             return _sharded_lockstep_pcg(
-                local_matvec_multi, B_s, X0_s, inv_diag_s, tol_a, maxiter, axis
+                local_matvec_multi, B_s, X0_s, inv_diag_s, tol_a, maxiter,
+                axis, recompute_r_every=recompute_r_every,
             )
 
         in_specs = [P(axis)] * 4 + [P(), P(None, axis), P(None, axis)]
@@ -1096,6 +1182,7 @@ def sharded_dia_cg_solve_batched(
     tol=0.0,
     maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
+    recompute_r_every: int = 0,
 ):
     """Row-sharded multi-RHS (P)CG on the banded (DIA) layout — the ring
     variant of :func:`sharded_cg_solve_batched`: per iteration two
@@ -1126,9 +1213,10 @@ def sharded_dia_cg_solve_batched(
     X0 = jnp.zeros_like(B) if X0 is None else X0
     offsets = tuple(int(o) for o in offsets)
     with_m = inv_diag is not None
+    recompute_r_every = int(recompute_r_every)
 
     key = ("dia-batched", _mesh_key(mesh), axis, maxiter, R, offsets,
-           str(B.dtype), with_m, tol_arr.shape)
+           str(B.dtype), with_m, tol_arr.shape, recompute_r_every)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(diags_s, tol_a, B_s, X0_s, inv_diag_s=None):
@@ -1138,7 +1226,8 @@ def sharded_dia_cg_solve_batched(
                 return _local_dia_matvec_multi(diags_s, offsets, v_local, axis)
 
             return _sharded_lockstep_pcg(
-                local_matvec_multi, B_s, X0_s, inv_diag_s, tol_a, maxiter, axis
+                local_matvec_multi, B_s, X0_s, inv_diag_s, tol_a, maxiter,
+                axis, recompute_r_every=recompute_r_every,
             )
 
         in_specs = [P(axis), P(), P(None, axis), P(None, axis)]

@@ -46,7 +46,10 @@ def _dot_cols(U: jax.Array, V: jax.Array) -> jax.Array:
     return jnp.sum(U * V, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("op_static", "maxiter", "M"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("op_static", "maxiter", "M", "recompute_r_every"),
+)
 def _cg_solve_batched_lockstep(
     op_arrays,
     op_static,
@@ -56,6 +59,7 @@ def _cg_solve_batched_lockstep(
     maxiter: int,
     M=None,
     inv_diag=None,
+    recompute_r_every: int = 0,
 ):
     """Lockstep multi-RHS (P)CG over (N, R) column blocks with a
     multi-vector SpMV, the WHOLE solve one jitted dispatch (eager setup ops
@@ -132,7 +136,34 @@ def _cg_solve_batched_lockstep(
         )
         hist = hist.at[k, jnp.arange(R)].set(hist_col)
         done = jnp.where(active, done_new, done)
-        return (k, done, X, Rv, P, rho, rnorm, hist)
+        c = (k, done, X, Rv, P, rho, rnorm, hist)
+        if recompute_r_every > 0:
+            # per-lane residual-replacement FULL restart (same semantics as
+            # solver/cg.py's single-lane restart): only lanes that executed
+            # this body restart — frozen lanes keep their converged state.
+            # Active lanes advance k together, so the mask is all-or-none
+            # over still-active lanes and the any() gate matches solo timing.
+            restart = active & (k % recompute_r_every == 0)
+
+            def replace(c):
+                k, done, X, Rv, P, rho, rnorm, hist = c
+                Rt = Bt - matvec_multi(X)
+                rnorm_t = _dot_cols(Rt, Rt)
+                Zt = precond(Rt)
+                rho_t = _dot_cols(Rt, Zt) if with_m else rnorm_t
+                Rv = jnp.where(restart, Rt, Rv)
+                P = jnp.where(restart, Zt, P)
+                rho = jnp.where(restart, rho_t, rho)
+                rnorm = jnp.where(restart, rnorm_t, rnorm)
+                hist_col = jnp.where(
+                    restart, rnorm_t,
+                    jnp.take_along_axis(hist, k[None, :], 0)[0],
+                )
+                hist = hist.at[k, jnp.arange(R)].set(hist_col)
+                return (k, done, X, Rv, P, rho, rnorm, hist)
+
+            c = jax.lax.cond(jnp.any(restart), replace, lambda c: c, c)
+        return c
 
     def cond(c):
         k, done = c[0], c[1]
@@ -158,6 +189,7 @@ def cg_solve_batched(
     maxiter: Optional[int] = None,
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
     n: Optional[int] = None,
+    recompute_r_every: int = 0,
 ) -> Tuple[jax.Array, CGInfo]:
     """Solve ``A X[i] = B[i]`` for every row of ``B``.
 
@@ -172,6 +204,9 @@ def cg_solve_batched(
         power-law: lanes sharing lane 0's absolute tol at 1.01-1.07× its
         ‖b‖ took 129-139 iterations vs 63), so callers solving scaled
         systems should pass ``tol_rel * ||B_j||`` per lane.
+      recompute_r_every: if > 0, per-lane residual-replacement full restart
+        every that many iterations (solver/cg.py's semantics, lane-masked so
+        frozen lanes stay frozen).
       Remaining arguments as :func:`~conjugategradient_tpu.cg_solve`.
 
     Returns (X (nrhs, N), CGInfo with leading nrhs axis on every field).
@@ -213,10 +248,12 @@ def cg_solve_batched(
         return _cg_solve_batched_lockstep(
             tuple(op_arrays), op_static, B, X0, tol, mi,
             None if inv_diag is not None else M, inv_diag,
+            recompute_r_every=int(recompute_r_every),
         )
 
     def solve_one(b, x0, t):
-        return cg_solve(op, b, x0, tol=t, maxiter=maxiter, M=M, fused="never")
+        return cg_solve(op, b, x0, tol=t, maxiter=maxiter, M=M, fused="never",
+                        recompute_r_every=int(recompute_r_every))
 
     tol_lanes = jnp.broadcast_to(tol, (B.shape[0],))
     return jax.vmap(solve_one)(B, X0, tol_lanes)

@@ -184,3 +184,29 @@ def test_batched_sell_blockjacobi_lockstep_matches_solo(rng):
         x_i, info_i = cg_solve(sell, B[i], tol=1e-10, M=M, fused="never")
         assert int(info.iterations[i]) == int(info_i.iterations)
         np.testing.assert_allclose(np.asarray(X[i]), np.asarray(x_i), rtol=1e-8)
+
+
+def test_batched_lockstep_restart_matches_solo_restart(rng):
+    """recompute_r_every in the single-device lockstep loop (round 3):
+    per-lane parity with solo restart solves, frozen lanes untouched."""
+    rows, cols, vals, shape = poisson2d_coo(14)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    from conjugategradient_tpu.types import BlockedEllMatrix
+
+    bell = BlockedEllMatrix.from_csr(A, bm=8, bn=8)
+    n = shape[0]
+    R = 3
+    B = rng.standard_normal((R, n))
+    B = jnp.asarray(np.ascontiguousarray(B))
+    every = 5
+    X, info = cg_solve_batched(
+        bell, B, tol=1e-9, maxiter=n + 1, recompute_r_every=every
+    )
+    for i in range(R):
+        x_i, info_i = cg_solve(
+            bell, B[i], tol=1e-9, recompute_r_every=every, fused="never"
+        )
+        assert int(info.iterations[i]) == int(info_i.iterations)
+        np.testing.assert_allclose(
+            np.asarray(X[i]), np.asarray(x_i), rtol=1e-7, atol=1e-8
+        )

@@ -499,3 +499,85 @@ def test_sharded_batched_dia_ring_matches_single_device_lockstep(rng):
         np.testing.assert_allclose(
             np.asarray(X[i, :n]), np.asarray(Xr[i]), rtol=1e-8, atol=1e-9
         )
+
+
+def test_sharded_restart_matches_single_device_restart():
+    """Residual-replacement full restart on the mesh (round-3: the f32
+    recurrence-drift fix was single-device-only) — iteration-identical to
+    solver/cg.py's restart path."""
+    rows, cols, vals, shape = poisson2d_coo(20)
+    A, blocks, bcols, b_pad, n = _sharded_setup(rows, cols, vals, shape)
+    every = 7
+    x_ref, info_ref = cg_solve(
+        A, jnp.asarray(reference_rhs(n)), tol=1e-10, recompute_r_every=every,
+        fused="never",
+    )
+    x_sh, info_sh = sharded_cg_solve(
+        blocks, bcols, b_pad, tol=1e-10, maxiter=n + 1,
+        recompute_r_every=every,
+    )
+    assert int(info_sh.iterations) == int(info_ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(x_sh[:n]), np.asarray(x_ref), rtol=1e-8, atol=1e-9
+    )
+    k = int(info_ref.iterations)
+    h_ref = np.asarray(info_ref.rho_history)[:k]
+    h_sh = np.asarray(info_sh.rho_history)[:k]
+    # cutoff above the f64 stagnation floor: past ~1e-15 relative the
+    # history is summation-order roundoff noise (restart replaces the
+    # recurrence with the true residual, which bounces chaotically there)
+    sel = h_ref > h_ref[0] * 1e-15
+    np.testing.assert_allclose(h_sh[sel], h_ref[sel], rtol=1e-4)
+    # the restart actually fired: histories differ from the no-restart solve
+    _, info_plain = sharded_cg_solve(
+        blocks, bcols, b_pad, tol=1e-10, maxiter=n + 1
+    )
+    kp = min(k, int(info_plain.iterations))
+    assert not np.allclose(
+        np.asarray(info_sh.rho_history)[:kp],
+        np.asarray(info_plain.rho_history)[:kp],
+        rtol=1e-12,
+    )
+
+
+def test_sharded_restart_rejects_pipelined_and_forced_fused():
+    rows, cols, vals, shape = poisson2d_coo(8)
+    A, blocks, bcols, b_pad, n = _sharded_setup(rows, cols, vals, shape)
+    with pytest.raises(ValueError, match="residual-replacement"):
+        sharded_cg_solve(blocks, bcols, b_pad, method="pipelined",
+                         recompute_r_every=5)
+    with pytest.raises(ValueError, match="residual-replacement"):
+        sharded_cg_solve(blocks, bcols, b_pad, use_fused="always",
+                         recompute_r_every=5)
+
+
+def test_sharded_batched_restart_matches_solo_restart(rng):
+    """Lane-masked restart in the mesh x lanes loop: each lane's iteration
+    count and history match a solo solve with the same restart interval."""
+    from conjugategradient_tpu.parallel import sharded_cg_solve_batched
+
+    rows, cols, vals, shape = poisson2d_coo(16)
+    A, blocks, bcols, b_pad, n = _sharded_setup(rows, cols, vals, shape)
+    R = 3
+    every = 6
+    B = np.zeros((R, b_pad.shape[0]))
+    B[:, :n] = rng.standard_normal((R, n))
+    # widen the lane spread so lanes freeze at different iterations
+    B[1] *= 100.0
+    B = jnp.asarray(B)
+    X, info = sharded_cg_solve_batched(
+        blocks, bcols, B, tol=1e-9, maxiter=n + 1, recompute_r_every=every
+    )
+    for i in range(R):
+        x_i, info_i = cg_solve(
+            A, B[i, :n], tol=1e-9, recompute_r_every=every, fused="never"
+        )
+        assert int(info.iterations[i]) == int(info_i.iterations)
+        np.testing.assert_allclose(
+            np.asarray(X[i, :n]), np.asarray(x_i), rtol=1e-7, atol=1e-8
+        )
+        k = int(info_i.iterations)
+        h_lane = np.asarray(info.rho_history)[i, :k]
+        h_solo = np.asarray(info_i.rho_history)[:k]
+        sel = h_solo > h_solo[0] * 1e-20
+        np.testing.assert_allclose(h_lane[sel], h_solo[sel], rtol=1e-4)
