@@ -476,20 +476,32 @@ def _sharded_fused_cg(
     axis: str,
     bn: int,
     interpret: bool,
+    inv_diag_s: Optional[jax.Array] = None,
 ):
-    """Per-shard CG loop built from the fused Pallas kernels: the local SpMV
-    and the p·q partial run as one kernel (ops/pallas/fused_cg.bell_spmv_dot
-    on the all-gathered operand), the x/r updates and the ‖r‖² partial as
-    another (fused_update_dot); the partials psum over ICI.  Same semantics
-    as _sharded_pcg, unpreconditioned, f32.
+    """Per-shard (P)CG loop built from the fused Pallas kernels: the local
+    SpMV and the p·q partial run as one kernel
+    (ops/pallas/fused_cg.bell_spmv_dot on the all-gathered operand), the x/r
+    updates and the ‖r‖² (+ρ = r·M⁻¹r with Jacobi) partials as another
+    (fused_update_dot / fused_update_dot_pcg); the partials psum over ICI.
+    Same semantics as _sharded_pcg, f32.
 
     The direction update stays a fused XLA elementwise op: it must complete
     BEFORE the all_gather, so it cannot be folded into the SpMV kernel the
     way the single-chip path does (solver/fused.py)."""
-    from ..ops.pallas.fused_cg import bell_spmv_dot, fused_update_dot
+    from ..ops.pallas.fused_cg import (
+        bell_spmv_dot,
+        fused_update_dot,
+        fused_update_dot_pcg,
+    )
 
     m = b_s.shape[0]
     offset = (jax.lax.axis_index(axis) * m).astype(jnp.int32).reshape(1)
+    precond = inv_diag_s is not None
+    d2 = (
+        inv_diag_s.astype(jnp.float32).reshape(m // 128, 128)
+        if precond
+        else None
+    )
 
     def matvec_dot(v_local2):
         v_full = jax.lax.all_gather(v_local2.reshape(-1), axis, tiled=True)
@@ -503,34 +515,48 @@ def _sharded_fused_cg(
     x2 = x0_s.astype(jnp.float32).reshape(m // 128, 128)
     ax0, _ = matvec_dot(x2)
     r2 = b2 - ax0
-    rho0 = jax.lax.psum(jnp.sum(r2 * r2), axis)
+    rnorm0 = jax.lax.psum(jnp.sum(r2 * r2), axis)
+    if precond:
+        p0 = d2 * r2
+        rho0 = jax.lax.psum(jnp.sum(r2 * p0), axis)
+    else:
+        p0, rho0 = r2, rnorm0
     hist = jnp.full((maxiter + 1,), jnp.nan, dtype=jnp.float32)
-    hist = hist.at[0].set(rho0)
+    hist = hist.at[0].set(rnorm0)
     carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
-             x2, r2, r2, rho0, hist)
+             x2, r2, p0, rho0, rnorm0, hist)
 
     def body(c):
-        k, done, x, r, p, rho, hist = c
+        k, done, x, r, p, rho, rnorm, hist = c
         q, pap = matvec_dot(p)
         exact = rho == 0
         alpha = jnp.where(exact, 0.0, rho / jnp.where(exact, 1.0, pap))
-        x, r, rnorm_l = fused_update_dot(
-            x, p, r, q, alpha.reshape(1, 1).astype(jnp.float32),
-            interpret=interpret,
-        )
-        rnorm_next = jax.lax.psum(rnorm_l[0, 0], axis)
-        done = jnp.isnan(rho) | (jnp.sqrt(rho) <= tol_arr)
-        beta = jnp.where(exact, 0.0, rnorm_next / jnp.where(exact, 1.0, rho))
-        p = r + beta * p
+        a11 = alpha.reshape(1, 1).astype(jnp.float32)
+        if precond:
+            x, r, rnorm_l, rho_l = fused_update_dot_pcg(
+                x, p, r, q, d2, a11, interpret=interpret,
+            )
+            rnorm_next = jax.lax.psum(rnorm_l[0, 0], axis)
+            rho_next = jax.lax.psum(rho_l[0, 0], axis)
+        else:
+            x, r, rnorm_l = fused_update_dot(x, p, r, q, a11,
+                                             interpret=interpret)
+            rnorm_next = jax.lax.psum(rnorm_l[0, 0], axis)
+            rho_next = rnorm_next
+        # pre-update termination on ‖r_k‖² (CG.hpp:401-402)
+        done = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr)
+        beta = jnp.where(exact, 0.0, rho_next / jnp.where(exact, 1.0, rho))
+        z = d2 * r if precond else r
+        p = z + beta * p
         k = k + 1
         hist = hist.at[k].set(rnorm_next)
-        return (k, done, x, r, p, rnorm_next, hist)
+        return (k, done, x, r, p, rho_next, rnorm_next, hist)
 
     def cond(c):
         return (c[0] < maxiter) & (~c[1])
 
-    k, done, x, r, p, rho, hist = jax.lax.while_loop(cond, body, carry)
-    return x.reshape(-1), k, done, rho, rho, hist
+    k, done, x, r, p, rho, rnorm, hist = jax.lax.while_loop(cond, body, carry)
+    return x.reshape(-1), k, done, rho, rnorm, hist
 
 
 def _sharded_pipelined_cg(
@@ -600,11 +626,13 @@ def _sharded_pipelined_cg(
 
 
 def _fused_shards_supported(blocks, b, with_m: bool, interpret: bool) -> bool:
+    # with_m no longer disqualifies: Jacobi-PCG rides fused_update_dot_pcg
+    # (round-3; the kernels existed since round 2 but were never wired)
+    del with_m
     n_shards, nrb, kmax, bm, bn = blocks.shape
     m = b.shape[0] // n_shards  # rows per shard
     ok = (
-        not with_m
-        and bm == bn
+        bm == bn
         and bn % 128 == 0
         and m % 128 == 0
         and jnp.dtype(b.dtype) == jnp.dtype(jnp.float32)
@@ -688,8 +716,10 @@ def sharded_cg_solve(
         kernels (SpMV + p·q partial in one pass, x/r updates + ‖r‖² partial
         in another — the single-chip fast path's kernels, partials psum'd)
         when the operator qualifies on a TPU backend; "never"/"always"
-        override.  ``interpret`` runs those kernels in interpret mode
-        (CPU testing).
+        override.  Jacobi-PCG (``inv_diag``) rides the same kernels via
+        fused_update_dot_pcg (the M⁻¹ apply folds into the update pass and
+        the r·z reduction).  ``interpret`` runs those kernels in interpret
+        mode (CPU testing).
       method: "standard" (Hestenes–Stiefel, two psum rounds/iteration) or
         "pipelined" (Chronopoulos–Gear, ONE psum of the stacked [γ, δ]
         pair/iteration — halves collective latency; see solver/pipelined.py
@@ -746,6 +776,7 @@ def sharded_cg_solve(
                 return _sharded_fused_cg(
                     blocks_s, cols_s, b_s, x0_s,
                     tol_arr.astype(jnp.float32), maxiter, axis, bn, interpret,
+                    inv_diag_s=inv_diag_s,
                 )
 
             def local_matvec(v_local):

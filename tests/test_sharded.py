@@ -581,3 +581,42 @@ def test_sharded_batched_restart_matches_solo_restart(rng):
         h_solo = np.asarray(info_i.rho_history)[:k]
         sel = h_solo > h_solo[0] * 1e-20
         np.testing.assert_allclose(h_lane[sel], h_solo[sel], rtol=1e-4)
+
+
+def test_sharded_fused_pcg_matches_xla_path():
+    """Round-3: Jacobi-PCG on the fused per-shard kernels
+    (fused_update_dot_pcg partials psum'd) must match the XLA sharded PCG
+    path exactly — previously with_m silently fell back to XLA."""
+    rows, cols, vals, shape = poisson2d_coo(32)  # 1024 rows -> 128/shard
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    blocks, bcols, n_pad = partition_csr_rows(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, N_DEV, bm=128, bn=128,
+    )
+    n = shape[0]
+    b = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        jnp.asarray(reference_rhs(n, dtype=np.float32)) / n
+    )
+    inv_diag = jnp.ones((n_pad,), jnp.float32).at[:n].set(
+        1.0 / jnp.asarray(np.asarray(A.diagonal()), jnp.float32)
+    )
+    x_ref, i_ref = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-4, maxiter=n + 1,
+        use_fused="never", inv_diag=inv_diag,
+    )
+    x_f, i_f = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-4, maxiter=n + 1,
+        use_fused="always", interpret=True, inv_diag=inv_diag,
+    )
+    assert int(i_f.iterations) == int(i_ref.iterations)
+    assert bool(i_f.converged)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                               rtol=1e-3, atol=1e-5)
+    k = int(i_ref.iterations)
+    h_ref = np.asarray(i_ref.rho_history)[:k]
+    h_f = np.asarray(i_f.rho_history)[:k]
+    sel = h_ref > h_ref[0] * 1e-10
+    np.testing.assert_allclose(h_f[sel], h_ref[sel], rtol=1e-4)
+    # sanity that M actually applied inside the fused kernels: for interior
+    # Poisson rows diag=4, so rho = r·M⁻¹r ≈ ‖r‖²/4 — far from rnorm_sq
+    assert float(i_f.rho) < 0.5 * float(i_f.rnorm_sq)
