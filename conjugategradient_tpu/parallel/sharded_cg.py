@@ -381,34 +381,27 @@ def _sharded_lockstep_pcg(
     return X.T, k, done, rho, rnorm, hist.T
 
 
-def _sharded_pcg(
+def _pcg_init_carry(
     local_matvec: Callable[[jax.Array], jax.Array],
     b_s: jax.Array,
     x0_s: jax.Array,
     inv_diag_s: Optional[jax.Array],
-    tol_arr: jax.Array,
     maxiter: int,
     axis: str,
-    recompute_r_every: int = 0,
 ):
-    """PCG body executed per shard; semantics mirror solver/cg.py exactly
-    (including the optional residual-replacement full restart — the f32
-    recurrence-drift fix matters MOST at the mesh scales this loop targets)."""
+    """Initial per-shard PCG carry (k, done, x, r, p, rho, rnorm, hist)."""
 
     def pdot(u, v):
         acc = jnp.promote_types(u.dtype, jnp.float32)
         return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
 
-    def precond(r):
-        return r if inv_diag_s is None else inv_diag_s * r
-
     r0 = b_s - local_matvec(x0_s)
-    z0 = precond(r0)
+    z0 = r0 if inv_diag_s is None else inv_diag_s * r0
     rnorm0 = pdot(r0, r0)
     rho0 = rnorm0 if inv_diag_s is None else pdot(r0, z0)
     hist = jnp.full((maxiter + 1,), jnp.nan, dtype=rnorm0.dtype)
     hist = hist.at[0].set(rnorm0)
-    carry = (
+    return (
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         x0_s,
@@ -418,6 +411,25 @@ def _sharded_pcg(
         rnorm0,
         hist,
     )
+
+
+def _pcg_body_fn(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    inv_diag_s: Optional[jax.Array],
+    tol_arr: jax.Array,
+    axis: str,
+    recompute_r_every: int,
+):
+    """One per-shard PCG iteration; shared by the one-shot solve and the
+    checkpointable chunked driver so resumed solves are bit-identical."""
+
+    def pdot(u, v):
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
+
+    def precond(r):
+        return r if inv_diag_s is None else inv_diag_s * r
 
     def body(c):
         k, done, x, r, p, rho, rnorm, hist = c
@@ -458,6 +470,26 @@ def _sharded_pcg(
                 (c[0] % recompute_r_every) == 0, replace, lambda c: c, c
             )
         return c
+
+    return body
+
+
+def _sharded_pcg(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    inv_diag_s: Optional[jax.Array],
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+    recompute_r_every: int = 0,
+):
+    """PCG body executed per shard; semantics mirror solver/cg.py exactly
+    (including the optional residual-replacement full restart — the f32
+    recurrence-drift fix matters MOST at the mesh scales this loop targets)."""
+    carry = _pcg_init_carry(local_matvec, b_s, x0_s, inv_diag_s, maxiter, axis)
+    body = _pcg_body_fn(local_matvec, b_s, inv_diag_s, tol_arr, axis,
+                        recompute_r_every)
 
     def cond(c):
         return (c[0] < maxiter) & (~c[1])
@@ -1281,3 +1313,201 @@ def sharded_dia_cg_solve_batched(
         args.append(put(inv_diag, P(axis)))
     X, k, done, rho, rnorm, hist = solve_jit(*args)
     return X, _lockstep_info(k, done, rho, rnorm, hist)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume for long sharded solves (round 3; SURVEY §5 extended
+# to the mesh: the carry is an explicit pytree of global arrays, so saving
+# is serializing leaves and resuming is re-sharding them)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardedCGState:
+    """Row-sharded PCG carry.  ``x/r/p`` are global (n_padded,) arrays
+    (row-sharded on device, gatherable for serialization); scalars and
+    ``hist`` are replicated.  Serialize with ``solver.checkpoint.save_state``
+    — the mesh/operator are re-supplied at resume (layout metadata lives in
+    the operator arrays, not the carry)."""
+
+    k: jax.Array
+    done: jax.Array
+    x: jax.Array
+    r: jax.Array
+    p: jax.Array
+    rho: jax.Array
+    rnorm: jax.Array
+    hist: jax.Array
+
+    def tree_flatten(self):
+        return (
+            self.k, self.done, self.x, self.r, self.p,
+            self.rho, self.rnorm, self.hist,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _bell_local_matvec_fn(blocks_s, cols_s, bn, axis):
+    def local_matvec(v_local):
+        v_full = jax.lax.all_gather(v_local, axis, tiled=True)
+        return _local_bell_matvec(blocks_s, cols_s, v_full.reshape(-1, bn))
+
+    return local_matvec
+
+
+_STATE_SPECS = lambda axis: (
+    P(), P(), P(axis), P(axis), P(axis), P(), P(), P()
+)
+
+
+def sharded_cg_init(
+    blocks,
+    block_cols,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis: str = "rows",
+    maxiter: Optional[int] = None,
+    inv_diag: Optional[jax.Array] = None,
+) -> ShardedCGState:
+    """Build the row-sharded (blocked-ELL) PCG carry — the checkpoint/resume
+    entry point for mesh-scale solves (the reference loses all state when
+    interrupted, CG.hpp:276-302; here save/resume is save_state/load_state
+    plus this init's sibling :func:`sharded_run_cg`)."""
+    mesh = mesh or make_row_mesh(axis=axis)
+    n_shards = mesh.devices.size
+    assert blocks.shape[0] == n_shards, (blocks.shape, n_shards)
+    n_padded = int(b.shape[0])
+    bn = int(blocks.shape[-1])
+    maxiter = int(n_padded + 1 if maxiter is None else maxiter)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    with_m = inv_diag is not None
+
+    key = ("bell-init", _mesh_key(mesh), axis, maxiter, with_m, bn,
+           str(b.dtype))
+    init_jit = _cache_get(key)
+    if init_jit is None:
+        def init_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
+            lm = _bell_local_matvec_fn(blocks_s[0], cols_s[0], bn, axis)
+            return _pcg_init_carry(lm, b_s, x0_s, inv_diag_s, maxiter, axis)
+
+        in_specs = [P(axis)] * (5 if with_m else 4)
+        init_jit = jax.jit(shard_map(
+            init_shard,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=_STATE_SPECS(axis),
+            check_vma=False,
+        ))
+        _cache_put(key, init_jit)
+
+    put = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P(axis)))
+    args = [put(blocks), put(block_cols), put(b), put(x0)]
+    if with_m:
+        args.append(put(inv_diag))
+    return ShardedCGState(*init_jit(*args))
+
+
+def sharded_run_cg(
+    blocks,
+    block_cols,
+    state: ShardedCGState,
+    *,
+    tol=0.0,
+    steps: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "rows",
+    b: Optional[jax.Array] = None,
+    inv_diag: Optional[jax.Array] = None,
+    recompute_r_every: int = 0,
+) -> ShardedCGState:
+    """Advance a row-sharded solve by up to ``steps`` iterations (or to
+    convergence / history capacity) inside ONE shard_map'd while_loop.
+
+    ``inv_diag`` must match what the state was initialized with; ``b`` is
+    required only when ``recompute_r_every > 0`` (restarts recompute the
+    true residual).  Chunks compose bit-identically with
+    :func:`sharded_cg_solve`'s uninterrupted XLA path — the body is the same
+    function (_pcg_body_fn)."""
+    mesh = mesh or make_row_mesh(axis=axis)
+    n_shards = mesh.devices.size
+    assert blocks.shape[0] == n_shards, (blocks.shape, n_shards)
+    bn = int(blocks.shape[-1])
+    maxiter = int(state.hist.shape[0]) - 1
+    limit = (
+        maxiter if steps is None
+        else min(maxiter, int(state.k) + int(steps))
+    )
+    recompute_r_every = int(recompute_r_every)
+    if recompute_r_every > 0 and b is None:
+        raise ValueError("recompute_r_every > 0 needs b (the RHS)")
+    with_m = inv_diag is not None
+    with_b = b is not None
+    tol_arr = jnp.asarray(tol, dtype=state.x.dtype)
+
+    key = ("bell-run", _mesh_key(mesh), axis, maxiter, limit, float(tol),
+           with_m, with_b, bn, str(state.x.dtype), recompute_r_every)
+    run_jit = _cache_get(key)
+    if run_jit is None:
+        def run_shard(blocks_s, cols_s, *rest):
+            i = 0
+            b_s = rest[i] if with_b else None
+            i += 1 if with_b else 0
+            inv_diag_s = rest[i] if with_m else None
+            i += 1 if with_m else 0
+            carry = tuple(rest[i:])
+            lm = _bell_local_matvec_fn(blocks_s[0], cols_s[0], bn, axis)
+            body = _pcg_body_fn(lm, b_s, inv_diag_s, tol_arr, axis,
+                                recompute_r_every)
+
+            def cond(c):
+                return (c[0] < limit) & (~c[1])
+
+            return jax.lax.while_loop(cond, body, carry)
+
+        in_specs = (
+            [P(axis), P(axis)]
+            + ([P(axis)] if with_b else [])
+            + ([P(axis)] if with_m else [])
+            + list(_STATE_SPECS(axis))
+        )
+        run_jit = jax.jit(shard_map(
+            run_shard,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=_STATE_SPECS(axis),
+            check_vma=False,
+        ))
+        _cache_put(key, run_jit)
+
+    put = lambda a, spec=P(axis): jax.device_put(
+        jnp.asarray(a), NamedSharding(mesh, spec)
+    )
+    args = [put(blocks), put(block_cols)]
+    if with_b:
+        args.append(put(b))
+    if with_m:
+        args.append(put(inv_diag))
+    specs = _STATE_SPECS(axis)
+    leaves, _ = state.tree_flatten()
+    args.extend(put(leaf, spec) for leaf, spec in zip(leaves, specs))
+    return ShardedCGState(*run_jit(*args))
+
+
+def sharded_state_result(state: ShardedCGState):
+    """(x, CGInfo) from a carry — what :func:`sharded_cg_solve` returns."""
+    info = CGInfo(
+        iterations=state.k,
+        converged=state.done & ~jnp.isnan(state.rnorm),
+        rho=state.rho,
+        rnorm_sq=state.rnorm,
+        rho_history=state.hist,
+    )
+    return state.x, info

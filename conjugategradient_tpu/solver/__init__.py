@@ -1,4 +1,10 @@
-from .batched import cg_solve_batched
+from .batched import (
+    BatchedCGState,
+    batched_cg_init,
+    batched_state_result,
+    cg_solve_batched,
+    run_batched_cg,
+)
 from .cg import (
     CGInfo,
     CGState,
@@ -22,6 +28,10 @@ from .precond import (
 )
 
 __all__ = [
+    "BatchedCGState",
+    "batched_cg_init",
+    "batched_state_result",
+    "run_batched_cg",
     "cg_solve_batched",
     "load_state",
     "run_cg",

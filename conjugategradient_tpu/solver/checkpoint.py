@@ -27,17 +27,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .batched import BatchedCGState
 from .cg import CGState, cg_step
 from .fused import FusedCGState, fused_cg_step
 from ..types import LinearOperator
 
-_KINDS = {"CGState": CGState, "FusedCGState": FusedCGState}
+
+def _sharded_state_cls():
+    # lazy: parallel/ imports solver/ (CGInfo), so a top-level import here
+    # would be circular
+    from ..parallel.sharded_cg import ShardedCGState
+
+    return ShardedCGState
+
+
+_KINDS = {
+    "CGState": CGState,
+    "FusedCGState": FusedCGState,
+    "BatchedCGState": BatchedCGState,
+}
+
+
+def _kinds():
+    kinds = dict(_KINDS)
+    kinds["ShardedCGState"] = _sharded_state_cls()
+    return kinds
 
 
 def save_state(path, state) -> None:
-    """Serialize a solver carry (CGState or FusedCGState) to ``.npz``."""
+    """Serialize a solver carry (CGState / FusedCGState / BatchedCGState /
+    ShardedCGState) to ``.npz``.  Sharded carries gather to host arrays —
+    resuming re-shards them onto whatever mesh :func:`sharded_run_cg`
+    receives (the layout lives in the operator, not the carry)."""
     kind = type(state).__name__
-    if kind not in _KINDS:
+    if kind not in _kinds():
         raise TypeError(f"not a checkpointable solver state: {kind}")
     fields = [f.name for f in dataclasses.fields(state)]
     np.savez(
@@ -52,7 +75,7 @@ def load_state(path):
     file; files from before the fused path default to CGState)."""
     with np.load(path) as z:
         kind = str(z["__kind__"]) if "__kind__" in z else "CGState"
-        cls = _KINDS[kind]
+        cls = _kinds()[kind]
         fields = [f.name for f in dataclasses.fields(cls)]
         return cls(**{name: jnp.asarray(z[name]) for name in fields})
 
