@@ -66,6 +66,12 @@ def main(argv=None) -> int:
                          "all lanes, plus a per-lane JSON line")
     ap.add_argument("--history", action="store_true",
                     help="also print the residual-norm history as JSON")
+    ap.add_argument("--progress", type=int, default=0, metavar="N",
+                    help="log k and ||r_k|| every N iterations (the "
+                         "reference's percent-complete trace, CG.hpp:428-434"
+                         "), driving the solve in run_cg chunks — one host "
+                         "sync per chunk; 0 (default) keeps the zero-sync "
+                         "single-dispatch solve")
     ap.add_argument("--estimate-steps", action="store_true",
                     dest="estimate_steps",
                     help="print the predicted CG iteration count before "
@@ -156,6 +162,10 @@ def main(argv=None) -> int:
     # pays upload/initialization costs an AOT compile does not flush
     # (measured: an AOT-only warm-up left ~0.8 s of first-run cost inside
     # the timed region).
+    if args.progress > 0 and (args.nrhs > 1 or args.method == "pipelined"):
+        print("error: --progress drives the standard single-RHS loop "
+              "(no --nrhs/--method pipelined)", file=sys.stderr)
+        return 2
     if args.method == "pipelined":
         if M is not None:
             print("error: --method pipelined is unpreconditioned",
@@ -172,6 +182,35 @@ def main(argv=None) -> int:
                 A, b_, tol=args.tol, maxiter=args.maxiter
             )
         )
+    elif args.progress > 0:
+        from conjugategradient_tpu.solver import cg_init, run_cg
+        from conjugategradient_tpu.solver.cg import CGInfo
+
+        cap = args.maxiter if args.maxiter is not None else n + 1
+        progress_quiet = [True]  # silence the warm-up run's trace
+
+        def solve(b_):
+            # chunked driving: each run_cg chunk is one jitted while_loop
+            # (one host sync per N iterations, honoring convergence), so
+            # long solves stop being a black box — the reference's verbose
+            # progress trace, rebuilt on the checkpointable carry
+            state = cg_init(A, b_, M=M, maxiter=cap)
+            while True:
+                state = run_cg(A, state, args.tol, steps=args.progress, M=M)
+                k = int(state.k)
+                if not progress_quiet[0]:
+                    log.info("iter %d  ||r|| = %.6e", k,
+                             float(jnp.sqrt(state.rnorm_sq)))
+                if bool(state.done) or k >= cap:
+                    break
+            info = CGInfo(
+                iterations=state.k,
+                converged=state.done & ~jnp.isnan(state.rnorm_sq),
+                rho=state.rho,
+                rnorm_sq=state.rnorm_sq,
+                rho_history=state.hist,
+            )
+            return state.x, info
     elif args.nrhs > 1:
         from conjugategradient_tpu import cg_solve_batched
 
@@ -189,6 +228,8 @@ def main(argv=None) -> int:
             lambda b_: cg_solve(A, b_, tol=args.tol, maxiter=args.maxiter, M=M)
         )
     np.asarray(solve(b)[0].ravel()[0:1])  # compile + execute + sync
+    if args.progress > 0:
+        progress_quiet[0] = False
 
     t = Timer().start_measure()
     x, info = solve(b)

@@ -145,3 +145,25 @@ class TestScipyCompatErrors:
         b = jnp.ones((4,))
         with pytest.raises(TypeError, match="not JAX-traceable"):
             cg(mv, b)
+
+
+class TestTesterProgress:
+    def test_progress_mode_solves_and_rejects_combos(self, capsys):
+        """--progress N drives the solve in run_cg chunks (live trace) and
+        still prints the reference 4-column line; excluded combos exit 2."""
+        import pathlib
+        import tester
+
+        mtx = str(pathlib.Path(__file__).resolve().parent.parent
+                  / "problems" / "poisson2d_34.mtx")
+        rc = tester.main([mtx, "--progress", "50", "--tol", "1e-8"])
+        assert rc == 0
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        parts = line.split()
+        assert len(parts) == 4 and int(parts[0]) == 1156
+        assert float(parts[3]) < 1e-10
+
+        rc = tester.main([mtx, "--progress", "50", "--nrhs", "2"])
+        assert rc == 2
+        rc = tester.main([mtx, "--progress", "50", "--method", "pipelined"])
+        assert rc == 2
