@@ -222,5 +222,14 @@ def write_mtx(path, rows, cols, vals, shape, symmetric: bool = False, comment: s
         f.write(f"%%MatrixMarket matrix coordinate real {sym}\n")
         f.write(f"% {comment or 'written by conjugategradient_tpu'}\n")
         f.write(f"{shape[0]} {shape[1]} {len(vals)}\n")
-        for r, c, v in zip(rows, cols, vals):
-            f.write(f"{int(r) + 1} {int(c) + 1} {v:.17g}\n")
+        # savetxt streams via numpy's C formatter — the per-line Python loop
+        # took minutes at G3_circuit scale (4.7M stored entries)
+        np.savetxt(
+            f,
+            np.column_stack([
+                rows.astype(np.int64) + 1,
+                cols.astype(np.int64) + 1,
+                np.asarray(vals, dtype=np.float64),
+            ]),
+            fmt=("%d", "%d", "%.17g"),
+        )

@@ -898,6 +898,14 @@ class StencilOperator(LinearOperator):
     def dtype(self):
         return self.center.dtype
 
+    @property
+    def nnz(self) -> int:
+        """LOGICAL nonzero count of the never-formed matrix: 7 per interior
+        point, minus the Dirichlet-truncated couplings on each face."""
+        nx, ny, nz = self.grid_shape
+        n = nx * ny * nz
+        return 7 * n - 2 * (ny * nz + nx * nz + nx * ny)
+
     def matvec(self, x: jax.Array) -> jax.Array:
         from .ops.stencil import stencil7_matvec
 

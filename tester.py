@@ -30,7 +30,11 @@ import numpy as np
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("mtx", help="MatrixMarket .mtx file (SPD)")
+    ap.add_argument("mtx",
+                    help="MatrixMarket .mtx file (SPD), or the matrix-free "
+                         "pseudo-input 'stencil:<nx>[x<ny>x<nz>]' (7-point "
+                         "3-D Poisson operator, BASELINE config 4 — no file "
+                         "exists because no matrix is ever formed)")
     ap.add_argument("--tol", type=float, default=1e-24,
                     help="absolute tolerance on ||r||2 (reference: 1e-24)")
     ap.add_argument("--maxiter", type=int, default=None,
@@ -96,19 +100,41 @@ def main(argv=None) -> int:
 
     dtype = jnp.dtype(args.dtype)
     perm = None
-    try:
-        if args.reorder:
-            A, perm = load_matrix(args.mtx, layout=args.layout, dtype=dtype,
-                                  bm=args.bm, bn=args.bn, reorder=True)
-        else:
-            A = load_matrix(args.mtx, layout=args.layout, dtype=dtype,
-                            bm=args.bm, bn=args.bn)
-    except OSError as e:  # covers FileNotFoundError from the Python reader
-        print(f"error: cannot read {args.mtx}: {e}", file=sys.stderr)
-        return 2
-    except (ValueError, NotImplementedError) as e:
-        print(f"error: cannot parse {args.mtx}: {e}", file=sys.stderr)
-        return 2
+    if args.mtx.startswith("stencil:"):
+        # matrix-free 7-point Poisson (config 4): the operator is applied,
+        # never stored — nnz below is the LOGICAL count (7n minus faces)
+        from conjugategradient_tpu.types import StencilOperator
+
+        if args.layout != "csr" or args.reorder:
+            print("error: stencil: input is matrix-free (no --layout/"
+                  "--reorder)", file=sys.stderr)
+            return 2
+        try:
+            dims = tuple(int(t) for t in args.mtx[len("stencil:"):].split("x"))
+            if len(dims) == 1:
+                dims = dims * 3
+            if len(dims) != 3 or min(dims) < 2:
+                raise ValueError(args.mtx)
+        except ValueError:
+            print(f"error: cannot parse {args.mtx!r} (want stencil:<nx>"
+                  "[x<ny>x<nz>])", file=sys.stderr)
+            return 2
+        A = StencilOperator.poisson(dims, dtype=dtype)
+    else:
+        try:
+            if args.reorder:
+                A, perm = load_matrix(args.mtx, layout=args.layout,
+                                      dtype=dtype, bm=args.bm, bn=args.bn,
+                                      reorder=True)
+            else:
+                A = load_matrix(args.mtx, layout=args.layout, dtype=dtype,
+                                bm=args.bm, bn=args.bn)
+        except OSError as e:  # covers FileNotFoundError from the Python reader
+            print(f"error: cannot read {args.mtx}: {e}", file=sys.stderr)
+            return 2
+        except (ValueError, NotImplementedError) as e:
+            print(f"error: cannot parse {args.mtx}: {e}", file=sys.stderr)
+            return 2
     n = A.shape[0]
     nnz = A.nnz
     if args.verbose:
