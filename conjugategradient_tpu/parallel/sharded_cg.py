@@ -1366,6 +1366,125 @@ _STATE_SPECS = lambda axis: (
 )
 
 
+def _generic_sharded_init(
+    kind, extra_key, op_arrays, make_lm, b, x0, inv_diag, mesh, axis, maxiter
+) -> ShardedCGState:
+    """Shared init core: shard_map the carry construction over the mesh.
+
+    ``op_arrays`` are the layout's shard-axis arrays; ``make_lm`` builds the
+    per-shard local matvec from the (leading-dim-stripped) shards and closes
+    over the statics recorded in ``extra_key`` (which keys the compiled-fn
+    cache alongside everything else static)."""
+    mesh = mesh or make_row_mesh(axis=axis)
+    n_shards = mesh.devices.size
+    assert op_arrays[0].shape[0] == n_shards, (op_arrays[0].shape, n_shards)
+    n_padded = int(b.shape[0])
+    maxiter = int(n_padded + 1 if maxiter is None else maxiter)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    with_m = inv_diag is not None
+    nop = len(op_arrays)
+
+    key = (f"{kind}-init", _mesh_key(mesh), axis, maxiter, with_m,
+           extra_key, str(b.dtype))
+    init_jit = _cache_get(key)
+    if init_jit is None:
+        def init_shard(*args_s):
+            op_shards = [a[0] for a in args_s[:nop]]
+            b_s, x0_s = args_s[nop], args_s[nop + 1]
+            inv_diag_s = args_s[nop + 2] if with_m else None
+            lm = make_lm(op_shards)
+            return _pcg_init_carry(lm, b_s, x0_s, inv_diag_s, maxiter, axis)
+
+        in_specs = [P(axis)] * (nop + (3 if with_m else 2))
+        init_jit = jax.jit(shard_map(
+            init_shard,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=_STATE_SPECS(axis),
+            check_vma=False,
+        ))
+        _cache_put(key, init_jit)
+
+    put = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P(axis)))
+    args = [put(a) for a in op_arrays] + [put(b), put(x0)]
+    if with_m:
+        args.append(put(inv_diag))
+    return ShardedCGState(*init_jit(*args))
+
+
+def _generic_sharded_run(
+    kind, extra_key, op_arrays, make_lm, state, tol, steps, b, inv_diag,
+    recompute_r_every, mesh, axis
+) -> ShardedCGState:
+    """Shared resume core: ONE shard_map'd while_loop from the given carry,
+    bounded by ``steps``, body == _pcg_body_fn (bit-identical to the
+    uninterrupted solve)."""
+    mesh = mesh or make_row_mesh(axis=axis)
+    n_shards = mesh.devices.size
+    assert op_arrays[0].shape[0] == n_shards, (op_arrays[0].shape, n_shards)
+    maxiter = int(state.hist.shape[0]) - 1
+    limit = (
+        maxiter if steps is None
+        else min(maxiter, int(state.k) + int(steps))
+    )
+    recompute_r_every = int(recompute_r_every)
+    if recompute_r_every > 0 and b is None:
+        raise ValueError("recompute_r_every > 0 needs b (the RHS)")
+    with_m = inv_diag is not None
+    with_b = b is not None
+    tol_arr = jnp.asarray(tol, dtype=state.x.dtype)
+    nop = len(op_arrays)
+
+    key = (f"{kind}-run", _mesh_key(mesh), axis, maxiter, limit, float(tol),
+           with_m, with_b, extra_key, str(state.x.dtype), recompute_r_every)
+    run_jit = _cache_get(key)
+    if run_jit is None:
+        def run_shard(*args_s):
+            op_shards = [a[0] for a in args_s[:nop]]
+            i = nop
+            b_s = args_s[i] if with_b else None
+            i += 1 if with_b else 0
+            inv_diag_s = args_s[i] if with_m else None
+            i += 1 if with_m else 0
+            carry = tuple(args_s[i:])
+            lm = make_lm(op_shards)
+            body = _pcg_body_fn(lm, b_s, inv_diag_s, tol_arr, axis,
+                                recompute_r_every)
+
+            def cond(c):
+                return (c[0] < limit) & (~c[1])
+
+            return jax.lax.while_loop(cond, body, carry)
+
+        in_specs = (
+            [P(axis)] * nop
+            + ([P(axis)] if with_b else [])
+            + ([P(axis)] if with_m else [])
+            + list(_STATE_SPECS(axis))
+        )
+        run_jit = jax.jit(shard_map(
+            run_shard,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=_STATE_SPECS(axis),
+            check_vma=False,
+        ))
+        _cache_put(key, run_jit)
+
+    put = lambda a, spec=P(axis): jax.device_put(
+        jnp.asarray(a), NamedSharding(mesh, spec)
+    )
+    args = [put(a) for a in op_arrays]
+    if with_b:
+        args.append(put(b))
+    if with_m:
+        args.append(put(inv_diag))
+    specs = _STATE_SPECS(axis)
+    leaves, _ = state.tree_flatten()
+    args.extend(put(leaf, spec) for leaf, spec in zip(leaves, specs))
+    return ShardedCGState(*run_jit(*args))
+
+
 def sharded_cg_init(
     blocks,
     block_cols,
@@ -1381,38 +1500,12 @@ def sharded_cg_init(
     entry point for mesh-scale solves (the reference loses all state when
     interrupted, CG.hpp:276-302; here save/resume is save_state/load_state
     plus this init's sibling :func:`sharded_run_cg`)."""
-    mesh = mesh or make_row_mesh(axis=axis)
-    n_shards = mesh.devices.size
-    assert blocks.shape[0] == n_shards, (blocks.shape, n_shards)
-    n_padded = int(b.shape[0])
     bn = int(blocks.shape[-1])
-    maxiter = int(n_padded + 1 if maxiter is None else maxiter)
-    x0 = jnp.zeros_like(b) if x0 is None else x0
-    with_m = inv_diag is not None
-
-    key = ("bell-init", _mesh_key(mesh), axis, maxiter, with_m, bn,
-           str(b.dtype))
-    init_jit = _cache_get(key)
-    if init_jit is None:
-        def init_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
-            lm = _bell_local_matvec_fn(blocks_s[0], cols_s[0], bn, axis)
-            return _pcg_init_carry(lm, b_s, x0_s, inv_diag_s, maxiter, axis)
-
-        in_specs = [P(axis)] * (5 if with_m else 4)
-        init_jit = jax.jit(shard_map(
-            init_shard,
-            mesh=mesh,
-            in_specs=tuple(in_specs),
-            out_specs=_STATE_SPECS(axis),
-            check_vma=False,
-        ))
-        _cache_put(key, init_jit)
-
-    put = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P(axis)))
-    args = [put(blocks), put(block_cols), put(b), put(x0)]
-    if with_m:
-        args.append(put(inv_diag))
-    return ShardedCGState(*init_jit(*args))
+    make_lm = lambda sh: _bell_local_matvec_fn(sh[0], sh[1], bn, axis)
+    return _generic_sharded_init(
+        "bell", (bn,), (blocks, block_cols), make_lm, b, x0, inv_diag,
+        mesh, axis, maxiter,
+    )
 
 
 def sharded_run_cg(
@@ -1436,69 +1529,105 @@ def sharded_run_cg(
     true residual).  Chunks compose bit-identically with
     :func:`sharded_cg_solve`'s uninterrupted XLA path — the body is the same
     function (_pcg_body_fn)."""
-    mesh = mesh or make_row_mesh(axis=axis)
-    n_shards = mesh.devices.size
-    assert blocks.shape[0] == n_shards, (blocks.shape, n_shards)
     bn = int(blocks.shape[-1])
-    maxiter = int(state.hist.shape[0]) - 1
-    limit = (
-        maxiter if steps is None
-        else min(maxiter, int(state.k) + int(steps))
+    make_lm = lambda sh: _bell_local_matvec_fn(sh[0], sh[1], bn, axis)
+    return _generic_sharded_run(
+        "bell", (bn,), (blocks, block_cols), make_lm, state, tol, steps, b,
+        inv_diag, recompute_r_every, mesh, axis,
     )
-    recompute_r_every = int(recompute_r_every)
-    if recompute_r_every > 0 and b is None:
-        raise ValueError("recompute_r_every > 0 needs b (the RHS)")
-    with_m = inv_diag is not None
-    with_b = b is not None
-    tol_arr = jnp.asarray(tol, dtype=state.x.dtype)
 
-    key = ("bell-run", _mesh_key(mesh), axis, maxiter, limit, float(tol),
-           with_m, with_b, bn, str(state.x.dtype), recompute_r_every)
-    run_jit = _cache_get(key)
-    if run_jit is None:
-        def run_shard(blocks_s, cols_s, *rest):
-            i = 0
-            b_s = rest[i] if with_b else None
-            i += 1 if with_b else 0
-            inv_diag_s = rest[i] if with_m else None
-            i += 1 if with_m else 0
-            carry = tuple(rest[i:])
-            lm = _bell_local_matvec_fn(blocks_s[0], cols_s[0], bn, axis)
-            body = _pcg_body_fn(lm, b_s, inv_diag_s, tol_arr, axis,
-                                recompute_r_every)
 
-            def cond(c):
-                return (c[0] < limit) & (~c[1])
-
-            return jax.lax.while_loop(cond, body, carry)
-
-        in_specs = (
-            [P(axis), P(axis)]
-            + ([P(axis)] if with_b else [])
-            + ([P(axis)] if with_m else [])
-            + list(_STATE_SPECS(axis))
-        )
-        run_jit = jax.jit(shard_map(
-            run_shard,
-            mesh=mesh,
-            in_specs=tuple(in_specs),
-            out_specs=_STATE_SPECS(axis),
-            check_vma=False,
-        ))
-        _cache_put(key, run_jit)
-
-    put = lambda a, spec=P(axis): jax.device_put(
-        jnp.asarray(a), NamedSharding(mesh, spec)
+def sharded_dia_cg_init(
+    diags_sharded,
+    offsets,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis: str = "rows",
+    maxiter: Optional[int] = None,
+    inv_diag: Optional[jax.Array] = None,
+) -> ShardedCGState:
+    """Checkpointable carry for the ring-halo (DIA/banded) sharded solve —
+    the Flan-class long-solve case where resume matters most."""
+    offsets = tuple(int(o) for o in offsets)
+    make_lm = lambda sh: (
+        lambda v: _local_dia_matvec(sh[0], offsets, v, axis)
     )
-    args = [put(blocks), put(block_cols)]
-    if with_b:
-        args.append(put(b))
-    if with_m:
-        args.append(put(inv_diag))
-    specs = _STATE_SPECS(axis)
-    leaves, _ = state.tree_flatten()
-    args.extend(put(leaf, spec) for leaf, spec in zip(leaves, specs))
-    return ShardedCGState(*run_jit(*args))
+    return _generic_sharded_init(
+        "dia", (offsets,), (jnp.asarray(diags_sharded),), make_lm, b, x0,
+        inv_diag, mesh, axis, maxiter,
+    )
+
+
+def sharded_dia_run_cg(
+    diags_sharded,
+    offsets,
+    state: ShardedCGState,
+    *,
+    tol=0.0,
+    steps: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "rows",
+    b: Optional[jax.Array] = None,
+    inv_diag: Optional[jax.Array] = None,
+    recompute_r_every: int = 0,
+) -> ShardedCGState:
+    """Resume sibling of :func:`sharded_dia_cg_init` (ring-halo SpMV)."""
+    offsets = tuple(int(o) for o in offsets)
+    make_lm = lambda sh: (
+        lambda v: _local_dia_matvec(sh[0], offsets, v, axis)
+    )
+    return _generic_sharded_run(
+        "dia", (offsets,), (jnp.asarray(diags_sharded),), make_lm, state,
+        tol, steps, b, inv_diag, recompute_r_every, mesh, axis,
+    )
+
+
+def sharded_sell_cg_init(
+    sell_sharded,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis: str = "rows",
+    maxiter: Optional[int] = None,
+    inv_diag: Optional[jax.Array] = None,
+) -> ShardedCGState:
+    """Checkpointable carry for the scattered-pattern (SELL) sharded solve;
+    ``sell_sharded`` is :func:`partition_sell_rows`'s tuple."""
+    diag, pos, cols_flat, vals_flat, meta, _ = sell_sharded
+    make_lm = lambda sh: (
+        lambda v: _local_sell_matvec(sh[0], sh[1], sh[2], sh[3], meta, v, axis)
+    )
+    ops = tuple(jnp.asarray(a) for a in (diag, pos, cols_flat, vals_flat))
+    return _generic_sharded_init(
+        "sell", (meta,), ops, make_lm, b, x0, inv_diag, mesh, axis, maxiter,
+    )
+
+
+def sharded_sell_run_cg(
+    sell_sharded,
+    state: ShardedCGState,
+    *,
+    tol=0.0,
+    steps: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "rows",
+    b: Optional[jax.Array] = None,
+    inv_diag: Optional[jax.Array] = None,
+    recompute_r_every: int = 0,
+) -> ShardedCGState:
+    """Resume sibling of :func:`sharded_sell_cg_init`."""
+    diag, pos, cols_flat, vals_flat, meta, _ = sell_sharded
+    make_lm = lambda sh: (
+        lambda v: _local_sell_matvec(sh[0], sh[1], sh[2], sh[3], meta, v, axis)
+    )
+    ops = tuple(jnp.asarray(a) for a in (diag, pos, cols_flat, vals_flat))
+    return _generic_sharded_run(
+        "sell", (meta,), ops, make_lm, state, tol, steps, b, inv_diag,
+        recompute_r_every, mesh, axis,
+    )
 
 
 def sharded_state_result(state: ShardedCGState):

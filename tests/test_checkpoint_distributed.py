@@ -200,3 +200,70 @@ def test_sharded_run_requires_b_for_restart():
     with pytest.raises(ValueError, match="needs b"):
         sharded_run_cg(jnp.asarray(blocks), jnp.asarray(bcols), state,
                        recompute_r_every=5)
+
+
+def test_sharded_dia_checkpoint_resume_bit_identical(tmp_path):
+    from conjugategradient_tpu.parallel import (
+        partition_dia_rows,
+        sharded_dia_cg_init,
+        sharded_dia_cg_solve,
+        sharded_dia_run_cg,
+        sharded_state_result,
+    )
+    from conjugategradient_tpu.problems import banded_spd_coo
+    from conjugategradient_tpu.types import DIAMatrix
+
+    rows, cols, vals, shape = banded_spd_coo(280, bandwidth=6, seed=9)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    dia = DIAMatrix.from_csr(A)
+    n = shape[0]
+    diags_sh, n_pad = partition_dia_rows(np.asarray(dia.diags), shape, N_DEV)
+    b = jnp.zeros((n_pad,)).at[:n].set(jnp.asarray(reference_rhs(n)))
+    tol = 1e-9
+
+    x_ref, info_ref = sharded_dia_cg_solve(
+        jnp.asarray(diags_sh), dia.offsets, b, tol=tol, maxiter=n + 1
+    )
+    state = sharded_dia_cg_init(diags_sh, dia.offsets, b, maxiter=n + 1)
+    state = sharded_dia_run_cg(diags_sh, dia.offsets, state, tol=tol, steps=7)
+    path = tmp_path / "dia.npz"
+    save_state(path, state)
+    state = load_state(path)
+    state = sharded_dia_run_cg(diags_sh, dia.offsets, state, tol=tol)
+    x_ck, info_ck = sharded_state_result(state)
+    assert int(info_ck.iterations) == int(info_ref.iterations)
+    np.testing.assert_array_equal(np.asarray(x_ck), np.asarray(x_ref))
+    np.testing.assert_array_equal(
+        np.asarray(info_ck.rho_history), np.asarray(info_ref.rho_history)
+    )
+
+
+def test_sharded_sell_checkpoint_resume_bit_identical(tmp_path):
+    from conjugategradient_tpu.parallel import (
+        partition_sell_rows,
+        sharded_sell_cg_init,
+        sharded_sell_cg_solve,
+        sharded_sell_run_cg,
+        sharded_state_result,
+    )
+    from conjugategradient_tpu.problems import powerlaw_spd_coo
+
+    rows, cols, vals, shape = powerlaw_spd_coo(400, avg_degree=4.0, seed=5)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    sell_sh = partition_sell_rows(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, N_DEV,
+    )
+    n = shape[0]
+    n_pad = sell_sh[-1]
+    b = jnp.zeros((n_pad,)).at[:n].set(jnp.asarray(reference_rhs(n)))
+    tol = 1e-9
+
+    x_ref, info_ref = sharded_sell_cg_solve(sell_sh, b, tol=tol,
+                                            maxiter=n + 1)
+    state = sharded_sell_cg_init(sell_sh, b, maxiter=n + 1)
+    state = sharded_sell_run_cg(sell_sh, state, tol=tol, steps=5)
+    state = sharded_sell_run_cg(sell_sh, state, tol=tol)
+    x_ck, info_ck = sharded_state_result(state)
+    assert int(info_ck.iterations) == int(info_ref.iterations)
+    np.testing.assert_array_equal(np.asarray(x_ck), np.asarray(x_ref))
