@@ -70,6 +70,10 @@ def main(argv=None) -> int:
                          "all lanes, plus a per-lane JSON line")
     ap.add_argument("--history", action="store_true",
                     help="also print the residual-norm history as JSON")
+    ap.add_argument("--summary", action="store_true",
+                    help="also print one JSON line {iterations, converged, "
+                         "final_rnorm} — the --history header without the "
+                         "per-iteration list")
     ap.add_argument("--progress", type=int, default=0, metavar="N",
                     help="log k and ||r_k|| every N iterations (the "
                          "reference's percent-complete trace, CG.hpp:428-434"
@@ -277,6 +281,15 @@ def main(argv=None) -> int:
             "iterations": [int(v) for v in np.asarray(info.iterations)],
             "converged": [bool(v) for v in np.asarray(info.converged)],
             "per_rhs_ms": t.get_duration() / args.nrhs,
+        }))
+    if args.summary:
+        iters = np.asarray(info.iterations)
+        conv = np.asarray(info.converged)
+        rns = np.sqrt(np.abs(np.asarray(info.rnorm_sq, dtype=np.float64)))
+        print(json.dumps({
+            "iterations": [int(v) for v in iters.ravel()],
+            "converged": [bool(v) for v in conv.ravel()],
+            "final_rnorm": [float(v) for v in rns.ravel()],
         }))
     if args.history:
         hist_all = np.asarray(info.rho_history)

@@ -167,3 +167,23 @@ class TestTesterProgress:
         assert rc == 2
         rc = tester.main([mtx, "--progress", "50", "--method", "pipelined"])
         assert rc == 2
+
+    def test_summary_flag_prints_compact_json(self, capsys):
+        """--summary prints {iterations, converged, final_rnorm} without the
+        per-iteration residual list (the five-config table's source)."""
+        import json
+        import pathlib
+        import tester
+
+        mtx = str(pathlib.Path(__file__).resolve().parent.parent
+                  / "problems" / "poisson2d_34.mtx")
+        rc = tester.main([mtx, "--tol", "1e-8", "--summary"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        four_col, summary = lines[-2], lines[-1]
+        assert len(four_col.split()) == 4
+        d = json.loads(summary)
+        assert d["converged"] == [True]
+        assert 0 < d["iterations"][0] <= 1156
+        assert d["final_rnorm"][0] <= 1e-8
+        assert "residual_norms" not in d
