@@ -31,6 +31,7 @@ from .solver import (
     CGInfo,
     CGState,
     accuracy,
+    block_cg_solve,
     cg_init,
     cg_solve,
     cg_solve_batched,
@@ -61,6 +62,7 @@ __all__ = [
     "cg_init",
     "cg_solve",
     "cg_solve_batched",
+    "block_cg_solve",
     "cg_step",
     "expected_step_count",
     "block_jacobi_preconditioner",

@@ -5,6 +5,7 @@ from .batched import (
     cg_solve_batched,
     run_batched_cg,
 )
+from .blockcg import BlockCGState, block_cg_solve
 from .cg import (
     CGInfo,
     CGState,
@@ -33,6 +34,8 @@ __all__ = [
     "batched_state_result",
     "run_batched_cg",
     "cg_solve_batched",
+    "BlockCGState",
+    "block_cg_solve",
     "load_state",
     "run_cg",
     "save_state",

@@ -52,11 +52,13 @@ def main(argv=None) -> int:
     ap.add_argument("--precond",
                     choices=("none", "jacobi", "blockjacobi", "chebyshev"),
                     default="none")
-    ap.add_argument("--method", choices=("standard", "pipelined"),
+    ap.add_argument("--method", choices=("standard", "pipelined", "block"),
                     default="standard",
                     help="pipelined = single-synchronization Chronopoulos-"
                          "Gear CG (one global reduction per iteration; "
-                         "unpreconditioned)")
+                         "unpreconditioned); block = block CG (with --nrhs "
+                         "R: one shared Krylov space, fewer iterations per "
+                         "lane than the lockstep loop)")
     ap.add_argument("--cheb-degree", type=int, default=8,
                     help="Chebyshev polynomial degree (with --precond chebyshev)")
     ap.add_argument("--block-size", type=int, default=8, dest="block_size",
@@ -192,7 +194,7 @@ def main(argv=None) -> int:
     # pays upload/initialization costs an AOT compile does not flush
     # (measured: an AOT-only warm-up left ~0.8 s of first-run cost inside
     # the timed region).
-    if args.progress > 0 and (args.nrhs > 1 or args.method == "pipelined"):
+    if args.progress > 0 and (args.nrhs > 1 or args.method != "standard"):
         print("error: --progress drives the standard single-RHS loop "
               "(no --nrhs/--method pipelined)", file=sys.stderr)
         return 2
@@ -241,6 +243,18 @@ def main(argv=None) -> int:
                 rho_history=state.hist,
             )
             return state.x, info
+    elif args.method == "block":
+        from conjugategradient_tpu import block_cg_solve
+
+        # same lane construction as the lockstep path so the two methods'
+        # per-lane iteration counts are directly comparable
+        B = jnp.stack([jnp.roll(b, j) for j in range(args.nrhs)])
+
+        def solve(b_):
+            X, info = block_cg_solve(
+                A, B, tol=args.tol, maxiter=args.maxiter, M=M
+            )
+            return X[0], info
     elif args.nrhs > 1:
         from conjugategradient_tpu import cg_solve_batched
 
