@@ -22,6 +22,8 @@ recurrence residual, Hestenes–Stiefel α/β, pre-update termination test on
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -379,6 +381,134 @@ def _sharded_lockstep_pcg(
 
     k, done, X, Rv, P, rho, rnorm, hist = jax.lax.while_loop(cond, body, carry)
     return X.T, k, done, rho, rnorm, hist.T
+
+
+def _sharded_block_cg(
+    local_matvec_multi: Callable[[jax.Array], jax.Array],
+    B_s: jax.Array,  # (R, m) — this shard's slice of every lane
+    X0_s: jax.Array,
+    inv_diag_s: Optional[jax.Array],  # (m,) or None
+    tol_arr: jax.Array,  # scalar or (R,)
+    maxiter: int,
+    axis: str,
+    recompute_r_every: int = 0,
+    rcond: float = 1e-10,
+):
+    """Block CG per shard (solver/blockcg.py's O'Leary recurrences under
+    shard_map): the R×R Gram blocks psum over the mesh, every device runs
+    the identical replicated eigh pseudo-solve, and the (m,R)×(R,R) update
+    matmuls stay local.  Same collective count per iteration as the
+    lockstep loop — two psums, (R,R) payload instead of (R,)."""
+    from ..solver.blockcg import _spd_pinv_apply
+
+    def pgram(U, V):  # psum'd (R, R) Gram block
+        acc = jnp.promote_types(U.dtype, jnp.float32)
+        return jax.lax.psum(
+            jnp.einsum("mi,mj->ij", U.astype(acc), V.astype(acc),
+                       precision=jax.lax.Precision.HIGHEST), axis
+        )
+
+    def pdot_diag(U):  # psum'd per-lane ‖·‖²
+        acc = jnp.promote_types(U.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(U.astype(acc) ** 2, axis=0), axis)
+
+    def precond(Rv):
+        return Rv if inv_diag_s is None else inv_diag_s[:, None] * Rv
+
+    hi = jax.lax.Precision.HIGHEST
+    Bt = B_s.T  # (m, R)
+    X = X0_s.T
+    R = Bt.shape[1]
+
+    r0 = Bt - local_matvec_multi(X)
+    z0 = precond(r0)
+    rnorm0 = pdot_diag(r0)
+    rho0 = pgram(r0, z0 if inv_diag_s is not None else r0)
+    hist = jnp.full((maxiter + 1, R), jnp.nan, dtype=rnorm0.dtype)
+    hist = hist.at[0].set(rnorm0)
+    carry = (
+        jnp.zeros((R,), jnp.int32),
+        jnp.zeros((R,), bool),
+        X,
+        r0,
+        z0,  # p
+        rho0,
+        rnorm0,
+        hist,
+    )
+
+    def body(c):
+        k, done, X, Rv, Pv, rho, rnorm, hist = c
+        active = (~done) & (k < maxiter)
+        Q = local_matvec_multi(Pv)
+        W = pgram(Pv, Q)
+        alpha = _spd_pinv_apply(W, rho, rcond)  # (R, R), replicated
+        X = X + jnp.einsum("mi,ij->mj", Pv, alpha, precision=hi)
+        Rv = Rv - jnp.einsum("mi,ij->mj", Q, alpha, precision=hi)
+        done_new = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr)
+        Z = precond(Rv)
+        rnorm_next = pdot_diag(Rv)
+        rho_next = pgram(Rv, Z if inv_diag_s is not None else Rv)
+        beta = _spd_pinv_apply(rho, rho_next, rcond)
+        Pv = Z + jnp.einsum("mi,ij->mj", Pv, beta, precision=hi)
+        k = jnp.where(active, k + 1, k)
+        hist_col = jnp.where(
+            active, rnorm_next, jnp.take_along_axis(hist, k[None, :], 0)[0]
+        )
+        hist = hist.at[k, jnp.arange(R)].set(hist_col)
+        done = jnp.where(active, done_new, done)
+        c = (k, done, X, Rv, Pv, rho_next, rnorm_next, hist)
+        if recompute_r_every > 0:
+            # all-lane full restart (solver/blockcg.py semantics: the shared
+            # space restarts as a block; only counters are per-lane)
+            restart = jnp.any(active) & (
+                jnp.max(jnp.where(active, k, 0)) % recompute_r_every == 0
+            )
+
+            def replace(c):
+                k, done, X, Rv, Pv, rho, rnorm, hist = c
+                Rt = Bt - local_matvec_multi(X)
+                Zt = precond(Rt)
+                rnorm_t = pdot_diag(Rt)
+                rho_t = pgram(Rt, Zt if inv_diag_s is not None else Rt)
+                hist_col = jnp.where(
+                    active, rnorm_t,
+                    jnp.take_along_axis(hist, k[None, :], 0)[0],
+                )
+                hist = hist.at[k, jnp.arange(R)].set(hist_col)
+                return (k, done, X, Rt, Zt, rho_t, rnorm_t, hist)
+
+            c = jax.lax.cond(restart, replace, lambda c: c, c)
+        return c
+
+    def cond(c):
+        k, done = c[0], c[1]
+        return jnp.any((~done) & (k < maxiter))
+
+    k, done, X, Rv, Pv, rho, rnorm, hist = jax.lax.while_loop(
+        cond, body, carry
+    )
+    return X.T, k, done, jnp.diagonal(rho), rnorm, hist.T
+
+
+def _default_rcond(dtype) -> float:
+    """solver/blockcg.py's dtype-adaptive Gram cutoff."""
+    dt = jnp.promote_types(dtype, jnp.float32)
+    return 1e-10 if dt == jnp.dtype(jnp.float64) else 1e-4
+
+
+def _batched_loop(method: str, recompute_r_every: int, rcond: float):
+    """Select the inner multi-RHS loop for the sharded batched front-ends."""
+    if method == "block":
+        return functools.partial(
+            _sharded_block_cg,
+            recompute_r_every=recompute_r_every, rcond=rcond,
+        )
+    if method != "lockstep":
+        raise ValueError(f"method must be 'lockstep' or 'block', got {method!r}")
+    return functools.partial(
+        _sharded_lockstep_pcg, recompute_r_every=recompute_r_every
+    )
 
 
 def _pcg_init_carry(
@@ -1055,6 +1185,8 @@ def sharded_cg_solve_batched(
     maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
     recompute_r_every: int = 0,
+    method: str = "lockstep",
+    rcond: Optional[float] = None,
 ):
     """Row-sharded multi-RHS (P)CG — the mesh × lanes composition: each
     chip owns its row block of A and an (m, R) slab of every lane's
@@ -1069,6 +1201,10 @@ def sharded_cg_solve_batched(
       B: (R, n_padded) right-hand sides.
       tol: scalar or (R,) per-lane ABSOLUTE tolerances on ‖r‖₂.
       inv_diag: optional (n_padded,) Jacobi diagonal, shared by all lanes.
+      method: "lockstep" (independent lanes) or "block" (O'Leary shared
+        Krylov space, solver/blockcg.py: the R×R Gram blocks psum over the
+        mesh — same two collectives per iteration, (R,R) payload).
+      rcond: block method's Gram cutoff (None = dtype-adaptive).
 
     Returns (X (R, n_padded), CGInfo with a leading/trailing lane axis:
     iterations/converged/rho/rnorm_sq are (R,), rho_history (R, maxiter+1)).
@@ -1087,9 +1223,12 @@ def sharded_cg_solve_batched(
     X0 = jnp.zeros_like(B) if X0 is None else X0
     with_m = inv_diag is not None
     recompute_r_every = int(recompute_r_every)
+    rcond = _default_rcond(B.dtype) if rcond is None else float(rcond)
+    loop = _batched_loop(method, recompute_r_every, rcond)
 
     key = ("bell-batched", _mesh_key(mesh), axis, maxiter, R, bn,
-           str(B.dtype), with_m, tol_arr.shape, recompute_r_every)
+           str(B.dtype), with_m, tol_arr.shape, recompute_r_every,
+           method, rcond)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(blocks_s, cols_s, tol_a, B_s, X0_s, inv_diag_s=None):
@@ -1101,9 +1240,9 @@ def sharded_cg_solve_batched(
                     blocks_s, cols_s, v_full.reshape(-1, bn, R)
                 )
 
-            X, k, done, rho, rnorm, hist = _sharded_lockstep_pcg(
+            X, k, done, rho, rnorm, hist = loop(
                 local_matvec_multi, B_s, X0_s, inv_diag_s, tol_a,
-                maxiter, axis, recompute_r_every=recompute_r_every,
+                maxiter, axis,
             )
             return X, k, done, rho, rnorm, hist
 
@@ -1140,6 +1279,8 @@ def sharded_sell_cg_solve_batched(
     maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
     recompute_r_every: int = 0,
+    method: str = "lockstep",
+    rcond: Optional[float] = None,
 ):
     """Row-sharded multi-RHS (P)CG on the scattered-pattern SELL layout —
     where multi-RHS matters most: the flat gather at each shard's stored
@@ -1165,9 +1306,12 @@ def sharded_sell_cg_solve_batched(
     X0 = jnp.zeros_like(B) if X0 is None else X0
     with_m = inv_diag is not None
     recompute_r_every = int(recompute_r_every)
+    rcond = _default_rcond(B.dtype) if rcond is None else float(rcond)
+    loop = _batched_loop(method, recompute_r_every, rcond)
 
     key = ("sell-batched", _mesh_key(mesh), axis, maxiter, R, meta,
-           str(B.dtype), with_m, tol_arr.shape, recompute_r_every)
+           str(B.dtype), with_m, tol_arr.shape, recompute_r_every,
+           method, rcond)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(diag_s, pos_s, cols_s, vals_s, tol_a, B_s, X0_s,
@@ -1187,9 +1331,9 @@ def sharded_sell_cg_solve_batched(
                 y = diag_s.astype(acc)[:, None] * v_local.astype(acc) + y_sorted[pos_s]
                 return y.astype(jnp.promote_types(vals_s.dtype, v_local.dtype))
 
-            return _sharded_lockstep_pcg(
+            return loop(
                 local_matvec_multi, B_s, X0_s, inv_diag_s, tol_a, maxiter,
-                axis, recompute_r_every=recompute_r_every,
+                axis,
             )
 
         in_specs = [P(axis)] * 4 + [P(), P(None, axis), P(None, axis)]
@@ -1246,6 +1390,8 @@ def sharded_dia_cg_solve_batched(
     maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
     recompute_r_every: int = 0,
+    method: str = "lockstep",
+    rcond: Optional[float] = None,
 ):
     """Row-sharded multi-RHS (P)CG on the banded (DIA) layout — the ring
     variant of :func:`sharded_cg_solve_batched`: per iteration two
@@ -1277,9 +1423,12 @@ def sharded_dia_cg_solve_batched(
     offsets = tuple(int(o) for o in offsets)
     with_m = inv_diag is not None
     recompute_r_every = int(recompute_r_every)
+    rcond = _default_rcond(B.dtype) if rcond is None else float(rcond)
+    loop = _batched_loop(method, recompute_r_every, rcond)
 
     key = ("dia-batched", _mesh_key(mesh), axis, maxiter, R, offsets,
-           str(B.dtype), with_m, tol_arr.shape, recompute_r_every)
+           str(B.dtype), with_m, tol_arr.shape, recompute_r_every,
+           method, rcond)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(diags_s, tol_a, B_s, X0_s, inv_diag_s=None):
@@ -1288,9 +1437,9 @@ def sharded_dia_cg_solve_batched(
             def local_matvec_multi(v_local):  # (m, R)
                 return _local_dia_matvec_multi(diags_s, offsets, v_local, axis)
 
-            return _sharded_lockstep_pcg(
+            return loop(
                 local_matvec_multi, B_s, X0_s, inv_diag_s, tol_a, maxiter,
-                axis, recompute_r_every=recompute_r_every,
+                axis,
             )
 
         in_specs = [P(axis), P(), P(None, axis), P(None, axis)]

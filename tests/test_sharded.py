@@ -620,3 +620,103 @@ def test_sharded_fused_pcg_matches_xla_path():
     # sanity that M actually applied inside the fused kernels: for interior
     # Poisson rows diag=4, so rho = r·M⁻¹r ≈ ‖r‖²/4 — far from rnorm_sq
     assert float(i_f.rho) < 0.5 * float(i_f.rnorm_sq)
+
+
+def test_sharded_batched_bell_block_matches_single_device_blockcg(rng):
+    """method="block" on the mesh: the psum'd R×R Gram blocks must reproduce
+    the single-device block CG (solver/blockcg.py) — same shared-Krylov
+    recurrences, so per-lane iteration counts and solutions match."""
+    from conjugategradient_tpu import block_cg_solve
+    from conjugategradient_tpu.parallel import sharded_cg_solve_batched
+    from conjugategradient_tpu.types import BlockedEllMatrix
+
+    rows, cols, vals, shape = poisson2d_coo(16)
+    A, blocks, bcols, b_pad, n = _sharded_setup(rows, cols, vals, shape)
+    n_pad = b_pad.shape[0]
+    R = 3
+    B = np.zeros((R, n_pad))
+    B[:, :n] = rng.standard_normal((R, n))
+    B = jnp.asarray(B)
+    X, info = sharded_cg_solve_batched(
+        blocks, bcols, B, tol=1e-10, maxiter=n + 1, method="block"
+    )
+    assert X.shape == (R, n_pad)
+
+    bell = BlockedEllMatrix.from_csr(A, bm=8, bn=128)
+    Xr, infor = block_cg_solve(bell, B[:, :n], tol=1e-10, maxiter=n + 1)
+    for i in range(R):
+        assert bool(info.converged[i])
+        assert int(info.iterations[i]) == int(infor.iterations[i])
+        np.testing.assert_allclose(
+            np.asarray(X[i, :n]), np.asarray(Xr[i]), rtol=1e-8, atol=1e-9
+        )
+    # the whole point: fewer block iterations than independent-lane solves
+    from conjugategradient_tpu import cg_solve_batched
+
+    _, info_l = cg_solve_batched(bell, B[:, :n], tol=1e-10, maxiter=n + 1)
+    assert int(jnp.max(info.iterations)) < int(jnp.max(info_l.iterations))
+
+
+def test_sharded_batched_sell_block_jacobi_and_restart(rng):
+    """Block method on the scattered SELL layout with Jacobi + periodic
+    residual replacement: parity vs single-device preconditioned block CG."""
+    from conjugategradient_tpu import block_cg_solve
+    from conjugategradient_tpu.parallel import sharded_sell_cg_solve_batched
+    from conjugategradient_tpu.types import SellMatrix
+
+    A, sell_sharded, b_pad, n = _sell_setup(400)
+    n_pad = b_pad.shape[0]
+    R = 2
+    B = np.zeros((R, n_pad))
+    B[:, :n] = rng.standard_normal((R, n))
+    B = jnp.asarray(B)
+    d = np.ones(n_pad)
+    d[:n] = np.asarray(A.diagonal())
+    inv_diag = jnp.asarray(1.0 / d)
+    X, info = sharded_sell_cg_solve_batched(
+        sell_sharded, B, tol=1e-9, maxiter=n + 1, inv_diag=inv_diag,
+        method="block", recompute_r_every=11,
+    )
+    assert bool(jnp.all(info.converged))
+
+    sell = SellMatrix.from_csr(A)
+    Xr, infor = block_cg_solve(
+        sell, B[:, :n], tol=1e-9, maxiter=n + 1,
+        M=lambda v: inv_diag[:n] * v, recompute_r_every=11,
+    )
+    for i in range(R):
+        assert int(info.iterations[i]) == int(infor.iterations[i])
+        r = np.asarray(B[i, :n]) - np.asarray(A.matvec(X[i, :n]))
+        assert np.linalg.norm(r) <= 1.05e-9
+
+
+def test_sharded_batched_dia_block_matches_single_device_blockcg(rng):
+    """Block method on the banded ring-halo layout: per-lane parity vs the
+    single-device block CG on the same DIA operator."""
+    from conjugategradient_tpu import block_cg_solve
+    from conjugategradient_tpu.parallel import (
+        partition_dia_rows,
+        sharded_dia_cg_solve_batched,
+    )
+    from conjugategradient_tpu.types import DIAMatrix
+
+    rows, cols, vals, shape = banded_spd_coo(280, bandwidth=6, seed=21)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    dia = DIAMatrix.from_csr(A)
+    n = shape[0]
+    diags_sh, n_pad = partition_dia_rows(np.asarray(dia.diags), shape, N_DEV)
+    R = 3
+    B = np.zeros((R, n_pad))
+    B[:, :n] = rng.standard_normal((R, n))
+    B = jnp.asarray(B)
+    X, info = sharded_dia_cg_solve_batched(
+        jnp.asarray(diags_sh), dia.offsets, B, tol=1e-10, maxiter=n + 1,
+        method="block",
+    )
+    Xr, infor = block_cg_solve(dia, B[:, :n], tol=1e-10, maxiter=n + 1)
+    for i in range(R):
+        assert bool(info.converged[i])
+        assert int(info.iterations[i]) == int(infor.iterations[i])
+        np.testing.assert_allclose(
+            np.asarray(X[i, :n]), np.asarray(Xr[i]), rtol=1e-8, atol=1e-9
+        )

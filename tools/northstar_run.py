@@ -192,6 +192,73 @@ def run_powerlaw_multi(n=1572864, avg_degree=4.8, tol_rel=1e-6, R=8):
     }
 
 
+def run_powerlaw_block(n=1572864, avg_degree=4.8, tol_rel=1e-6, R=8,
+                       rre=50):
+    """Block CG vs lockstep A/B on the 1.5M-row scattered matrix: same
+    operator, same (R,n) manufactured right-hand sides, same per-lane
+    tolerances, both solved in this one process.  Block CG shares one
+    Krylov space across the lanes, so its per-lane iteration counts should
+    undercut the lockstep loop's while paying the same one multi-vector
+    SpMV per iteration (plus an R×R eigh pair — measured here)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import block_cg_solve, cg_solve_batched
+    from conjugategradient_tpu.ops.spmv import sell_spmv_multi
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s
+
+    _, op = _powerlaw_sell_sorted(n, avg_degree)
+    # INDEPENDENT random lane solutions — scaled copies of one vector (the
+    # powerlaw-multi construction) form a rank-1 RHS block, the degenerate
+    # case where a shared Krylov space adds nothing (measured: block CG
+    # NEEDS independent lanes to undercut lockstep iteration counts)
+    rng = np.random.default_rng(0)
+    Xstar = jnp.asarray(rng.standard_normal((n, R)), jnp.float32)
+    B = sell_spmv_multi(op, Xstar).T  # (R, n)
+    tol = tol_rel * jnp.linalg.norm(B, axis=1)  # (R,)
+    ovh = rpc_overhead_s()
+
+    def timed(solve):
+        X, info = solve()  # warm-up/compile
+        float(jnp.max(info.rnorm_sq))
+        t0 = time.perf_counter()
+        X, info = solve()
+        float(jnp.max(info.rnorm_sq))
+        wall = time.perf_counter() - t0 - ovh
+        Rtrue = B - sell_spmv_multi(op, X.T).T
+        rel = float(jnp.max(jnp.linalg.norm(Rtrue, axis=1)
+                            / jnp.linalg.norm(B, axis=1)))
+        return X, info, wall, rel
+
+    _, il, wall_l, rel_l = timed(
+        lambda: cg_solve_batched(op, B, tol=tol, maxiter=600))
+    _, ib, wall_b, rel_b = timed(
+        lambda: block_cg_solve(op, B, tol=tol, maxiter=600,
+                               recompute_r_every=rre))
+    kl = int(jnp.max(il.iterations))
+    kb = int(jnp.max(ib.iterations))
+    return {
+        "metric": "powerlaw_1p5M_blockcg_vs_lockstep_wall_ratio",
+        "value": round(wall_l / wall_b, 3),
+        "unit": "x",
+        "vs_baseline": round(rel_b, 12),
+        "detail": {
+            "n": n, "nnz": op.nnz, "R": R, "recompute_r_every": rre,
+            "lockstep": {"iterations_max": kl,
+                         "wall_ms": round(wall_l * 1e3, 1),
+                         "per_iter_ms": round(wall_l * 1e3 / max(kl, 1), 2),
+                         "true_rel_residual_max": rel_l,
+                         "all_converged": bool(jnp.all(il.converged))},
+            "block": {"iterations_max": kb,
+                      "wall_ms": round(wall_b * 1e3, 1),
+                      "per_iter_ms": round(wall_b * 1e3 / max(kb, 1), 2),
+                      "true_rel_residual_max": rel_b,
+                      "all_converged": bool(jnp.all(ib.converged))},
+        },
+    }
+
+
 def run_circuit(n=1585478, tol_rel=1e-6, precond="jacobi"):
     """G3_circuit at its REAL published size (n=1,585,478, nnz≈7.66M, avg
     degree 4.83 — the round-2 VERDICT's missing pattern-matched replica):
@@ -313,8 +380,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "config",
-        choices=("poisson3d", "powerlaw", "powerlaw-multi", "elasticity",
-                 "stencil", "circuit"),
+        choices=("poisson3d", "powerlaw", "powerlaw-multi", "powerlaw-block",
+                 "elasticity", "stencil", "circuit"),
     )
     ap.add_argument("--nx", type=int, default=None,
                     help="grid edge override (poisson3d/elasticity/stencil; "
@@ -328,6 +395,7 @@ def main(argv=None) -> int:
         kw["nx"] = args.nx
     out = {"poisson3d": run_poisson3d, "powerlaw": run_powerlaw,
            "powerlaw-multi": run_powerlaw_multi,
+           "powerlaw-block": run_powerlaw_block,
            "elasticity": run_elasticity,
            "stencil": run_stencil,
            "circuit": run_circuit}[args.config](**kw)
