@@ -32,6 +32,8 @@ from .solver import (
     CGState,
     accuracy,
     block_cg_solve,
+    refined_cg_solve,
+    RefineInfo,
     cg_init,
     cg_solve,
     cg_solve_batched,
@@ -63,6 +65,8 @@ __all__ = [
     "cg_solve",
     "cg_solve_batched",
     "block_cg_solve",
+    "refined_cg_solve",
+    "RefineInfo",
     "cg_step",
     "expected_step_count",
     "block_jacobi_preconditioner",

@@ -66,6 +66,17 @@ class LinearOperator:
         """Bytes of device memory this operator occupies. 0 for matrix-free."""
         return 0
 
+    def astype(self, dtype) -> "LinearOperator":
+        """Copy of this operator with its VALUES cast to ``dtype`` (index /
+        structure arrays keep their integer types).  The storage side of the
+        mixed-precision ladder (solver/refine.py): a ``bfloat16`` copy halves
+        the value bytes every SpMV streams, while the solver recurrences run
+        in the vector dtype (the matvecs accumulate in the promoted type)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support astype; "
+            "construct the operator at the target dtype instead."
+        )
+
     def __matmul__(self, x):
         return self.matvec(x)
 
@@ -234,6 +245,9 @@ class CSRMatrix(LinearOperator):
             + self.indptr.size * self.indptr.dtype.itemsize
             + self.row_ids.size * self.row_ids.dtype.itemsize
         )
+
+    def astype(self, dtype) -> "CSRMatrix":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -429,6 +443,9 @@ class BlockedEllMatrix(LinearOperator):
         """Stored slots / true nnz — the bandwidth overhead of the layout."""
         return float(self.blocks.size) / max(self.nnz, 1)
 
+    def astype(self, dtype) -> "BlockedEllMatrix":
+        return dataclasses.replace(self, blocks=self.blocks.astype(dtype))
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -582,6 +599,16 @@ class DIAMatrix(LinearOperator):
     def padding_ratio(self) -> float:
         """Stored slots / true nnz — the bandwidth overhead of the layout."""
         return float(self.diags.size) / max(self.nnz, 1)
+
+    def astype(self, dtype) -> "DIAMatrix":
+        return dataclasses.replace(
+            self,
+            diags=self.diags.astype(dtype),
+            diags_blocked=(
+                None if self.diags_blocked is None
+                else self.diags_blocked.astype(dtype)
+            ),
+        )
 
 
 def _sell_ladder(max_degree: int) -> Tuple[int, ...]:
@@ -825,6 +852,13 @@ class SellMatrix(LinearOperator):
         slots = self.diag.size + int(self.vals_flat.size)
         return float(slots) / max(self.nnz, 1)
 
+    def astype(self, dtype) -> "SellMatrix":
+        return dataclasses.replace(
+            self,
+            diag=self.diag.astype(dtype),
+            vals_flat=self.vals_flat.astype(dtype),
+        )
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -858,6 +892,9 @@ class DenseOperator(LinearOperator):
 
     def memory_footprint(self) -> int:
         return self.a.size * self.a.dtype.itemsize
+
+    def astype(self, dtype) -> "DenseOperator":
+        return DenseOperator(self.a.astype(dtype))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -914,6 +951,11 @@ class StencilOperator(LinearOperator):
     def diagonal(self) -> jax.Array:
         n = int(np.prod(self.grid_shape))
         return jnp.full((n,), self.center, dtype=self.dtype)
+
+    def astype(self, dtype) -> "StencilOperator":
+        return StencilOperator(
+            self.center.astype(dtype), self.off.astype(dtype), self.grid_shape
+        )
 
 
 @jax.tree_util.register_pytree_node_class

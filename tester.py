@@ -59,6 +59,12 @@ def main(argv=None) -> int:
                          "unpreconditioned); block = block CG (with --nrhs "
                          "R: one shared Krylov space, fewer iterations per "
                          "lane than the lockstep loop)")
+    ap.add_argument("--refine", choices=("off", "bfloat16", "float32"),
+                    default="off",
+                    help="mixed-precision iterative refinement: store a "
+                         "low-precision copy of the operator for the inner "
+                         "CG solves and correct with --dtype true residuals "
+                         "(Carson-Higham CG-IR; single-RHS standard method)")
     ap.add_argument("--cheb-degree", type=int, default=8,
                     help="Chebyshev polynomial degree (with --precond chebyshev)")
     ap.add_argument("--block-size", type=int, default=8, dest="block_size",
@@ -198,6 +204,10 @@ def main(argv=None) -> int:
         print("error: --progress drives the standard single-RHS loop "
               "(no --nrhs/--method pipelined)", file=sys.stderr)
         return 2
+    if args.refine != "off" and (args.method != "standard" or args.progress > 0):
+        print("error: --refine drives the standard loop (no --method/"
+              "--progress)", file=sys.stderr)
+        return 2
     if args.method == "pipelined":
         if M is not None:
             print("error: --method pipelined is unpreconditioned",
@@ -255,6 +265,38 @@ def main(argv=None) -> int:
                 A, B, tol=args.tol, maxiter=args.maxiter, M=M
             )
             return X[0], info
+    elif args.refine != "off":
+        from conjugategradient_tpu import refined_cg_solve
+        from conjugategradient_tpu.solver.cg import CGInfo
+
+        if args.nrhs > 1:
+            print("error: --refine drives the single-RHS standard loop "
+                  "(no --nrhs)", file=sys.stderr)
+            return 2
+        if jnp.dtype(args.refine).itemsize >= dtype.itemsize:
+            print(f"error: --refine {args.refine} is not below --dtype "
+                  f"{args.dtype}; pick a lower storage dtype", file=sys.stderr)
+            return 2
+
+        def solve(b_):
+            x, rinfo = refined_cg_solve(
+                A, b_, tol=args.tol, low_dtype=jnp.dtype(args.refine),
+                inner_maxiter=args.maxiter, M=M,
+            )
+            # adapt to the CGInfo the printing paths consume: iterations =
+            # total inner work, history = the outer true-residual trace
+            hist = jnp.asarray(rinfo.rnorm_history, jnp.float64)
+            info = CGInfo(
+                iterations=jnp.asarray(rinfo.inner_iterations, jnp.int32),
+                converged=jnp.asarray(rinfo.converged),
+                rho=jnp.asarray(rinfo.rnorm_sq),
+                rnorm_sq=jnp.asarray(rinfo.rnorm_sq),
+                rho_history=hist,
+            )
+            if args.verbose:
+                log.debug("refinements=%d inner_iterations=%d",
+                          rinfo.refinements, rinfo.inner_iterations)
+            return x, info
     elif args.nrhs > 1:
         from conjugategradient_tpu import cg_solve_batched
 
