@@ -37,6 +37,7 @@ except AttributeError:  # pragma: no cover - older JAX
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 from ..solver.cg import CGInfo
+from ..solver.restart import while_with_periodic_restart
 from ..types import BlockedEllMatrix
 
 
@@ -347,39 +348,40 @@ def _sharded_lockstep_pcg(
         )
         hist = hist.at[k, jnp.arange(R)].set(hist_col)
         done = jnp.where(active, done_new, done)
-        c = (k, done, X, Rv, P, rho, rnorm, hist)
-        if recompute_r_every > 0:
-            # active lanes advance k together, so the per-lane restart mask
-            # is either empty or covers every still-active lane — the any()
-            # gate below therefore matches solo-solver restart timing lane
-            # for lane
-            restart = active & (k % recompute_r_every == 0)
+        return (k, done, X, Rv, P, rho, rnorm, hist)
 
-            def replace(c):
-                k, done, X, Rv, P, rho, rnorm, hist = c
-                Rt = Bt - local_matvec_multi(X)
-                rnorm_t = pdot(Rt, Rt)
-                Zt = precond(Rt)
-                rho_t = rnorm_t if inv_diag_s is None else pdot(Rt, Zt)
-                Rv = jnp.where(restart, Rt, Rv)
-                P = jnp.where(restart, Zt, P)
-                rho = jnp.where(restart, rho_t, rho)
-                rnorm = jnp.where(restart, rnorm_t, rnorm)
-                hist_col = jnp.where(
-                    restart, rnorm_t,
-                    jnp.take_along_axis(hist, k[None, :], 0)[0],
-                )
-                hist = hist.at[k, jnp.arange(R)].set(hist_col)
-                return (k, done, X, Rv, P, rho, rnorm, hist)
-
-            c = jax.lax.cond(jnp.any(restart), replace, lambda c: c, c)
-        return c
+    def replace(c):
+        # per-lane residual-replacement full restart; applied at while-loop
+        # boundaries (solver/restart.py: a lax.cond in the hot body cost
+        # ~40% of the iteration on TPU even when never taken).  Active
+        # lanes advance k together, so the mask covers every still-active
+        # lane at a restart boundary and nothing otherwise.
+        k, done, X, Rv, P, rho, rnorm, hist = c
+        restart = (
+            (~done) & (k < maxiter) & (k % recompute_r_every == 0)
+        )
+        Rt = Bt - local_matvec_multi(X)
+        rnorm_t = pdot(Rt, Rt)
+        Zt = precond(Rt)
+        rho_t = rnorm_t if inv_diag_s is None else pdot(Rt, Zt)
+        Rv = jnp.where(restart, Rt, Rv)
+        P = jnp.where(restart, Zt, P)
+        rho = jnp.where(restart, rho_t, rho)
+        rnorm = jnp.where(restart, rnorm_t, rnorm)
+        hist_col = jnp.where(
+            restart, rnorm_t,
+            jnp.take_along_axis(hist, k[None, :], 0)[0],
+        )
+        hist = hist.at[k, jnp.arange(R)].set(hist_col)
+        return (k, done, X, Rv, P, rho, rnorm, hist)
 
     def cond(c):
         k, done = c[0], c[1]
         return jnp.any((~done) & (k < maxiter))
 
-    k, done, X, Rv, P, rho, rnorm, hist = jax.lax.while_loop(cond, body, carry)
+    k, done, X, Rv, P, rho, rnorm, hist = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda c: jnp.max(c[0]), carry
+    )
     return X.T, k, done, rho, rnorm, hist.T
 
 
@@ -457,36 +459,42 @@ def _sharded_block_cg(
         )
         hist = hist.at[k, jnp.arange(R)].set(hist_col)
         done = jnp.where(active, done_new, done)
-        c = (k, done, X, Rv, Pv, rho_next, rnorm_next, hist)
-        if recompute_r_every > 0:
-            # all-lane full restart (solver/blockcg.py semantics: the shared
-            # space restarts as a block; only counters are per-lane)
-            restart = jnp.any(active) & (
-                jnp.max(jnp.where(active, k, 0)) % recompute_r_every == 0
-            )
+        return (k, done, X, Rv, Pv, rho_next, rnorm_next, hist)
 
-            def replace(c):
-                k, done, X, Rv, Pv, rho, rnorm, hist = c
-                Rt = Bt - local_matvec_multi(X)
-                Zt = precond(Rt)
-                rnorm_t = pdot_diag(Rt)
-                rho_t = pgram(Rt, Zt if inv_diag_s is not None else Rt)
-                hist_col = jnp.where(
-                    active, rnorm_t,
-                    jnp.take_along_axis(hist, k[None, :], 0)[0],
-                )
-                hist = hist.at[k, jnp.arange(R)].set(hist_col)
-                return (k, done, X, Rt, Zt, rho_t, rnorm_t, hist)
-
-            c = jax.lax.cond(restart, replace, lambda c: c, c)
-        return c
+    def replace(c):
+        # all-lane full restart (solver/blockcg.py semantics: the shared
+        # space restarts as a block; only counters are per-lane).  Applied
+        # at while-loop boundaries (solver/restart.py), masked by the
+        # scalar `fire` so off-cadence boundaries are bit-identical no-ops.
+        k, done, X, Rv, Pv, rho, rnorm, hist = c
+        active = (~done) & (k < maxiter)
+        fire = jnp.any(active) & (
+            jnp.max(jnp.where(active, k, 0)) % recompute_r_every == 0
+        )
+        Rt = Bt - local_matvec_multi(X)
+        Zt = precond(Rt)
+        rnorm_t = pdot_diag(Rt)
+        rho_t = pgram(Rt, Zt if inv_diag_s is not None else Rt)
+        hist_col = jnp.where(
+            fire & active, rnorm_t,
+            jnp.take_along_axis(hist, k[None, :], 0)[0],
+        )
+        hist = hist.at[k, jnp.arange(R)].set(hist_col)
+        return (
+            k, done, X,
+            jnp.where(fire, Rt, Rv),
+            jnp.where(fire, Zt, Pv),
+            jnp.where(fire, rho_t, rho),
+            jnp.where(fire, rnorm_t, rnorm),
+            hist,
+        )
 
     def cond(c):
         k, done = c[0], c[1]
         return jnp.any((~done) & (k < maxiter))
 
-    k, done, X, Rv, Pv, rho, rnorm, hist = jax.lax.while_loop(
-        cond, body, carry
+    k, done, X, Rv, Pv, rho, rnorm, hist = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda c: jnp.max(c[0]), carry
     )
     return X.T, k, done, jnp.diagonal(rho), rnorm, hist.T
 
@@ -549,10 +557,10 @@ def _pcg_body_fn(
     inv_diag_s: Optional[jax.Array],
     tol_arr: jax.Array,
     axis: str,
-    recompute_r_every: int,
 ):
     """One per-shard PCG iteration; shared by the one-shot solve and the
-    checkpointable chunked driver so resumed solves are bit-identical."""
+    checkpointable chunked driver so resumed solves are bit-identical.
+    Restart logic lives in _pcg_replace_fn (solver/restart.py structure)."""
 
     def pdot(u, v):
         acc = jnp.promote_types(u.dtype, jnp.float32)
@@ -580,28 +588,53 @@ def _pcg_body_fn(
         p = z + beta * p
         k = k + 1
         hist = hist.at[k].set(rnorm_next)
-        c = (k, done, x, r, p, rho_next, rnorm_next, hist)
-        if recompute_r_every > 0:
-            def replace(c):
-                # Full restart: true residual AND direction reset — same
-                # semantics as solver/cg.py's single-device restart (a
-                # replaced r with the drifted p diverges; see cg.py).  The
-                # extra SpMV's all_gather/ring halo and the psum dot ride
-                # the same collectives as a normal iteration.
-                k, done, x, r, p, rho, rnorm, hist = c
-                r_true = b_s - local_matvec(x)
-                rnorm_t = pdot(r_true, r_true)
-                z_t = precond(r_true)
-                rho_t = rnorm_t if inv_diag_s is None else pdot(r_true, z_t)
-                hist = hist.at[k].set(rnorm_t)
-                return (k, done, x, r_true, z_t, rho_t, rnorm_t, hist)
-
-            c = jax.lax.cond(
-                (c[0] % recompute_r_every) == 0, replace, lambda c: c, c
-            )
-        return c
+        return (k, done, x, r, p, rho_next, rnorm_next, hist)
 
     return body
+
+
+def _pcg_replace_fn(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    inv_diag_s: Optional[jax.Array],
+    maxiter: int,
+    axis: str,
+    recompute_r_every: int,
+):
+    """Residual-replacement full restart for the per-shard loop: true
+    residual AND direction reset — same semantics as solver/cg.py's
+    single-device restart (a replaced r with the drifted p diverges; see
+    cg.py).  The extra SpMV's all_gather/ring halo and the psum dot ride
+    the same collectives as a normal iteration.  Applied at while-loop
+    boundaries by solver/restart.py (a lax.cond in the hot body cost ~40%
+    of the iteration on TPU even when never taken) and masked so chunk
+    boundaries off the restart cadence are bit-identical no-ops."""
+
+    def pdot(u, v):
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
+
+    def precond(r):
+        return r if inv_diag_s is None else inv_diag_s * r
+
+    def replace(c):
+        k, done, x, r, p, rho, rnorm, hist = c
+        mask = (~done) & (k < maxiter) & (k % recompute_r_every == 0)
+        r_true = b_s - local_matvec(x)
+        rnorm_t = pdot(r_true, r_true)
+        z_t = precond(r_true)
+        rho_t = rnorm_t if inv_diag_s is None else pdot(r_true, z_t)
+        hist = hist.at[k].set(jnp.where(mask, rnorm_t, hist[k]))
+        return (
+            k, done, x,
+            jnp.where(mask, r_true, r),
+            jnp.where(mask, z_t, p),
+            jnp.where(mask, rho_t, rho),
+            jnp.where(mask, rnorm_t, rnorm),
+            hist,
+        )
+
+    return replace
 
 
 def _sharded_pcg(
@@ -618,13 +651,16 @@ def _sharded_pcg(
     (including the optional residual-replacement full restart — the f32
     recurrence-drift fix matters MOST at the mesh scales this loop targets)."""
     carry = _pcg_init_carry(local_matvec, b_s, x0_s, inv_diag_s, maxiter, axis)
-    body = _pcg_body_fn(local_matvec, b_s, inv_diag_s, tol_arr, axis,
-                        recompute_r_every)
+    body = _pcg_body_fn(local_matvec, b_s, inv_diag_s, tol_arr, axis)
+    replace = _pcg_replace_fn(local_matvec, b_s, inv_diag_s, maxiter, axis,
+                              recompute_r_every)
 
     def cond(c):
         return (c[0] < maxiter) & (~c[1])
 
-    k, done, x, r, p, rho, rnorm, hist = jax.lax.while_loop(cond, body, carry)
+    k, done, x, r, p, rho, rnorm, hist = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda c: c[0], carry
+    )
     return x, k, done, rho, rnorm, hist
 
 
@@ -1597,13 +1633,16 @@ def _generic_sharded_run(
             i += 1 if with_m else 0
             carry = tuple(args_s[i:])
             lm = make_lm(op_shards)
-            body = _pcg_body_fn(lm, b_s, inv_diag_s, tol_arr, axis,
-                                recompute_r_every)
+            body = _pcg_body_fn(lm, b_s, inv_diag_s, tol_arr, axis)
+            replace = _pcg_replace_fn(lm, b_s, inv_diag_s, maxiter, axis,
+                                      recompute_r_every)
 
             def cond(c):
                 return (c[0] < limit) & (~c[1])
 
-            return jax.lax.while_loop(cond, body, carry)
+            return while_with_periodic_restart(
+                cond, body, replace, recompute_r_every, lambda c: c[0], carry
+            )
 
         in_specs = (
             [P(axis)] * nop

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from ..types import BlockedEllMatrix, DIAMatrix, SellMatrix, as_linear_operator
 from .cg import CGInfo, cg_solve
+from .restart import while_with_periodic_restart
 
 def _dot_cols(U: jax.Array, V: jax.Array) -> jax.Array:
     """Per-lane dot over (N, R) columns.
@@ -120,11 +121,13 @@ def _lockstep_init(matvec_multi, precond, with_m, Bt, X0t, maxiter):
     )
 
 
-def _lockstep_body(matvec_multi, precond, with_m, Bt, tol_arr, maxiter,
-                   recompute_r_every):
+def _lockstep_body(matvec_multi, precond, with_m, Bt, tol_arr, maxiter):
     """One lockstep iteration (per-lane semantics identical to cg_step:
     recurrence residual, pre-update termination on ‖r_k‖², ρ==0 guard, NaN
-    exit; finished lanes' carries are frozen)."""
+    exit; finished lanes' carries are frozen).  No restart logic here — the
+    periodic residual replacement lives in _lockstep_replace, applied at
+    while-loop boundaries by solver/restart.py (a lax.cond in this body cost
+    ~40% of the iteration on TPU even when never taken)."""
     R = Bt.shape[1]
 
     def body(s: BatchedCGState) -> BatchedCGState:
@@ -152,40 +155,46 @@ def _lockstep_body(matvec_multi, precond, with_m, Bt, tol_arr, maxiter,
         )
         hist = hist.at[k, jnp.arange(R)].set(hist_col)
         done = jnp.where(active, done_new, done)
-        s = BatchedCGState(k=k, done=done, X=X, r=Rv, p=P,
-                           rho=rho, rnorm=rnorm, hist=hist)
-        if recompute_r_every > 0:
-            # per-lane residual-replacement FULL restart (same semantics as
-            # solver/cg.py's single-lane restart): only lanes that executed
-            # this body restart — frozen lanes keep their converged state.
-            # Active lanes advance k together, so the mask is all-or-none
-            # over still-active lanes and the any() gate matches solo timing.
-            restart = active & (k % recompute_r_every == 0)
-
-            def replace(s):
-                Rt = Bt - matvec_multi(s.X)
-                rnorm_t = _dot_cols(Rt, Rt)
-                Zt = precond(Rt)
-                rho_t = _dot_cols(Rt, Zt) if with_m else rnorm_t
-                hist_col = jnp.where(
-                    restart, rnorm_t,
-                    jnp.take_along_axis(s.hist, s.k[None, :], 0)[0],
-                )
-                return BatchedCGState(
-                    k=s.k,
-                    done=s.done,
-                    X=s.X,
-                    r=jnp.where(restart, Rt, s.r),
-                    p=jnp.where(restart, Zt, s.p),
-                    rho=jnp.where(restart, rho_t, s.rho),
-                    rnorm=jnp.where(restart, rnorm_t, s.rnorm),
-                    hist=s.hist.at[s.k, jnp.arange(R)].set(hist_col),
-                )
-
-            s = jax.lax.cond(jnp.any(restart), replace, lambda s: s, s)
-        return s
+        return BatchedCGState(k=k, done=done, X=X, r=Rv, p=P,
+                              rho=rho, rnorm=rnorm, hist=hist)
 
     return body
+
+
+def _lockstep_replace(matvec_multi, precond, with_m, Bt, maxiter,
+                      recompute_r_every):
+    """Per-lane residual-replacement FULL restart (same semantics as
+    solver/cg.py's single-lane restart): only lanes that executed the last
+    body restart — frozen lanes keep their converged state.  Active lanes
+    advance k together, so the mask is all-or-none over still-active lanes.
+    Called UNCONDITIONALLY at while-loop boundaries (solver/restart.py);
+    fully masked, so a chunk boundary off the restart cadence is a
+    bit-identical no-op."""
+    R = Bt.shape[1]
+
+    def replace(s: BatchedCGState) -> BatchedCGState:
+        active = (~s.done) & (s.k < maxiter)
+        restart = active & (s.k % recompute_r_every == 0)
+        Rt = Bt - matvec_multi(s.X)
+        rnorm_t = _dot_cols(Rt, Rt)
+        Zt = precond(Rt)
+        rho_t = _dot_cols(Rt, Zt) if with_m else rnorm_t
+        hist_col = jnp.where(
+            restart, rnorm_t,
+            jnp.take_along_axis(s.hist, s.k[None, :], 0)[0],
+        )
+        return BatchedCGState(
+            k=s.k,
+            done=s.done,
+            X=s.X,
+            r=jnp.where(restart, Rt, s.r),
+            p=jnp.where(restart, Zt, s.p),
+            rho=jnp.where(restart, rho_t, s.rho),
+            rnorm=jnp.where(restart, rnorm_t, s.rnorm),
+            hist=s.hist.at[s.k, jnp.arange(R)].set(hist_col),
+        )
+
+    return replace
 
 
 def _lockstep_info(s: BatchedCGState) -> CGInfo:
@@ -224,13 +233,17 @@ def _cg_solve_batched_lockstep(
     matvec_multi, precond, with_m = _lockstep_ops(op, M, inv_diag)
     Bt = B.T  # caller passes (R, N); the loop runs on (N, R) columns
     state0 = _lockstep_init(matvec_multi, precond, with_m, Bt, X0.T, maxiter)
-    body = _lockstep_body(matvec_multi, precond, with_m, Bt, tol_arr,
-                          maxiter, recompute_r_every)
+    body = _lockstep_body(matvec_multi, precond, with_m, Bt, tol_arr, maxiter)
+    replace = _lockstep_replace(matvec_multi, precond, with_m, Bt, maxiter,
+                                recompute_r_every)
 
     def cond(s):
         return jnp.any((~s.done) & (s.k < maxiter))
 
-    s = jax.lax.while_loop(cond, body, state0)
+    s = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every,
+        lambda s: jnp.max(s.k), state0,
+    )
     return s.X.T, _lockstep_info(s)
 
 
@@ -324,12 +337,19 @@ def _batched_run_core(op_arrays, op_static, state, B, tol_arr, maxiter,
     op = jax.tree_util.tree_unflatten(op_static, op_arrays)
     matvec_multi, precond, with_m = _lockstep_ops(op, M, inv_diag)
     body = _lockstep_body(matvec_multi, precond, with_m, B.T, tol_arr,
-                          maxiter, recompute_r_every)
+                          maxiter)
+    replace = _lockstep_replace(matvec_multi, precond, with_m, B.T, maxiter,
+                                recompute_r_every)
 
     def cond(s):
         return jnp.any((~s.done) & (s.k < limit))
 
-    return jax.lax.while_loop(cond, body, state)
+    # the chunk limit rides the loop predicate; restart boundaries are
+    # structural (solver/restart.py), and the masked replace makes a chunk
+    # stop that is off the restart cadence a bit-identical no-op
+    return while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda s: jnp.max(s.k), state
+    )
 
 
 def batched_state_result(state: BatchedCGState):

@@ -48,6 +48,7 @@ import jax.numpy as jnp
 from ..types import BlockedEllMatrix, DIAMatrix, SellMatrix, as_linear_operator
 from .batched import _lockstep_ops
 from .cg import CGInfo
+from .restart import while_with_periodic_restart
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -121,8 +122,7 @@ def _block_init(matvec_multi, precond, with_m, Bt, X0t, maxiter):
     )
 
 
-def _block_body(matvec_multi, precond, with_m, tol_arr, maxiter, rcond,
-                Bt=None, recompute_r_every=0):
+def _block_body(matvec_multi, precond, with_m, tol_arr, maxiter, rcond):
     def body(s: BlockCGState) -> BlockCGState:
         R = s.X.shape[1]
         active = (~s.done) & (s.k < maxiter)
@@ -145,7 +145,7 @@ def _block_body(matvec_multi, precond, with_m, tol_arr, maxiter, rcond,
             active, rnorm_next, jnp.take_along_axis(s.hist, k[None, :], 0)[0]
         )
         hist = s.hist.at[k, jnp.arange(R)].set(hist_col)
-        s = BlockCGState(
+        return BlockCGState(
             k=k,
             done=jnp.where(active, done_new, s.done),
             X=X,
@@ -155,38 +155,48 @@ def _block_body(matvec_multi, precond, with_m, tol_arr, maxiter, rcond,
             rnorm=rnorm_next,
             hist=hist,
         )
-        if recompute_r_every > 0:
-            # residual-replacement FULL restart (solver/cg.py semantics:
-            # replace r AND p).  The block recurrences inject R×R-solve
-            # rounding into r each iteration, so f32 drifts faster here
-            # than in scalar CG — periodic replacement pins the recurrence
-            # residual back to b − A·x.  All-lane restart: the shared space
-            # restarts as a block (lanes are never frozen mid-space).
-            restart = jnp.any(active) & (
-                jnp.max(jnp.where(active, s.k, 0)) % recompute_r_every == 0
-            )
-
-            def replace(s):
-                Rt = Bt - matvec_multi(s.X)
-                Zt = precond(Rt)
-                rnorm_t = jnp.sum(Rt * Rt, axis=0)
-                rho_t = jnp.einsum(
-                    "ni,nj->ij", Rt, Zt if with_m else Rt, precision=_HI
-                )
-                hist_col = jnp.where(
-                    active, rnorm_t,
-                    jnp.take_along_axis(s.hist, s.k[None, :], 0)[0],
-                )
-                return BlockCGState(
-                    k=s.k, done=s.done, X=s.X, r=Rt, p=Zt,
-                    rho=rho_t, rnorm=rnorm_t,
-                    hist=s.hist.at[s.k, jnp.arange(R)].set(hist_col),
-                )
-
-            s = jax.lax.cond(restart, replace, lambda s: s, s)
-        return s
 
     return body
+
+
+def _block_replace(matvec_multi, precond, with_m, maxiter, Bt,
+                   recompute_r_every):
+    """Residual-replacement FULL restart (solver/cg.py semantics: replace
+    r AND p).  The block recurrences inject R×R-solve rounding into r each
+    iteration, so f32 drifts faster here than in scalar CG — periodic
+    replacement pins the recurrence residual back to b − A·x.  All-lane
+    restart: the shared space restarts as a block (lanes are never frozen
+    mid-space).  Applied at while-loop boundaries (solver/restart.py: a
+    lax.cond in the hot body can cost ~40% of the iteration on TPU even
+    when never taken), masked by the scalar ``fire`` so off-cadence
+    boundaries are bit-identical no-ops."""
+
+    def replace(s: BlockCGState) -> BlockCGState:
+        R = s.X.shape[1]
+        active = (~s.done) & (s.k < maxiter)
+        fire = jnp.any(active) & (
+            jnp.max(jnp.where(active, s.k, 0)) % recompute_r_every == 0
+        )
+        Rt = Bt - matvec_multi(s.X)
+        Zt = precond(Rt)
+        rnorm_t = jnp.sum(Rt * Rt, axis=0)
+        rho_t = jnp.einsum(
+            "ni,nj->ij", Rt, Zt if with_m else Rt, precision=_HI
+        )
+        hist_col = jnp.where(
+            fire & active, rnorm_t,
+            jnp.take_along_axis(s.hist, s.k[None, :], 0)[0],
+        )
+        return BlockCGState(
+            k=s.k, done=s.done, X=s.X,
+            r=jnp.where(fire, Rt, s.r),
+            p=jnp.where(fire, Zt, s.p),
+            rho=jnp.where(fire, rho_t, s.rho),
+            rnorm=jnp.where(fire, rnorm_t, s.rnorm),
+            hist=s.hist.at[s.k, jnp.arange(R)].set(hist_col),
+        )
+
+    return replace
 
 
 @functools.partial(
@@ -199,13 +209,16 @@ def _block_cg_core(op_arrays, op_static, B, X0, tol_arr, maxiter, M, rcond,
     op = jax.tree_util.tree_unflatten(op_static, op_arrays)
     matvec_multi, precond, with_m = _block_ops(op, M)
     state0 = _block_init(matvec_multi, precond, with_m, B.T, X0.T, maxiter)
-    body = _block_body(matvec_multi, precond, with_m, tol_arr, maxiter, rcond,
-                       Bt=B.T, recompute_r_every=recompute_r_every)
+    body = _block_body(matvec_multi, precond, with_m, tol_arr, maxiter, rcond)
+    replace = _block_replace(matvec_multi, precond, with_m, maxiter, B.T,
+                             recompute_r_every)
 
     def cond(s):
         return jnp.any((~s.done) & (s.k < maxiter))
 
-    s = jax.lax.while_loop(cond, body, state0)
+    s = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda s: jnp.max(s.k), state0
+    )
     info = CGInfo(
         iterations=s.k,
         converged=s.done & ~jnp.isnan(s.rnorm),

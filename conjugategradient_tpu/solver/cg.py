@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 from ..types import LinearOperator, as_linear_operator
 from ..ops.blas import dot
+from .restart import while_with_periodic_restart
 
 
 @jax.tree_util.register_pytree_node_class
@@ -500,30 +501,35 @@ def _cg_solve_core_impl(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
         return (s.k < maxiter) & (~s.done)
 
     def body(s: CGState):
-        s = cg_step(op, s, tol_arr, M=M)
-        if recompute_r_every > 0:
-            def replace(s: CGState) -> CGState:
-                # Full restart: recompute the true residual AND reset the
-                # search direction to it.  Replacing r while keeping the
-                # drifted p breaks the alpha/beta consistency and diverges
-                # (observed at n=16.7M f32); a restart is uncondition-
-                # ally stable at the cost of briefly losing Krylov momentum.
-                r_true = b - op.matvec(s.x)
-                rnorm = dot(r_true, r_true)
-                z = r_true if M is None else M(r_true)
-                rho = rnorm if M is None else dot(r_true, z)
-                hist = s.hist.at[s.k].set(rnorm)
-                return CGState(
-                    k=s.k, done=s.done, x=s.x, r=r_true, p=z,
-                    rho=rho, rnorm_sq=rnorm, hist=hist,
-                )
+        return cg_step(op, s, tol_arr, M=M)
 
-            s = jax.lax.cond(
-                (s.k % recompute_r_every) == 0, replace, lambda s: s, s
-            )
-        return s
+    def replace(s: CGState) -> CGState:
+        # Full restart: recompute the true residual AND reset the
+        # search direction to it.  Replacing r while keeping the
+        # drifted p breaks the alpha/beta consistency and diverges
+        # (observed at n=16.7M f32); a restart is uncondition-
+        # ally stable at the cost of briefly losing Krylov momentum.
+        # Runs OUTSIDE the hot body (solver/restart.py: a lax.cond here
+        # cost ~40% of the iteration on TPU even when never taken);
+        # masked so a non-boundary or finished-solve call is a no-op.
+        mask = (~s.done) & (s.k < maxiter) & (s.k % recompute_r_every == 0)
+        r_true = b - op.matvec(s.x)
+        rnorm = dot(r_true, r_true)
+        z = r_true if M is None else M(r_true)
+        rho = rnorm if M is None else dot(r_true, z)
+        hist = s.hist.at[s.k].set(jnp.where(mask, rnorm, s.hist[s.k]))
+        return CGState(
+            k=s.k, done=s.done, x=s.x,
+            r=jnp.where(mask, r_true, s.r),
+            p=jnp.where(mask, z, s.p),
+            rho=jnp.where(mask, rho, s.rho),
+            rnorm_sq=jnp.where(mask, rnorm, s.rnorm_sq),
+            hist=hist,
+        )
 
-    s = jax.lax.while_loop(cond, body, state0)
+    s = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda s: s.k, state0
+    )
     info = CGInfo(
         iterations=s.k,
         # a NaN residual terminates the loop (like the reference) but is a
