@@ -156,10 +156,16 @@ def dia_spmv_pallas_2d(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((bl,), lambda g: (g,)),
-        out_shape=jax.ShapeDtypeStruct((n_pad,), diags.dtype),
+        # promoted output / x-dtype scratch: a bf16 operator with f32
+        # vectors (mixed-precision CG) must yield f32, and the window DMA
+        # copies x bytes verbatim — a diags-dtype scratch would ask Mosaic
+        # for an f32→bf16 DMA, which is rejected
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad,), jnp.promote_types(diags.dtype, x.dtype)
+        ),
         interpret=interpret,
         scratch_shapes=[
-            pltpu.VMEM((2, window // 128, 128), diags.dtype),
+            pltpu.VMEM((2, window // 128, 128), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -207,10 +213,13 @@ def dia_spmv_pallas(
             pl.BlockSpec(memory_space=pl.ANY),  # padded x stays in HBM
         ],
         out_specs=pl.BlockSpec((bl,), lambda g: (g,)),
-        out_shape=jax.ShapeDtypeStruct((n_pad,), diags.dtype),
+        # promoted output / x-dtype scratch (see dia_spmv_pallas_2d)
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad,), jnp.promote_types(diags.dtype, x.dtype)
+        ),
         interpret=interpret,
         scratch_shapes=[
-            pltpu.VMEM((2 * window,), diags.dtype),
+            pltpu.VMEM((2 * window,), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -272,10 +281,13 @@ def dia_spmv_pallas_blocked(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((bl,), lambda g: (g,)),
-        out_shape=jax.ShapeDtypeStruct((n_pad,), diags_blocked.dtype),
+        # promoted output / x-dtype scratch (see dia_spmv_pallas_2d)
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad,), jnp.promote_types(diags_blocked.dtype, x.dtype)
+        ),
         interpret=interpret,
         scratch_shapes=[
-            pltpu.VMEM((2 * window,), diags_blocked.dtype),
+            pltpu.VMEM((2 * window,), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(

@@ -198,3 +198,40 @@ def test_dia_blocked_layout_parity(rng):
     x2, i2 = cg_solve(blk, b, tol=1e-4, maxiter=400)
     assert int(i1.iterations) == int(i2.iterations)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-6)
+
+
+def test_dia_pallas_mixed_bf16_op_f32_x(rng):
+    """bf16 operator + f32 vector through every Pallas DIA entry point
+    (the refined_cg_solve inner-solve configuration): the x-window scratch
+    must be x-dtype (a diags-dtype scratch asks Mosaic for an f32->bf16
+    DMA, rejected on hardware) and the output must be the PROMOTED dtype,
+    matching the XLA path."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.ops.pallas.dia_spmv import (
+        dia_spmv_pallas,
+        dia_spmv_pallas_2d,
+        dia_spmv_pallas_blocked,
+    )
+    from conjugategradient_tpu.problems import banded_spd_coo
+    from conjugategradient_tpu.types import CSRMatrix, DIAMatrix
+
+    rows, cols, vals, shape = banded_spd_coo(300, bandwidth=5, seed=11)
+    csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    dia32 = DIAMatrix.from_csr(csr)
+    dia16 = dia32.astype(jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal(shape[0]).astype(np.float32))
+    y_ref = dia32.matvec(x)  # f32 reference; bf16 storage rounds vs this
+
+    for y in (
+        dia_spmv_pallas(dia16.diags, dia16.offsets, x, interpret=True),
+        dia_spmv_pallas_2d(dia16.diags, dia16.offsets, x, interpret=True),
+        dia_spmv_pallas_blocked(
+            dia16.with_blocked(block_len=128).diags_blocked,
+            dia16.offsets, x, n=shape[0], interpret=True,
+        ),
+    ):
+        assert y.dtype == jnp.float32  # promoted, not bf16
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=2e-2, atol=2e-2
+        )
