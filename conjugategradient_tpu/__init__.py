@@ -42,6 +42,7 @@ from .solver import (
     block_jacobi_preconditioner,
     jacobi_preconditioner,
     memory_footprint,
+    sstep_cg_solve,
 )
 from .compat import CG
 from .io import load_matrix, read_mtx_csr, write_mtx
@@ -65,6 +66,7 @@ __all__ = [
     "cg_solve",
     "cg_solve_batched",
     "block_cg_solve",
+    "sstep_cg_solve",
     "refined_cg_solve",
     "RefineInfo",
     "cg_step",

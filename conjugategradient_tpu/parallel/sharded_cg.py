@@ -38,6 +38,8 @@ except AttributeError:  # pragma: no cover - older JAX
 
 from ..solver.cg import CGInfo
 from ..solver.restart import while_with_periodic_restart
+from ..solver.sstep import _default_rcond as _sstep_default_rcond
+from ..solver.sstep import make_sstep_loop
 from ..types import BlockedEllMatrix
 
 
@@ -823,6 +825,35 @@ def _sharded_pipelined_cg(
     return x, k, done, rnorm_final, rnorm_final, hist
 
 
+def _sharded_sstep_cg(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+    s: int,
+    rcond: float,
+):
+    """s-step (communication-avoiding) CG per shard: ONE psum — of the
+    (3s+1)² stacked Gram — per s iterations, versus standard CG's 2s
+    sequential reduction rounds.  The SpMV/halo count per iteration is
+    unchanged (s matvecs per block); what drops is collective LATENCY,
+    the binding constraint for small-per-shard solves on large meshes.
+    Algebra and rounding trade documented in solver/sstep.py."""
+    x, k, done, rnorm, hist = make_sstep_loop(
+        local_matvec,
+        lambda G: jax.lax.psum(G, axis),
+        b_s,
+        x0_s,
+        s=s,
+        tol_arr=tol_arr,
+        maxiter=maxiter,
+        rcond=rcond,
+    )
+    return x, k, done, rnorm, rnorm, hist
+
+
 def _fused_shards_supported(blocks, b, with_m: bool, interpret: bool) -> bool:
     # with_m no longer disqualifies: Jacobi-PCG rides fused_update_dot_pcg
     # (round-3; the kernels existed since round 2 but were never wired)
@@ -882,6 +913,30 @@ def _mesh_key(mesh: Mesh):
     return (tuple(int(d.id) for d in mesh.devices.flat), mesh.axis_names)
 
 
+def _resolve_single_rhs_method(method, with_m, recompute_r_every, s, rcond, dtype):
+    """Validate the single-RHS method triple and normalize the s-step
+    hyperparameters: (s_eff, rcond_eff) are baked into the compiled solve
+    (and its cache key), so non-sstep methods pin them to inert constants."""
+    if method not in ("standard", "pipelined", "sstep"):
+        raise ValueError(f"unknown method {method!r}")
+    if method != "standard":
+        if with_m:
+            raise ValueError(
+                f"method={method!r} is unpreconditioned (inv_diag=None)"
+            )
+        if recompute_r_every:
+            raise ValueError(
+                f"method={method!r} has no residual-replacement variant "
+                "(recompute_r_every must be 0)"
+            )
+    if method != "sstep":
+        return 0, 0.0
+    s = int(s)
+    if s < 1:
+        raise ValueError(f"s must be >= 1, got {s}")
+    return s, (_sstep_default_rcond(dtype) if rcond is None else float(rcond))
+
+
 def sharded_cg_solve(
     blocks,
     block_cols,
@@ -898,6 +953,8 @@ def sharded_cg_solve(
     interpret: bool = False,
     method: str = "standard",
     recompute_r_every: int = 0,
+    s: int = 4,
+    rcond: Optional[float] = None,
 ):
     """Row-sharded (P)CG over a 1-D mesh, blocked-ELL operator.
 
@@ -918,15 +975,20 @@ def sharded_cg_solve(
         fused_update_dot_pcg (the M⁻¹ apply folds into the update pass and
         the r·z reduction).  ``interpret`` runs those kernels in interpret
         mode (CPU testing).
-      method: "standard" (Hestenes–Stiefel, two psum rounds/iteration) or
+      method: "standard" (Hestenes–Stiefel, two psum rounds/iteration),
         "pipelined" (Chronopoulos–Gear, ONE psum of the stacked [γ, δ]
         pair/iteration — halves collective latency; see solver/pipelined.py
-        for the rounding trade).  "pipelined" is unpreconditioned.
+        for the rounding trade), or "sstep" (communication-avoiding, ONE
+        psum of a (3s+1)² Gram per ``s`` iterations — see solver/sstep.py
+        for the algebra and the κ(A)ˢ rounding trade).  Both extensions are
+        unpreconditioned.
       recompute_r_every: if > 0, replace the recurrence residual with the
         true residual AND reset the direction every that many iterations
         (full restart — solver/cg.py's residual-replacement semantics on the
         mesh).  Takes the XLA per-shard path (no fused variant, like the
-        single-device dispatch) and excludes method="pipelined".
+        single-device dispatch) and excludes method="pipelined"/"sstep".
+      s / rcond: s-step block size and Gram-pseudoinverse cutoff (None =
+        dtype-adaptive); only read when method="sstep".
 
     Returns (x, CGInfo); x is row-sharded but exposed as a global jax.Array.
     """
@@ -940,16 +1002,10 @@ def sharded_cg_solve(
 
     x0 = jnp.zeros_like(b) if x0 is None else x0
     with_m = inv_diag is not None
-    if method not in ("standard", "pipelined"):
-        raise ValueError(f"unknown method {method!r}")
-    if method == "pipelined" and with_m:
-        raise ValueError("method='pipelined' is unpreconditioned (inv_diag=None)")
     recompute_r_every = int(recompute_r_every)
-    if method == "pipelined" and recompute_r_every:
-        raise ValueError(
-            "method='pipelined' has no residual-replacement variant "
-            "(recompute_r_every must be 0)"
-        )
+    s_eff, rcond_eff = _resolve_single_rhs_method(
+        method, with_m, recompute_r_every, s, rcond, b.dtype
+    )
     if use_fused == "always" and recompute_r_every:
         raise ValueError(
             "use_fused='always' has no residual-replacement variant — "
@@ -963,7 +1019,8 @@ def sharded_cg_solve(
     )
 
     key = ("bell", _mesh_key(mesh), axis, maxiter, float(tol), with_m, bn,
-           str(b.dtype), fused, interpret, method, recompute_r_every)
+           str(b.dtype), fused, interpret, method, recompute_r_every,
+           s_eff, rcond_eff)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
@@ -984,6 +1041,11 @@ def sharded_cg_solve(
             if method == "pipelined":
                 return _sharded_pipelined_cg(
                     local_matvec, b_s, x0_s, tol_arr, maxiter, axis
+                )
+            if method == "sstep":
+                return _sharded_sstep_cg(
+                    local_matvec, b_s, x0_s, tol_arr, maxiter, axis,
+                    s_eff, rcond_eff,
                 )
 
             return _sharded_pcg(
@@ -1028,7 +1090,10 @@ def sharded_dia_cg_solve(
     tol: float = 0.0,
     maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
+    method: str = "standard",
     recompute_r_every: int = 0,
+    s: int = 4,
+    rcond: Optional[float] = None,
 ):
     """Row-sharded (P)CG with a DIA (banded) operator and ring-halo SpMV.
 
@@ -1041,6 +1106,11 @@ def sharded_dia_cg_solve(
       diags_sharded: (n_shards, ndiag, rows_per_shard) from
         :func:`partition_dia_rows`.
       offsets: static diagonal offsets (must satisfy |off| <= rows_per_shard).
+      method: "standard" (two psum rounds/iteration), "pipelined"
+        (Chronopoulos–Gear, ONE psum round), or "sstep" (ONE Gram psum per
+        ``s`` iterations; see solver/sstep.py).  Extensions are
+        unpreconditioned; the ring-halo SpMV count is unchanged.
+      s / rcond: s-step block size / Gram cutoff (method="sstep" only).
     """
     mesh = mesh or make_row_mesh(axis=axis)
     n_shards = mesh.devices.size
@@ -1059,9 +1129,12 @@ def sharded_dia_cg_solve(
     offsets = tuple(int(o) for o in offsets)
     with_m = inv_diag is not None
     recompute_r_every = int(recompute_r_every)
+    s_eff, rcond_eff = _resolve_single_rhs_method(
+        method, with_m, recompute_r_every, s, rcond, b.dtype
+    )
 
     key = ("dia", _mesh_key(mesh), axis, maxiter, float(tol), with_m, offsets,
-           str(b.dtype), recompute_r_every)
+           str(b.dtype), method, recompute_r_every, s_eff, rcond_eff)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(diags_s, b_s, x0_s, inv_diag_s=None):
@@ -1070,6 +1143,15 @@ def sharded_dia_cg_solve(
             def local_matvec(v_local):
                 return _local_dia_matvec(diags_s, offsets, v_local, axis)
 
+            if method == "pipelined":
+                return _sharded_pipelined_cg(
+                    local_matvec, b_s, x0_s, tol_arr, maxiter, axis
+                )
+            if method == "sstep":
+                return _sharded_sstep_cg(
+                    local_matvec, b_s, x0_s, tol_arr, maxiter, axis,
+                    s_eff, rcond_eff,
+                )
             return _sharded_pcg(
                 local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis,
                 recompute_r_every=recompute_r_every,
@@ -1113,6 +1195,8 @@ def sharded_sell_cg_solve(
     inv_diag: Optional[jax.Array] = None,
     method: str = "standard",
     recompute_r_every: int = 0,
+    s: int = 4,
+    rcond: Optional[float] = None,
 ):
     """Row-sharded (P)CG with a SELL (degree-bucketed) operator — the
     scattered-pattern path (north-star config 5 on power-law/circuit
@@ -1127,8 +1211,10 @@ def sharded_sell_cg_solve(
     Args:
       sell_sharded: the (diag, pos, cols_flat, vals_flat, bucket_meta,
         n_padded) tuple from :func:`partition_sell_rows`.
-      method: "standard" (two psum rounds/iteration) or "pipelined"
-        (Chronopoulos–Gear, ONE psum round; unpreconditioned).
+      method: "standard" (two psum rounds/iteration), "pipelined"
+        (Chronopoulos–Gear, ONE psum round), or "sstep" (ONE Gram psum per
+        ``s`` iterations; solver/sstep.py).  Extensions are unpreconditioned.
+      s / rcond: s-step block size / Gram cutoff (method="sstep" only).
     """
     diag, pos, cols_flat, vals_flat, meta, n_padded_meta = sell_sharded
     mesh = mesh or make_row_mesh(axis=axis)
@@ -1140,19 +1226,13 @@ def sharded_sell_cg_solve(
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     with_m = inv_diag is not None
-    if method not in ("standard", "pipelined"):
-        raise ValueError(f"unknown method {method!r}")
-    if method == "pipelined" and with_m:
-        raise ValueError("method='pipelined' is unpreconditioned (inv_diag=None)")
     recompute_r_every = int(recompute_r_every)
-    if method == "pipelined" and recompute_r_every:
-        raise ValueError(
-            "method='pipelined' has no residual-replacement variant "
-            "(recompute_r_every must be 0)"
-        )
+    s_eff, rcond_eff = _resolve_single_rhs_method(
+        method, with_m, recompute_r_every, s, rcond, b.dtype
+    )
 
     key = ("sell", _mesh_key(mesh), axis, maxiter, float(tol), with_m,
-           meta, str(b.dtype), method, recompute_r_every)
+           meta, str(b.dtype), method, recompute_r_every, s_eff, rcond_eff)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(diag_s, pos_s, cols_s, vals_s, b_s, x0_s, inv_diag_s=None):
@@ -1167,6 +1247,11 @@ def sharded_sell_cg_solve(
             if method == "pipelined":
                 return _sharded_pipelined_cg(
                     local_matvec, b_s, x0_s, tol_arr, maxiter, axis
+                )
+            if method == "sstep":
+                return _sharded_sstep_cg(
+                    local_matvec, b_s, x0_s, tol_arr, maxiter, axis,
+                    s_eff, rcond_eff,
                 )
             return _sharded_pcg(
                 local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis,

@@ -20,6 +20,7 @@ from .checkpoint import load_state, run_cg, save_state
 from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
 from .pipelined import pipelined_cg_solve
+from .sstep import sstep_cg_solve
 from .refine import RefineInfo, refined_cg_solve
 from .precond import (
     block_jacobi_preconditioner,
@@ -54,6 +55,7 @@ __all__ = [
     "fused_stencil_cg_solve",
     "fused_stencil_supported",
     "pipelined_cg_solve",
+    "sstep_cg_solve",
     "RefineInfo",
     "refined_cg_solve",
     "jacobi_preconditioner",

@@ -52,13 +52,20 @@ def main(argv=None) -> int:
     ap.add_argument("--precond",
                     choices=("none", "jacobi", "blockjacobi", "chebyshev"),
                     default="none")
-    ap.add_argument("--method", choices=("standard", "pipelined", "block"),
+    ap.add_argument("--method",
+                    choices=("standard", "pipelined", "sstep", "block"),
                     default="standard",
                     help="pipelined = single-synchronization Chronopoulos-"
                          "Gear CG (one global reduction per iteration; "
-                         "unpreconditioned); block = block CG (with --nrhs "
-                         "R: one shared Krylov space, fewer iterations per "
-                         "lane than the lockstep loop)")
+                         "unpreconditioned); sstep = communication-avoiding "
+                         "s-step CG (one Gram reduction per --sstep-s "
+                         "iterations; unpreconditioned); block = block CG "
+                         "(with --nrhs R: one shared Krylov space, fewer "
+                         "iterations per lane than the lockstep loop)")
+    ap.add_argument("--sstep-s", type=int, default=4, dest="sstep_s",
+                    help="s-step block size (with --method sstep; the "
+                         "monomial basis conditions like kappa(A)^s — "
+                         "2..4 is the production range)")
     ap.add_argument("--refine", choices=("off", "bfloat16", "float32"),
                     default="off",
                     help="mixed-precision iterative refinement: store a "
@@ -208,22 +215,33 @@ def main(argv=None) -> int:
         print("error: --refine drives the standard loop (no --method/"
               "--progress)", file=sys.stderr)
         return 2
-    if args.method == "pipelined":
+    if args.method in ("pipelined", "sstep"):
         if M is not None:
-            print("error: --method pipelined is unpreconditioned",
+            print(f"error: --method {args.method} is unpreconditioned",
                   file=sys.stderr)
             return 2
         if args.nrhs > 1:
             print("error: --nrhs > 1 uses the lockstep loop, not --method "
-                  "pipelined", file=sys.stderr)
+                  f"{args.method}", file=sys.stderr)
             return 2
-        from conjugategradient_tpu.solver.pipelined import pipelined_cg_solve
+        if args.method == "sstep":
+            from conjugategradient_tpu.solver.sstep import sstep_cg_solve
 
-        solve = jax.jit(
-            lambda b_: pipelined_cg_solve(
-                A, b_, tol=args.tol, maxiter=args.maxiter
+            solve = jax.jit(
+                lambda b_: sstep_cg_solve(
+                    A, b_, s=args.sstep_s, tol=args.tol, maxiter=args.maxiter
+                )
             )
-        )
+        else:
+            from conjugategradient_tpu.solver.pipelined import (
+                pipelined_cg_solve,
+            )
+
+            solve = jax.jit(
+                lambda b_: pipelined_cg_solve(
+                    A, b_, tol=args.tol, maxiter=args.maxiter
+                )
+            )
     elif args.progress > 0:
         from conjugategradient_tpu.solver import cg_init, run_cg
         from conjugategradient_tpu.solver.cg import CGInfo
