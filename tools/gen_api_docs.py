@@ -1,15 +1,18 @@
-#!/usr/bin/env python
-"""Generate docs/api_generated.md from the package's docstrings.
+#!/usr/bin/env python3
+"""Generate API reference docs from the package's docstrings.
 
-The reference builds Doxygen HTML from its header comments
-(`/root/reference/CMakeLists.txt:21-26`, `doxygen Doxyfile.in`); this is the
-rebuild's equivalent doc-generation step: every public symbol's signature
-and docstring, extracted from source, with the reference file:line
-citations the docstrings carry.  The hand-written `docs/api.md` stays the
-curated map; this file is the exhaustive generated reference.
+The reference ships a Doxygen target (``/root/reference/CMakeLists.txt:21-26``:
+``doxygen Doxyfile`` over the annotated headers); this is the rebuild's
+equivalent — a zero-dependency generator that walks the public API surface
+(``__all__`` of each documented module), captures signatures via
+``inspect.signature`` and the docstrings the code already carries, and emits
+one Markdown file.  Run it after API changes:
 
-  python tools/gen_api_docs.py            # writes docs/api_generated.md
-  python tools/gen_api_docs.py --check    # exit 1 if the file is stale
+    python tools/gen_api_docs.py                 # writes docs/api_reference.md
+    python tools/gen_api_docs.py -o - | less     # preview to stdout
+
+``docs/api.md`` stays the curated, example-driven guide; the generated file
+is the exhaustive symbol-by-symbol reference (the Doxygen-output analogue).
 """
 
 from __future__ import annotations
@@ -19,57 +22,58 @@ import importlib
 import inspect
 import os
 import sys
+import textwrap
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# public modules, in presentation order
+# CPU is fine (and fast) for doc generation; dodge the axon TPU plugin that
+# a sitecustomize may register at interpreter start.
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover - jax always present in this image
+    pass
+
+# (module, heading, blurb) — order defines the document.
 MODULES = [
-    "conjugategradient_tpu",
-    "conjugategradient_tpu.types",
-    "conjugategradient_tpu.solver.cg",
-    "conjugategradient_tpu.solver.batched",
-    "conjugategradient_tpu.solver.fused",
-    "conjugategradient_tpu.solver.fused_stencil",
-    "conjugategradient_tpu.solver.pipelined",
-    "conjugategradient_tpu.solver.precond",
-    "conjugategradient_tpu.solver.checkpoint",
-    "conjugategradient_tpu.parallel.sharded_cg",
-    "conjugategradient_tpu.parallel.sharded_stencil",
-    "conjugategradient_tpu.ops.spmv",
-    "conjugategradient_tpu.ops.blas",
-    "conjugategradient_tpu.ops.stencil",
-    "conjugategradient_tpu.io.mtx",
-    "conjugategradient_tpu.io.loader",
-    "conjugategradient_tpu.io.native",
-    "conjugategradient_tpu.oracle",
-    "conjugategradient_tpu.problems",
-    "conjugategradient_tpu.reorder",
-    "conjugategradient_tpu.compat",
-    "conjugategradient_tpu.scipy_compat",
-    "conjugategradient_tpu.utils.benchmarking",
-    "conjugategradient_tpu.utils.timing",
-    "conjugategradient_tpu.utils.tracing",
-    "conjugategradient_tpu.utils.profiling",
-    "conjugategradient_tpu.utils.logging",
+    ("conjugategradient_tpu", "Top level",
+     "Everything below is importable from the package root where listed in "
+     "its `__all__`."),
+    ("conjugategradient_tpu.types", "Operators (`types`)", ""),
+    ("conjugategradient_tpu.solver.cg", "Core solver (`solver.cg`)", ""),
+    ("conjugategradient_tpu.solver.batched", "Multi-RHS lockstep (`solver.batched`)", ""),
+    ("conjugategradient_tpu.solver.blockcg", "Block CG (`solver.blockcg`)", ""),
+    ("conjugategradient_tpu.solver.pipelined", "Pipelined CG (`solver.pipelined`)", ""),
+    ("conjugategradient_tpu.solver.sstep", "s-step CG (`solver.sstep`)", ""),
+    ("conjugategradient_tpu.solver.refine", "Mixed-precision CG-IR (`solver.refine`)", ""),
+    ("conjugategradient_tpu.solver.precond", "Preconditioners (`solver.precond`)", ""),
+    ("conjugategradient_tpu.solver.fused", "Fused TPU fast path (`solver.fused`)", ""),
+    ("conjugategradient_tpu.solver.fused_stencil", "Fused stencil path (`solver.fused_stencil`)", ""),
+    ("conjugategradient_tpu.solver.checkpoint", "Checkpoint/resume (`solver.checkpoint`)", ""),
+    ("conjugategradient_tpu.solver.restart", "Periodic-restart loops (`solver.restart`)", ""),
+    ("conjugategradient_tpu.ops.blas", "BLAS-1 kernels (`ops.blas`)", ""),
+    ("conjugategradient_tpu.ops.spmv", "SpMV kernels (`ops.spmv`)", ""),
+    ("conjugategradient_tpu.ops.stencil", "Stencil kernels (`ops.stencil`)", ""),
+    ("conjugategradient_tpu.parallel", "Multi-chip sharding (`parallel`)", ""),
+    ("conjugategradient_tpu.io", "MatrixMarket / ingest (`io`)", ""),
+    ("conjugategradient_tpu.problems", "Problem generators (`problems`)", ""),
+    ("conjugategradient_tpu.oracle", "Float64 parity oracle (`oracle`)", ""),
+    ("conjugategradient_tpu.reorder", "RCM / degree-sort reordering (`reorder`)", ""),
+    ("conjugategradient_tpu.compat", "Reference-API shim (`compat`)", ""),
+    ("conjugategradient_tpu.scipy_compat", "scipy drop-in (`scipy_compat`)", ""),
+    ("conjugategradient_tpu.utils", "Observability (`utils`)", ""),
 ]
 
 
-def _public_members(mod):
+def _public_names(mod) -> list[str]:
     names = getattr(mod, "__all__", None)
     if names is None:
-        names = [n for n in vars(mod) if not n.startswith("_")]
-    out = []
-    for n in sorted(names):
-        obj = getattr(mod, n, None)
-        if obj is None or inspect.ismodule(obj):
-            continue
-        # only symbols defined in this package (skip re-imports of jax/np)
-        home = getattr(obj, "__module__", mod.__name__) or mod.__name__
-        if not home.startswith("conjugategradient_tpu") and mod.__name__ != "conjugategradient_tpu":
-            continue
-        if inspect.isfunction(obj) or inspect.isclass(obj):
-            out.append((n, obj))
-    return out
+        names = [n for n, obj in vars(mod).items()
+                 if not n.startswith("_")
+                 and getattr(obj, "__module__", None) == mod.__name__]
+    return list(names)
 
 
 def _signature(obj) -> str:
@@ -81,87 +85,89 @@ def _signature(obj) -> str:
 
 def _doc(obj) -> str:
     d = inspect.getdoc(obj)
-    return d.strip() if d else "*(no docstring)*"
+    return d.strip() if d else "*(undocumented)*"
 
 
-def render() -> str:
-    lines = [
-        "# Generated API reference",
-        "",
-        "<!-- GENERATED FILE - do not edit.  Rebuild with:",
-        "       python tools/gen_api_docs.py",
-        "     (the doc-generation equivalent of the reference's Doxygen",
-        "      target, /root/reference/CMakeLists.txt:21-26) -->",
-        "",
-        "Curated overview: [api.md](api.md).  Everything below is extracted",
-        "from source docstrings, which carry the reference file:line",
-        "citations the parity contract requires.",
-        "",
+def _emit_symbol(out: list[str], name: str, obj, depth: int = 3) -> None:
+    h = "#" * depth
+    if inspect.isclass(obj):
+        out.append(f"{h} class `{name}{_signature(obj)}`\n")
+        out.append(_doc(obj) + "\n")
+        for mname, m in sorted(vars(obj).items()):
+            if mname.startswith("_"):
+                continue
+            func = None
+            prefix = ""
+            if isinstance(m, (staticmethod, classmethod)):
+                func, prefix = m.__func__, f"{type(m).__name__} "
+            elif inspect.isfunction(m):
+                func = m
+            elif isinstance(m, property):
+                doc = inspect.getdoc(m)
+                if doc:
+                    out.append(f"- **`.{mname}`** (property) — "
+                               f"{doc.splitlines()[0]}\n")
+                continue
+            if func is None or not inspect.getdoc(func):
+                continue
+            out.append(f"- **{prefix}`.{mname}{_signature(func)}`** — "
+                       f"{inspect.getdoc(func).splitlines()[0]}\n")
+    elif callable(obj):
+        out.append(f"{h} `{name}{_signature(obj)}`\n")
+        out.append(_doc(obj) + "\n")
+    else:
+        out.append(f"{h} `{name}` = `{obj!r}`\n")
+        out.append(_doc(type(obj)).splitlines()[0] + "\n"
+                   if inspect.getdoc(type(obj)) else "")
+
+
+def generate() -> str:
+    out: list[str] = [
+        "# API reference (generated)\n",
+        "Generated from the package docstrings by `tools/gen_api_docs.py` — "
+        "the rebuild's counterpart of the reference's Doxygen target "
+        "(`/root/reference/CMakeLists.txt:21-26`).  Regenerate after API "
+        "changes; see `docs/api.md` for the curated guide with examples.\n",
     ]
-    for modname in MODULES:
+    seen_top: set[int] = set()
+    for modname, heading, blurb in MODULES:
         mod = importlib.import_module(modname)
-        lines.append(f"## `{modname}`")
-        lines.append("")
+        out.append(f"\n## {heading}\n")
         mdoc = inspect.getdoc(mod)
         if mdoc:
-            lines.append(mdoc.strip().split("\n\n")[0])
-            lines.append("")
-        for name, obj in _public_members(mod):
-            if inspect.isclass(obj):
-                lines.append(f"### class `{modname}.{name}`")
-                lines.append("")
-                lines.append(_doc(obj))
-                lines.append("")
-                for mname, meth in sorted(vars(obj).items()):
-                    if mname.startswith("_"):
-                        continue
-                    target = meth
-                    if isinstance(meth, (staticmethod, classmethod)):
-                        target = meth.__func__
-                    if isinstance(meth, property):
-                        lines.append(f"- **`.{mname}`** (property) — "
-                                     f"{(_doc(meth.fget) if meth.fget else '')[:300]}")
-                        continue
-                    if not inspect.isfunction(target):
-                        continue
-                    first = _doc(target).split("\n\n")[0]
-                    lines.append(
-                        f"- **`.{mname}{_signature(target)}`** — {first}"
-                    )
-                lines.append("")
-            else:
-                lines.append(f"### `{modname}.{name}{_signature(obj)}`")
-                lines.append("")
-                lines.append(_doc(obj))
-                lines.append("")
-    return "\n".join(lines) + "\n"
+            # first paragraph of the module docstring as the section intro
+            out.append(mdoc.split("\n\n")[0].strip() + "\n")
+        if blurb:
+            out.append(blurb + "\n")
+        for name in _public_names(mod):
+            if name == "__version__":
+                continue
+            obj = getattr(mod, name)
+            if modname == "conjugategradient_tpu":
+                seen_top.add(id(obj))
+            elif id(obj) in seen_top and inspect.isclass(obj):
+                out.append(f"### `{name}` — re-exported at top level\n")
+                continue
+            _emit_symbol(out, name, obj)
+    return "\n".join(out)
 
 
 def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--check", action="store_true",
-                    help="verify docs/api_generated.md is current")
-    ap.add_argument("-o", "--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "api_generated.md"))
+    ap = argparse.ArgumentParser(
+        description=textwrap.dedent(__doc__ or "").strip())
+    ap.add_argument("-o", "--output",
+                    default=os.path.join(os.path.dirname(__file__), "..",
+                                         "docs", "api_reference.md"),
+                    help="output path, or '-' for stdout")
     args = ap.parse_args(argv)
-    text = render()
-    if args.check:
-        try:
-            with open(args.out) as f:
-                current = f.read()
-        except OSError:
-            current = ""
-        if current != text:
-            print(f"{args.out} is stale; run tools/gen_api_docs.py",
-                  file=sys.stderr)
-            return 1
-        print(f"{args.out} is current")
-        return 0
-    with open(args.out, "w") as f:
-        f.write(text)
-    nsym = text.count("\n### ")
-    print(f"wrote {args.out}: {len(MODULES)} modules, {nsym} symbols")
+    text = generate()
+    if args.output == "-":
+        sys.stdout.write(text)
+    else:
+        with open(args.output, "w") as f:
+            f.write(text)
+        print(f"wrote {os.path.normpath(args.output)} "
+              f"({len(text.splitlines())} lines)")
     return 0
 
 
