@@ -1,0 +1,102 @@
+"""Structural verification of the communication-avoiding claims: count the
+collectives XLA actually compiled into each sharded method's while-loop body.
+
+Per iteration, the methods' reduction rounds must be:
+
+* standard   — 2 all-reduces (the reference's value2/value3 scalars,
+               CG.hpp:378,406, as psums);
+* pipelined  — 1 all-reduce (the stacked [γ, δ] pair);
+* sstep(s)   — 1 all-reduce per s iterations (the (3s+1)² Gram).
+
+This is the property the methods exist for, asserted on the compiled HLO —
+not on our own source code.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from conjugategradient_tpu import CSRMatrix
+import conjugategradient_tpu.parallel.sharded_cg as sc
+from conjugategradient_tpu.parallel import (
+    make_row_mesh,
+    partition_csr_rows,
+    sharded_cg_solve,
+)
+from conjugategradient_tpu.problems import poisson2d_coo, reference_rhs
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module", autouse=True)
+def need_devices():
+    if len(jax.devices()) < N_DEV:
+        pytest.skip(f"need {N_DEV} devices, have {len(jax.devices())}")
+
+
+def _compiled_hlo(method, **kw):
+    rows, cols, vals, shape = poisson2d_coo(16)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    blocks, bcols, n_pad = partition_csr_rows(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, N_DEV, bm=8, bn=8,
+    )
+    n = shape[0]
+    b = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        jnp.asarray(reference_rhs(n, dtype=np.float32))
+    )
+    mesh = make_row_mesh(jax.devices()[:N_DEV])
+    sc._SOLVE_CACHE.clear()
+    sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, mesh=mesh,
+        tol=0.0, maxiter=4, method=method, use_fused="never", **kw
+    )
+    ((key, fn),) = list(sc._SOLVE_CACHE.items())
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P("rows")))
+    args = [put(jnp.asarray(blocks)), put(jnp.asarray(bcols)), put(b),
+            put(jnp.zeros_like(b))]
+    txt = fn.lower(*args).compile().as_text()
+    sc._SOLVE_CACHE.clear()
+    return txt
+
+
+def _while_body_collectives(hlo: str):
+    """(all_reduces, all_gathers) inside the solve's while-loop body."""
+    m = re.search(r"while\(.*body=%?([\w.\-]+)", hlo)
+    assert m, "no while loop in compiled HLO"
+    body = m.group(1)
+    # slice the body computation's text: from its header to the next
+    # top-level computation header (a line starting without indentation)
+    start = re.search(rf"^%?{re.escape(body)} [^\n]*\{{", hlo, re.M)
+    assert start, f"body computation {body} not found"
+    rest = hlo[start.end():]
+    end = re.search(r"^\}", rest, re.M)
+    section = rest[: end.start()] if end else rest
+    ar = len(re.findall(r"all-reduce(?:-start)?\(", section))
+    ag = len(re.findall(r"all-gather(?:-start)?\(", section))
+    return ar, ag
+
+
+def test_standard_two_reductions_per_iteration():
+    ar, ag = _while_body_collectives(_compiled_hlo("standard"))
+    assert ar == 2, f"standard CG must psum twice per iteration, got {ar}"
+    assert ag == 1  # one halo all-gather per SpMV
+
+
+def test_pipelined_one_reduction_per_iteration():
+    ar, ag = _while_body_collectives(_compiled_hlo("pipelined"))
+    assert ar == 1, f"pipelined CG must psum ONCE per iteration, got {ar}"
+    assert ag == 1
+
+
+@pytest.mark.parametrize("s", [2, 4])
+def test_sstep_one_reduction_per_s_iterations(s):
+    ar, ag = _while_body_collectives(_compiled_hlo("sstep", s=s))
+    assert ar == 1, (
+        f"s-step CG must psum ONE Gram per {s}-iteration block, got {ar}"
+    )
+    assert ag == s  # the s basis matvecs keep their halos — SpMV unchanged
