@@ -235,6 +235,53 @@ def _local_dia_matvec(diags_s, offsets, p_local, axis):
     return y.astype(jnp.promote_types(diags_s.dtype, p_local.dtype))
 
 
+def _make_dia_mpk_basis(diags_s, offsets, axis: str, s: int):
+    """Matrix-powers-kernel basis for banded shards (the CA-CG companion of
+    the s-step loop, after Demmel/Hoemmen): K = [r, Ar, …, Aˢr] computed
+    from ONE ring halo of width s·w — 2 ppermutes per s-iteration block
+    instead of the 2s a matvec-at-a-time basis pays.  The neighbor rows'
+    diagonal VALUES are haloed once per solve (loop-invariant, width
+    (s−1)·w), so each level-j product is a purely local banded apply on a
+    window that shrinks by w per level.  Level-by-level arithmetic (same
+    multiplies, same accumulation order, same per-level dtype cast) matches
+    `_local_dia_matvec` chained s times, so results are bit-comparable.
+
+    Returns None when s·w exceeds the shard length (a one-hop ring cannot
+    supply the block halo) — callers fall back to the per-matvec basis.
+    """
+    m = int(diags_s.shape[1])
+    w = max(max(abs(o) for o in offsets), 1)
+    if s * w > m:
+        return None
+    H = (s - 1) * w
+    # once-per-solve halo of the diagonal values: rows [-H, m+H) — zeros
+    # past the global edges, which is exactly the band truncation there
+    diags_ext = ring_halo(diags_s.T, H, axis).T if H else diags_s
+
+    def basis(r_local, inv_nu):
+        vdt = jnp.promote_types(diags_s.dtype, r_local.dtype)
+        acc = jnp.promote_types(vdt, jnp.float32)
+        cur = ring_halo(r_local, s * w, axis)  # rows [-sw, m+sw)
+        rows = [r_local]
+        for level in range(s, 0, -1):
+            lh = (level - 1) * w  # output halo width
+            mm = m + 2 * lh
+            y = jnp.zeros((mm,), dtype=acc)
+            for d, off in enumerate(offsets):
+                dv = jax.lax.slice(
+                    diags_ext, (d, H - lh), (d + 1, H - lh + mm)
+                )[0]
+                xv = jax.lax.slice(cur, (off + w,), (off + w + mm,))
+                y = y + dv.astype(acc) * xv.astype(acc)
+            # ν-scale per level (solver/sstep.py's scaled monomial basis),
+            # then the per-matvec cast the chained form pays
+            cur = (y * inv_nu.astype(acc)).astype(vdt)
+            rows.append(jax.lax.slice(cur, (lh,), (lh + m,)))
+        return jnp.stack(rows, axis=0)
+
+    return basis
+
+
 def _local_sell_matvec(diag_s, pos_s, cols_s, vals_s, meta, p_local, axis):
     """Bucketed-ELL SpMV on one row shard against the all-gathered operand.
 
@@ -834,13 +881,16 @@ def _sharded_sstep_cg(
     axis: str,
     s: int,
     rcond: float,
+    basis_fn=None,
 ):
     """s-step (communication-avoiding) CG per shard: ONE psum — of the
     (3s+1)² stacked Gram — per s iterations, versus standard CG's 2s
     sequential reduction rounds.  The SpMV/halo count per iteration is
-    unchanged (s matvecs per block); what drops is collective LATENCY,
-    the binding constraint for small-per-shard solves on large meshes.
-    Algebra and rounding trade documented in solver/sstep.py."""
+    unchanged (s matvecs per block) unless ``basis_fn`` fuses it (the DIA
+    matrix-powers kernel drops the halos to 2 ppermutes per block too);
+    what drops is collective LATENCY, the binding constraint for
+    small-per-shard solves on large meshes.  Algebra and rounding trade
+    documented in solver/sstep.py."""
     x, k, done, rnorm, hist = make_sstep_loop(
         local_matvec,
         lambda G: jax.lax.psum(G, axis),
@@ -850,6 +900,7 @@ def _sharded_sstep_cg(
         tol_arr=tol_arr,
         maxiter=maxiter,
         rcond=rcond,
+        basis_fn=basis_fn,
     )
     return x, k, done, rnorm, rnorm, hist
 
@@ -1148,9 +1199,13 @@ def sharded_dia_cg_solve(
                     local_matvec, b_s, x0_s, tol_arr, maxiter, axis
                 )
             if method == "sstep":
+                # matrix-powers kernel: the whole s-matvec basis from ONE
+                # widened ring halo (None when s*w > rows_per_shard — the
+                # loop then falls back to halo-per-matvec, same algebra)
+                mpk = _make_dia_mpk_basis(diags_s, offsets, axis, s_eff)
                 return _sharded_sstep_cg(
                     local_matvec, b_s, x0_s, tol_arr, maxiter, axis,
-                    s_eff, rcond_eff,
+                    s_eff, rcond_eff, basis_fn=mpk,
                 )
             return _sharded_pcg(
                 local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis,

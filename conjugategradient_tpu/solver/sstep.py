@@ -93,12 +93,16 @@ def make_sstep_loop(
     tol_arr: jax.Array,
     maxiter: int,
     rcond: float,
+    basis_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ):
     """The s-step loop body shared by the single-device and sharded solvers.
 
     ``matvec`` maps a (possibly shard-local) vector to A·v; ``reduce_gram``
     maps the local (3s+1, 3s+1) Gram partial to the global Gram (identity on
-    one device, a single ``psum`` under shard_map).  Returns
+    one device, a single ``psum`` under shard_map); ``basis_fn`` optionally
+    replaces the matvec-at-a-time Krylov basis with a fused one (e.g. the
+    banded matrix-powers kernel, parallel/sharded_cg._make_dia_mpk_basis —
+    one halo exchange per block instead of s).  Returns
     ``(x, k, done, rnorm, hist)`` with the framework's carry conventions.
     """
     acc = jnp.promote_types(b.dtype, jnp.float32)
@@ -110,11 +114,24 @@ def make_sstep_loop(
         )
         return reduce_gram(G_local)
 
-    def basis(r):
-        """K = [r, Ar, …, Aˢr] stacked as (s+1, n_local) rows."""
+    def basis(r, inv_nu):
+        """Scaled monomial basis K'_j = (A/ν)ʲ r stacked as (s+1, n_local)
+        rows.  The scale ν (carried across blocks, adapted from the Gram's
+        own diagonal) keeps every basis row at comparable magnitude — the
+        raw monomial basis grows like λmaxˢ per block, which overflows the
+        usable f32 range on ill-conditioned operators long before the Gram
+        algebra breaks down (measured: NaN at block 21 on the 1.5M
+        power-law at s=4/f32; scaled, the same solve runs to tolerance).
+        A·K'_j = ν·K'_{j+1}, so ν reappears only as scalar factors on the
+        S-terms of PᵀW and dr below — the span, and therefore the exact-
+        arithmetic equivalence to s CG steps, is unchanged.
+        """
+        if basis_fn is not None:
+            return basis_fn(r, inv_nu)
         rows = [r]
         for _ in range(s):
-            rows.append(matvec(rows[-1]))
+            nxt = matvec(rows[-1]).astype(acc) * inv_nu
+            rows.append(nxt.astype(r.dtype))
         return jnp.stack(rows, axis=0)
 
     r0 = b - matvec(x0)
@@ -129,13 +146,14 @@ def make_sstep_loop(
         r0,
         zeros_block,  # P₋ rows (s, n) — previous block's directions
         zeros_block,  # W₋ = A·P₋ rows
+        jnp.asarray(1.0, acc),  # ν — the monomial-basis scale
         jnp.asarray(jnp.nan, acc),  # last observed ‖r‖² (pre-block)
         hist,
     )
 
     def body(c):
-        k, done, x, r, Pb, Wb, _, hist = c
-        K = basis(r)  # (s+1, n)
+        k, done, x, r, Pb, Wb, nu, _, hist = c
+        K = basis(r, 1.0 / nu)  # (s+1, n)
         U = jnp.concatenate([K, Pb.astype(K.dtype), Wb.astype(K.dtype)], 0)
         G = gram(U)  # (3s+1, 3s+1) — the block's ONLY collective
 
@@ -156,12 +174,11 @@ def make_sstep_loop(
         PbtWb = jnp.where(first, eye_s, G[iP, iW])
         B = -_eq_pinv_apply(PbtWb, G[iW, iR], rcond)  # (s, s)
 
+        # ν enters exactly where A·R = ν·S does: the S-terms of PᵀW and dr
         RtS = G[iR, iS]
         PtW = (
-            RtS
-            + G[iR, iW] @ B
-            + B.T @ G[iP, iS]
-            + B.T @ G[iP, iW] @ B
+            nu * (RtS + B.T @ G[iP, iS])
+            + (G[iR, iW] + B.T @ G[iP, iW]) @ B
         )
         Ptr = G[iR, 0] + B.T @ G[iP, 0]
         a = _eq_pinv_apply(PtW, Ptr, rcond)  # (s,)
@@ -171,24 +188,35 @@ def make_sstep_loop(
         c_prev = B @ a  # previous-block coefficient of the step
         dx = jnp.einsum("i,in->n", a, R_rows.astype(acc), precision=_HI)
         dx = dx + jnp.einsum("i,in->n", c_prev, Pb.astype(acc), precision=_HI)
-        dr = jnp.einsum("i,in->n", a, S_rows.astype(acc), precision=_HI)
+        dr = nu * jnp.einsum("i,in->n", a, S_rows.astype(acc), precision=_HI)
         dr = dr + jnp.einsum("i,in->n", c_prev, Wb.astype(acc), precision=_HI)
         x_new = (x.astype(acc) + dx).astype(x.dtype)
         r_new = (r.astype(acc) - dr).astype(r.dtype)
         P_new = (R_rows.astype(acc) + B.T @ Pb.astype(acc)).astype(b.dtype)
-        W_new = (S_rows.astype(acc) + B.T @ Wb.astype(acc)).astype(b.dtype)
+        W_new = (nu * S_rows.astype(acc)
+                 + B.T @ Wb.astype(acc)).astype(b.dtype)
+
+        # adapt ν so the NEXT block's scaled rows stay O(‖r‖): the observed
+        # per-level growth of this block's scaled basis is
+        # (G[s,s]/G[0,0])^(1/2s); fold it into ν (guarded — a converged or
+        # broken block leaves ν alone)
+        g = (G[s, s] / rho) ** (1.0 / (2 * s))
+        nu_new = jnp.where(jnp.isfinite(g) & (g > 0), nu * g, nu)
 
         # The detecting block still applies its update and counts — the
         # framework's one-update-late convergence semantics (solver/cg.py
         # tests the PRE-update ρ_k; pipelined does the same), at block
         # granularity.  Exactly-converged blocks are a no-op: r = 0 ⇒
         # G = 0 ⇒ the equilibrated pinv returns a = B = 0.
-        return (k + s, done_now, x_new, r_new, P_new, W_new, rho, hist_new)
+        return (k + s, done_now, x_new, r_new, P_new, W_new, nu_new, rho,
+                hist_new)
 
     def cond(c):
         return (c[0] < maxiter) & (~c[1])
 
-    k, done, x, r, Pb, Wb, rho, hist = jax.lax.while_loop(cond, body, carry)
+    k, done, x, r, Pb, Wb, nu, rho, hist = jax.lax.while_loop(
+        cond, body, carry
+    )
     # one post-loop reduction records the final true recurrence residual
     # (k may overshoot maxiter by ≤ s−1; clamp the history slot)
     rnorm = gram(r[None, :].astype(acc))[0, 0]

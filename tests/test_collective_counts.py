@@ -100,3 +100,65 @@ def test_sstep_one_reduction_per_s_iterations(s):
         f"s-step CG must psum ONE Gram per {s}-iteration block, got {ar}"
     )
     assert ag == s  # the s basis matvecs keep their halos — SpMV unchanged
+
+
+def _compiled_dia_hlo(method, **kw):
+    from conjugategradient_tpu.parallel import (
+        partition_dia_rows,
+        sharded_dia_cg_solve,
+    )
+    from conjugategradient_tpu.problems import banded_spd_coo
+    from conjugategradient_tpu.types import DIAMatrix
+
+    rows, cols, vals, shape = banded_spd_coo(256, bandwidth=4, seed=5)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    dia = DIAMatrix.from_csr(A)
+    n = shape[0]
+    diags_sh, n_pad = partition_dia_rows(np.asarray(dia.diags), shape, N_DEV)
+    b = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        jnp.asarray(reference_rhs(n, dtype=np.float32))
+    )
+    mesh = make_row_mesh(jax.devices()[:N_DEV])
+    sc._SOLVE_CACHE.clear()
+    sharded_dia_cg_solve(
+        jnp.asarray(diags_sh, jnp.float32),
+        tuple(int(o) for o in dia.offsets), b,
+        mesh=mesh, tol=0.0, maxiter=4, method=method, **kw,
+    )
+    ((key, fn),) = list(sc._SOLVE_CACHE.items())
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P("rows")))
+    args = [put(jnp.asarray(diags_sh, jnp.float32)), put(b),
+            put(jnp.zeros_like(b))]
+    txt = fn.lower(*args).compile().as_text()
+    sc._SOLVE_CACHE.clear()
+    return txt
+
+
+def _body_permutes(hlo: str):
+    m = re.search(r"while\(.*body=%?([\w.\-]+)", hlo)
+    assert m, "no while loop in compiled HLO"
+    start = re.search(rf"^%?{re.escape(m.group(1))} [^\n]*\{{", hlo, re.M)
+    rest = hlo[start.end():]
+    end = re.search(r"^\}", rest, re.M)
+    section = rest[: end.start()] if end else rest
+    ar = len(re.findall(r"all-reduce(?:-start)?\(", section))
+    cp = len(re.findall(r"collective-permute(?:-start)?\(", section))
+    return ar, cp
+
+
+def test_dia_standard_collectives_per_iteration():
+    ar, cp = _body_permutes(_compiled_dia_hlo("standard"))
+    assert ar == 2
+    assert cp == 2  # the ring halo's two ppermutes per SpMV
+
+
+def test_dia_sstep_matrix_powers_kernel_collectives():
+    """The banded s-step path must ride the matrix-powers kernel: ONE
+    widened ring halo (2 ppermutes) + ONE Gram psum per s-iteration block —
+    versus the standard loop's s*(2 ppermutes + 2 psums)."""
+    ar, cp = _body_permutes(_compiled_dia_hlo("sstep", s=4))
+    assert ar == 1, f"one Gram psum per block expected, got {ar}"
+    assert cp == 2, (
+        f"the MPK basis must exchange ONE s*w-wide halo per block "
+        f"(2 ppermutes), got {cp}"
+    )

@@ -411,6 +411,64 @@ def run_elasticity(nx=48, tol_rel=1e-6):
     }
 
 
+def run_powerlaw_sstep(n=1572864, avg_degree=4.8, K=256, s=4):
+    """s-step vs standard CG per-iteration cost on one chip (1.5M-row
+    degree-sorted SELL operator).  On a single device there is no
+    collective latency to avoid, so this measures what s-step COSTS
+    locally — the Gram einsum, the pinv solves, and the skinny updates —
+    per iteration of equal SpMV work.  Fixed iteration budget (tol=0,
+    maxiter=K) on the same manufactured system: the 1.5M power-law's
+    iteration counts at tol are chaotically sensitive (CLAUDE.md), so the
+    honest comparison is per-iteration wall at equal K, with both solvers'
+    true residuals at that equal budget reported alongside."""
+    import time
+
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import cg_solve, sstep_cg_solve
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s
+
+    _, op = _powerlaw_sell_sorted(n, avg_degree)
+    ones = jnp.ones((n,), jnp.float32)
+    b = op.matvec(ones)
+    bnorm = float(jnp.linalg.norm(b))
+    ovh = rpc_overhead_s()
+
+    def timed(solve):
+        x, info = solve()  # warm-up/compile
+        float(info.rnorm_sq)
+        t0 = time.perf_counter()
+        x, info = solve()
+        float(info.rnorm_sq)
+        wall = time.perf_counter() - t0 - ovh
+        rel = float(jnp.linalg.norm(b - op.matvec(x))) / bnorm
+        return int(info.iterations), wall, rel
+
+    k_std, wall_std, rel_std = timed(
+        lambda: cg_solve(op, b, tol=0.0, maxiter=K))
+    k_ss, wall_ss, rel_ss = timed(
+        lambda: sstep_cg_solve(op, b, s=s, tol=0.0, maxiter=K))
+    it_std = wall_std * 1e3 / max(k_std, 1)
+    it_ss = wall_ss * 1e3 / max(k_ss, 1)
+    return {
+        "metric": "powerlaw_1p5M_sstep_per_iter_overhead",
+        "value": round(it_ss / it_std, 3),
+        "unit": "x",
+        "vs_baseline": round(rel_ss, 12),
+        "detail": {
+            "n": n, "nnz": op.nnz, "s": s, "maxiter": K,
+            "standard": {"iterations": k_std,
+                         "wall_ms": round(wall_std * 1e3, 1),
+                         "per_iter_ms": round(it_std, 3),
+                         "true_rel_residual": rel_std},
+            "sstep": {"iterations": k_ss,
+                      "wall_ms": round(wall_ss * 1e3, 1),
+                      "per_iter_ms": round(it_ss, 3),
+                      "true_rel_residual": rel_ss},
+        },
+    }
+
+
 def run_stencil(nx=256, tol_rel=2.4e-4):
     import jax.numpy as jnp
 
@@ -442,7 +500,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "config",
-        choices=("poisson3d", "powerlaw", "powerlaw-multi", "powerlaw-block", "poisson3d-refine",
+        choices=("poisson3d", "powerlaw", "powerlaw-multi", "powerlaw-block",
+                 "powerlaw-sstep", "poisson3d-refine",
                  "elasticity", "stencil", "circuit"),
     )
     ap.add_argument("--nx", type=int, default=None,
@@ -458,6 +517,7 @@ def main(argv=None) -> int:
     out = {"poisson3d": run_poisson3d, "powerlaw": run_powerlaw,
            "powerlaw-multi": run_powerlaw_multi,
            "powerlaw-block": run_powerlaw_block,
+           "powerlaw-sstep": run_powerlaw_sstep,
            "poisson3d-refine": run_poisson3d_refine,
            "elasticity": run_elasticity,
            "stencil": run_stencil,
