@@ -25,6 +25,7 @@ from .types import (
     MatrixFreeOperator,
     SellMatrix,
     StencilOperator,
+    SymBellMatrix,
     as_linear_operator,
 )
 from .solver import (
@@ -39,6 +40,7 @@ from .solver import (
     cg_solve_batched,
     cg_step,
     expected_step_count,
+    implicit_cg_solve,
     block_jacobi_preconditioner,
     jacobi_preconditioner,
     memory_footprint,
@@ -58,6 +60,7 @@ __all__ = [
     "MatrixFreeOperator",
     "SellMatrix",
     "StencilOperator",
+    "SymBellMatrix",
     "as_linear_operator",
     "CGInfo",
     "CGState",
@@ -71,6 +74,7 @@ __all__ = [
     "RefineInfo",
     "cg_step",
     "expected_step_count",
+    "implicit_cg_solve",
     "block_jacobi_preconditioner",
     "jacobi_preconditioner",
     "memory_footprint",

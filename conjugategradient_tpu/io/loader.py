@@ -127,6 +127,19 @@ def load_matrix(
         op = BlockedEllMatrix.from_csr_host(
             data.astype(dtype), indices, indptr, shape, bm=bm, bn=bn
         )
+    elif layout == "symbell":
+        # symmetric storage needs square tiles (the transpose application
+        # swaps tile axes); use bn x bn
+        from ..types import SymBellMatrix
+
+        bell = BlockedEllMatrix.from_csr_host(
+            data.astype(dtype), indices, indptr, shape, bm=bn, bn=bn
+        )
+        # the .mtx ingest expanded symmetric storage (or the file was
+        # general); from_bell(check=True) would re-verify tile-by-tile in
+        # O(tiles) numpy — cheap relative to parse, keep it on so a
+        # non-symmetric general file fails loudly here
+        op = SymBellMatrix.from_bell(bell, check=True)
     elif layout == "dia":
         op = DIAMatrix.from_csr_host(
             data.astype(dtype), indices, indptr, shape
@@ -134,6 +147,6 @@ def load_matrix(
     else:
         raise ValueError(
             f"unknown layout {layout!r} "
-            "(want 'auto', 'csr', 'sell', 'bell' or 'dia')"
+            "(want 'auto', 'csr', 'sell', 'bell', 'symbell' or 'dia')"
         )
     return (op, perm) if reorder else op

@@ -160,6 +160,139 @@ def fused_dir_spmv_dot(
     return p_new, q, pap
 
 
+def _sym_dir_spmv_kernel(R: int, ku: int, bm: int, bn: int,
+                         precond: bool = False):
+    """Symmetric twin of :func:`_dir_spmv_kernel`: the operator arrives as
+    diagonal tiles + strictly-UPPER tiles only (types.SymBellMatrix), and
+    each upper tile is applied twice — ``q[row] += B @ p[c]`` along the
+    stored direction and ``q[c] += Bᵀ @ p[row]`` as its mirror.  The mirror
+    is the same broadcast-multiply reduced along the other axis (no physical
+    transpose), scattered into a q that stays WHOLLY RESIDENT in VMEM as an
+    accumulator across the sequential grid.
+
+    Correctness of the in-pass p·q accumulation: mirror contributions to
+    block-row ``row`` come only from rows < ``row`` (upper tiles point
+    forward), so after step g finishes, q rows [gR, (g+1)R) are final and
+    can be dotted against the matching p rows immediately.
+    """
+
+    def kernel(cols_ref, beta_ref, dblk_ref, oblk_ref, r_ref, pold_ref,
+               *rest):
+        if precond:
+            d_ref, pnew_ref, q_ref, pap_ref, pv = rest
+        else:
+            pnew_ref, q_ref, pap_ref, pv = rest
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            z = d_ref[:] * r_ref[:] if precond else r_ref[:]
+            pv[:] = z + beta_ref[0, 0] * pold_ref[:]
+            pnew_ref[:] = pv[:]
+            q_ref[:] = jnp.zeros_like(q_ref)
+            pap_ref[0, 0] = 0.0
+
+        for rr in range(R):
+            row = g * R + rr
+            xr = pv[row, :]  # (bn,)
+            acc = jnp.sum(
+                dblk_ref[rr].astype(jnp.float32) * xr[None, :], axis=1
+            )  # (bm,)
+            for k in range(ku):
+                c = cols_ref[row * ku + k]
+                blk = oblk_ref[rr, k].astype(jnp.float32)  # (bm, bn)
+                xb = pv[c, :]  # (bn,)
+                acc = acc + jnp.sum(blk * xb[None, :], axis=1)
+                # mirror: q[c] += Bᵀ p[row] — reduce the OTHER axis
+                tpart = jnp.sum(blk * xr[:, None], axis=0)  # (bn,)
+                q_ref[c, :] = q_ref[c, :] + tpart
+            q_ref[row, :] = q_ref[row, :] + acc
+
+        # rows [gR, (g+1)R) received every mirror contribution by now
+        qrows = q_ref[pl.ds(g * R, R), :]
+        prows = pv[pl.ds(g * R, R), :]
+        pap_ref[0, 0] += jnp.sum(qrows * prows)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "row_group"))
+def sym_fused_dir_spmv_dot(
+    diag_blocks: jax.Array,
+    off_blocks: jax.Array,
+    off_cols: jax.Array,
+    r2d: jax.Array,
+    pold2d: jax.Array,
+    beta: jax.Array,
+    inv_diag2d: jax.Array = None,
+    interpret: bool = False,
+    row_group: int = 8,
+):
+    """(p_new, q, pap) on symmetric blocked-ELL storage — same contract as
+    :func:`fused_dir_spmv_dot` with the operator tile stream cut to the
+    upper triangle (up to 2× fewer HBM bytes per CG iteration; exactly
+    1.5× on a block-tridiagonal band)."""
+    nrb, bm, bn = diag_blocks.shape
+    ku = off_blocks.shape[1]
+    ncb = r2d.shape[0]
+    if bm != bn:
+        raise ValueError(f"fused kernel needs square tiles, got {bm}x{bn}")
+    R = row_group
+    while nrb % R:
+        R //= 2
+    R = max(R, 1)
+    precond = inv_diag2d is not None
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda g, cols: (0, 0),
+                     memory_space=pltpu.SMEM),  # beta
+        pl.BlockSpec((R, bm, bn), lambda g, cols: (g, 0, 0)),  # diag tiles
+        pl.BlockSpec((R, ku, bm, bn), lambda g, cols: (g, 0, 0, 0)),  # upper
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # r (whole)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # p_old (whole)
+    ]
+    operands = [off_cols.reshape(-1), beta, diag_blocks, off_blocks,
+                r2d, pold2d]
+    if precond:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(inv_diag2d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrb // R,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # p_new (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q (whole, accumulator)
+            pl.BlockSpec((1, 1), lambda g, cols: (0, 0),
+                         memory_space=pltpu.SMEM),  # pap
+        ],
+        scratch_shapes=[pltpu.VMEM((ncb, bn), jnp.float32)],
+    )
+
+    vec_bytes = ncb * bn * 4
+    tile_bytes = (diag_blocks.size + off_blocks.size) * diag_blocks.dtype.itemsize
+    p_new, q, pap = pl.pallas_call(
+        _sym_dir_spmv_kernel(R, ku, bm, bn, precond=precond),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((ncb, bn), jnp.float32),
+            jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            # each stored upper tile does double work
+            flops=2 * nrb * (1 + 2 * ku) * bm * bn + 4 * ncb * bn,
+            bytes_accessed=tile_bytes
+            + (4 if precond else 3) * vec_bytes
+            + nrb * bm * 4,
+            transcendentals=0,
+        ),
+    )(*operands)
+    return p_new, q, pap
+
+
 def _spmv_dot_kernel(R: int, kmax: int, bm: int, bn: int):
     """SpMV + p·q only (no direction update): the sharded solver's per-shard
     kernel, where the operand is the ALL-GATHERED global p and this shard's

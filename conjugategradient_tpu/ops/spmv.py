@@ -173,6 +173,40 @@ def bell_spmv(a: BlockedEllMatrix, x: jax.Array, use_pallas: str = "auto") -> ja
     return y[:n]
 
 
+def sym_bell_spmv(a, x: jax.Array) -> jax.Array:
+    """Symmetric blocked-ELL SpMV: each stored upper tile applied twice.
+
+    ``q[r] += B @ x[c]`` (the stored direction) and ``q[c] += Bᵀ @ x[r]``
+    (its mirror) — the transposed product is the same einsum contracted
+    along the other axis, and the mirror accumulation is one scatter-add at
+    block granularity (128-row segments, not scalar scatter).  Streams the
+    operator tiles from HBM exactly once where a full layout streams both
+    halves (types.SymBellMatrix; the reference expands symmetric storage at
+    ingest and pays the mirrored bytes every iteration,
+    mm_reader.cpp:68-74 + VectorOperations.hpp:438-466).
+    """
+    n, _ = a.shape
+    np_, mp = a.padded_shape
+    xp = x if mp == x.shape[0] else jnp.pad(x, (0, mp - x.shape[0]))
+    x2d = xp.reshape(mp // a.bn, a.bn)
+    out_dtype = jnp.promote_types(a.dtype, x.dtype)
+    acc = _acc(out_dtype)
+    kw = dict(
+        preferred_element_type=acc, precision=jax.lax.Precision.HIGHEST
+    )
+    qd = jnp.einsum("rmn,rn->rm", a.diag_blocks, x2d, **kw)
+    gathered = x2d[a.off_cols]  # (nrb, ku, bn)
+    qu = jnp.einsum("rkmn,rkn->rm", a.off_blocks, gathered, **kw)
+    # mirror: contributions of Bᵀ @ x[r] land at block-row off_cols[r, k];
+    # padding slots point at their own row with zero tiles (inert)
+    v = jnp.einsum("rkmn,rm->rkn", a.off_blocks, x2d, **kw)
+    qt = jnp.zeros((x2d.shape[0], a.bn), acc).at[a.off_cols.reshape(-1)].add(
+        v.reshape(-1, a.bn)
+    )
+    y = (qd + qu + qt).reshape(-1)[:n]
+    return y.astype(out_dtype)
+
+
 def bell_spmv_multi(a: BlockedEllMatrix, X: jax.Array) -> jax.Array:
     """Multi-RHS blocked-ELL SpMV: ``Y[:, j] = A @ X[:, j]`` in one pass.
 

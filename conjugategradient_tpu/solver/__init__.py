@@ -5,6 +5,7 @@ from .batched import (
     cg_solve_batched,
     run_batched_cg,
 )
+from .autodiff import implicit_cg_solve
 from .blockcg import BlockCGState, block_cg_solve
 from .cg import (
     CGInfo,
@@ -38,6 +39,7 @@ __all__ = [
     "cg_solve_batched",
     "BlockCGState",
     "block_cg_solve",
+    "implicit_cg_solve",
     "load_state",
     "run_cg",
     "save_state",

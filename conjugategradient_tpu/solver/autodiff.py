@@ -1,0 +1,126 @@
+"""Differentiable CG solves — implicit-function-theorem VJP.
+
+A capability the C++ reference cannot express and JAX gets almost for free:
+gradients THROUGH the linear solve.  For ``x(θ, b) = A(θ)⁻¹ b`` with A
+symmetric positive-definite, the implicit function theorem gives
+
+    ∂L/∂b = A⁻¹ ḡ                    (one ADJOINT solve — A is symmetric,
+                                      so the adjoint system is the same CG)
+    ∂L/∂θ = −wᵀ · ∂(A(θ) x)/∂θ       (a VJP of the MATVEC at the fixed
+                                      solution x, with cotangent w = A⁻¹ ḡ)
+
+so the backward pass is exactly one more CG solve plus one matvec-VJP —
+independent of how many iterations the forward solve took.  Differentiating
+*through* the unrolled ``lax.while_loop`` would instead store every
+iterate (maxiter × n floats of rematerialization) and is not even supported
+for ``while_loop``; the implicit form is the only sensible reverse rule and
+the numerically correct one (Gilbert 1992; same rule as
+``jax.scipy.sparse.linalg.cg``'s transpose).
+
+The operator gradient comes from ``jax.vjp(lambda op: op.matvec(x), A)`` —
+generic over EVERY registered operator pytree: CSR gets per-nonzero
+gradients, DIA per-diagonal-slot, blocked-ELL per-tile-element, symmetric
+blocked-ELL per-stored-element (each stored upper entry automatically
+receives both of its mirrored contributions), stencil operators get
+gradients on their coefficient leaves, and matrix-free operators on
+whatever array leaves their pytree carries.
+
+Caveats (documented, deliberate):
+
+* The rule is exact at the SOLUTION; with loose ``tol`` the gradient of the
+  *approximate* x differs from the implicit gradient by O(‖r‖).  Tight
+  tolerances (or tol=0 → run to the cap, the reference harness's mode,
+  test/Tester.cpp:45) make them coincide.
+* ``x0`` does not influence the converged solution, so its cotangent is
+  zero by construction.
+* ``A`` must be symmetric — the same contract CG itself already imposes
+  (reference CG.hpp:53-77 assumes SPD without checking).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import as_linear_operator
+from .cg import CGInfo, cg_solve
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _solve(A, b, x0, tol, maxiter, M, recompute_r_every, fused):
+    return cg_solve(
+        A, b, x0, tol=tol, maxiter=maxiter, M=M,
+        recompute_r_every=recompute_r_every, fused=fused,
+    )
+
+
+def _solve_fwd(A, b, x0, tol, maxiter, M, recompute_r_every, fused):
+    x, info = cg_solve(
+        A, b, x0, tol=tol, maxiter=maxiter, M=M,
+        recompute_r_every=recompute_r_every, fused=fused,
+    )
+    return (x, info), (A, x, x0)
+
+
+def _solve_bwd(tol, maxiter, M, recompute_r_every, fused, res, ct):
+    A, x, x0 = res
+    gx, _ = ct  # CGInfo cotangents carry no information back (iteration
+    # counts / residual history are reported observables, not
+    # differentiable quantities)
+    # adjoint solve A w = ḡ — symmetric A makes this the SAME solver with
+    # the SAME preconditioner (M⁻¹ is symmetric too for every built-in)
+    w, _ = cg_solve(
+        A, gx.astype(x.dtype), tol=tol, maxiter=maxiter, M=M,
+        recompute_r_every=recompute_r_every, fused=fused,
+    )
+    # ∂L/∂θ = −wᵀ ∂(A(θ)x)/∂θ: one VJP of the matvec at the fixed solution
+    y, matvec_vjp = jax.vjp(lambda op: op.matvec(x), A)
+    (gA,) = matvec_vjp((-w).astype(y.dtype))
+    gb = w.astype(x.dtype)
+    gx0 = jax.tree_util.tree_map(jnp.zeros_like, x0)
+    return (gA, gb, gx0)
+
+
+_solve.defvjp(_solve_fwd, _solve_bwd)
+
+
+def implicit_cg_solve(
+    A: Any,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    tol: float = 0.0,
+    maxiter: Optional[int] = None,
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    n: Optional[int] = None,
+    recompute_r_every: int = 0,
+    fused: str = "auto",
+) -> Tuple[jax.Array, CGInfo]:
+    """:func:`~conjugategradient_tpu.cg_solve` with a custom reverse rule.
+
+    Same signature, same forward values; under ``jax.grad``/``jax.vjp`` the
+    backward pass costs ONE adjoint CG solve plus one matvec-VJP instead of
+    an (unsupported, memory-explosive) unroll of the iteration.  Gradients
+    flow to ``b`` and to every array leaf of the operator pytree; ``x0``
+    receives zeros (the converged solution does not depend on it).
+
+    ``tol``/``maxiter``/``M``/``recompute_r_every``/``fused`` are
+    non-differentiable static arguments (as in ``cg_solve``'s jit contract).
+
+    Example::
+
+        def loss(op, b):
+            x, _ = implicit_cg_solve(op, b, tol=1e-10, maxiter=200)
+            return jnp.sum(x ** 2)
+
+        g_op, g_b = jax.grad(loss, argnums=(0, 1))(op, b)
+        # g_op.data — per-nonzero sensitivity for a CSRMatrix operator
+    """
+    op = as_linear_operator(A, n=n, dtype=getattr(b, "dtype", None))
+    if maxiter is None:
+        maxiter = op.shape[0] + 1
+    return _solve(op, b, x0, float(tol), int(maxiter), M,
+                  int(recompute_r_every), fused)

@@ -29,7 +29,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..types import BlockedEllMatrix
+from ..types import BlockedEllMatrix, SymBellMatrix
 from .cg import CGInfo
 
 
@@ -61,13 +61,19 @@ class FusedCGState:
 
 
 def fused_supported(a: Any, dtype=None, interpret: bool = False) -> bool:
-    """Whether the fused path can run this operator: blocked-ELL, square
-    lane-aligned tiles, square padded shape, f32 vectors, operand resident
-    in VMEM alongside the tile pipeline."""
-    if not isinstance(a, BlockedEllMatrix):
+    """Whether the fused path can run this operator: blocked-ELL (full or
+    symmetric storage), square lane-aligned tiles, square padded shape, f32
+    vectors, operand resident in VMEM alongside the tile pipeline."""
+    if isinstance(a, SymBellMatrix):
+        bm, bn, ku = a.bm, a.bn, a.ku
+        tiles_per_row = 1 + ku
+        np_, mp = a.padded_shape
+    elif isinstance(a, BlockedEllMatrix):
+        _, tiles_per_row, bm, bn = a.blocks.shape
+        ku = tiles_per_row
+        np_, mp = a.padded_shape
+    else:
         return False
-    nrb, kmax, bm, bn = a.blocks.shape
-    np_, mp = a.padded_shape
     vec_bytes = mp * 4
     ok = (
         bm == bn
@@ -76,11 +82,12 @@ def fused_supported(a: Any, dtype=None, interpret: bool = False) -> bool:
         and np_ == mp  # square padded system: q rows align with p rows
         and a.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
         and (dtype is None or jnp.dtype(dtype) == jnp.dtype(jnp.float32))
-        and kmax <= 64
+        and ku <= 64
         # VMEM: 4 whole vectors + scratch + double-buffered tile groups.
         # v5e VMEM is 128 MB (measured: 67 MB arrays stay resident —
         # docs/performance.md); leave headroom for Mosaic's own buffers.
-        and 5 * vec_bytes + 2 * 8 * kmax * bm * bn * 4 <= 96 * 1024 * 1024
+        and 5 * vec_bytes + 2 * 8 * tiles_per_row * bm * bn * 4
+        <= 96 * 1024 * 1024
     )
     if not ok:
         return False
@@ -109,9 +116,7 @@ def fused_cg_init(
         r2d = bp.reshape(mp // bn, bn)
     else:
         x0p = jnp.zeros((mp,), jnp.float32).at[:n].set(x0.astype(jnp.float32))
-        from ..ops.spmv import bell_spmv
-
-        ax = bell_spmv(a, x0p).astype(jnp.float32)  # (n,) true rows
+        ax = a.matvec(x0p).astype(jnp.float32)  # (n,) true rows
         r = bp - jnp.pad(ax, (0, mp - n))
         x2d = x0p.reshape(mp // bn, bn)
         r2d = r.reshape(mp // bn, bn)
@@ -138,12 +143,22 @@ def fused_cg_step(
 ) -> FusedCGState:
     """One CG iteration in two fused kernels.  Semantics == solver/cg.cg_step
     (same update order, same pre-update termination test, same ρ==0 guard)."""
-    from ..ops.pallas.fused_cg import fused_dir_spmv_dot, fused_update_dot
-
-    p_new, q, pap = fused_dir_spmv_dot(
-        a.blocks, a.block_cols, state.r, state.p, state.beta,
-        interpret=interpret,
+    from ..ops.pallas.fused_cg import (
+        fused_dir_spmv_dot,
+        fused_update_dot,
+        sym_fused_dir_spmv_dot,
     )
+
+    if isinstance(a, SymBellMatrix):
+        p_new, q, pap = sym_fused_dir_spmv_dot(
+            a.diag_blocks, a.off_blocks, a.off_cols,
+            state.r, state.p, state.beta, interpret=interpret,
+        )
+    else:
+        p_new, q, pap = fused_dir_spmv_dot(
+            a.blocks, a.block_cols, state.r, state.p, state.beta,
+            interpret=interpret,
+        )
     rho = state.rho[0, 0]
     exact = rho == 0  # warm start at the solution: keep α=β=0 (cg.py:152-158)
     alpha = jnp.where(exact, 0.0, rho / jnp.where(exact, 1.0, pap[0, 0]))
@@ -239,7 +254,11 @@ def fused_bell_pcg_solve(
 
 @functools.partial(jax.jit, static_argnames=("maxiter", "interpret"))
 def _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret):
-    from ..ops.pallas.fused_cg import fused_dir_spmv_dot, fused_update_dot_pcg
+    from ..ops.pallas.fused_cg import (
+        fused_dir_spmv_dot,
+        fused_update_dot_pcg,
+        sym_fused_dir_spmv_dot,
+    )
 
     n = a.shape[0]
     _, mp = a.padded_shape
@@ -261,10 +280,16 @@ def _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret):
         return (s.k < maxiter) & (~s.done)
 
     def body(s):
-        p_new, q, pap = fused_dir_spmv_dot(
-            a.blocks, a.block_cols, s.r, s.p, s.beta, inv_diag2d=d2d,
-            interpret=interpret,
-        )
+        if isinstance(a, SymBellMatrix):
+            p_new, q, pap = sym_fused_dir_spmv_dot(
+                a.diag_blocks, a.off_blocks, a.off_cols,
+                s.r, s.p, s.beta, inv_diag2d=d2d, interpret=interpret,
+            )
+        else:
+            p_new, q, pap = fused_dir_spmv_dot(
+                a.blocks, a.block_cols, s.r, s.p, s.beta, inv_diag2d=d2d,
+                interpret=interpret,
+            )
         rho = s.rho[0, 0]
         exact = rho == 0
         alpha = jnp.where(exact, 0.0, rho / jnp.where(exact, 1.0, pap[0, 0]))

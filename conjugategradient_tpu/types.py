@@ -449,6 +449,216 @@ class BlockedEllMatrix(LinearOperator):
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
+class SymBellMatrix(LinearOperator):
+    """Symmetric blocked-ELL: each off-diagonal tile stored ONCE.
+
+    CG's domain is symmetric (SPD) matrices — the reference harness even
+    mirrors every off-diagonal entry at ingest to expand symmetric
+    MatrixMarket storage into full CSR (mm_reader.cpp:68-74) and then
+    streams both halves through the SpMV every iteration
+    (VectorOperations.hpp:438-466).  On TPU the SpMV is HBM-bandwidth-bound,
+    so the mirrored half is pure wasted traffic: this layout keeps the block
+    upper triangle only and applies each stored tile twice per matvec —
+    ``q[r] += B @ x[c]`` and ``q[c] += Bᵀ @ x[r]`` — cutting the streamed
+    operator bytes by up to 2× (exactly 1.5× for a block-tridiagonal band).
+    The transposed application is a broadcast-multiply reduced along the
+    OTHER axis — no data movement, no physical transpose.
+
+    Storage (square matrices, square ``bm == bn`` tiles):
+
+    * ``diag_blocks[i]`` — the full (bm, bn) tile at block position (i, i)
+      (itself symmetric; storing it whole costs nothing extra and keeps the
+      diagonal apply a plain streaming product).
+    * ``off_blocks[i, k]`` / ``off_cols[i, k]`` — the strictly-upper tiles
+      of block-row ``i`` (``off_cols[i, k] > i`` for real tiles); padding
+      slots are zero tiles pointing at their own row, which contribute
+      nothing through either application.
+
+    ``full_kmax`` records the tiles-per-row of the equivalent full
+    :class:`BlockedEllMatrix` — the bytes a full-storage iteration would
+    have streamed, which is what effective-bandwidth accounting credits
+    (the symmetric-SpMV convention; see docs/performance.md).
+    """
+
+    diag_blocks: jax.Array  # (nrb, bm, bn)
+    off_blocks: jax.Array  # (nrb, ku, bm, bn) — strictly-upper tiles
+    off_cols: jax.Array  # (nrb, ku) int32 block-col per tile
+    shape: Tuple[int, int]
+    nnz: int  # true nnz of the FULL (expanded) matrix, static metadata
+    full_kmax: int  # kmax of the equivalent full BlockedEllMatrix, static
+
+    def tree_flatten(self):
+        return (
+            (self.diag_blocks, self.off_blocks, self.off_cols),
+            (self.shape, self.nnz, self.full_kmax),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        diag_blocks, off_blocks, off_cols = children
+        return cls(diag_blocks, off_blocks, off_cols, aux[0], aux[1], aux[2])
+
+    @staticmethod
+    def from_bell(bell: "BlockedEllMatrix", check: bool = True) -> "SymBellMatrix":
+        """Repack a full blocked-ELL operator into symmetric storage.
+
+        Host-side, O(tiles).  ``check=True`` verifies each dropped lower
+        tile equals the transpose of its stored upper mirror (one pass over
+        the tile stream) — pass ``check=False`` for ingest paths that
+        already guarantee symmetry (e.g. the MatrixMarket reader's
+        symmetric expansion).
+        """
+        blocks = np.asarray(bell.blocks)
+        cols = np.asarray(bell.block_cols)
+        nrb, kmax, bm, bn = blocks.shape
+        if bm != bn:
+            raise ValueError(f"symmetric layout needs square tiles, got {bm}x{bn}")
+        np_, mp = bell.padded_shape
+        if np_ != mp:
+            raise ValueError(f"symmetric layout needs a square system, got {bell.shape}")
+        diag = np.zeros((nrb, bm, bn), dtype=blocks.dtype)
+        upper: list = [[] for _ in range(nrb)]
+        uppers: dict = {}
+        lowers: dict = {}
+        for i in range(nrb):
+            for k in range(kmax):
+                c = int(cols[i, k])
+                blk = blocks[i, k]
+                if c == i:
+                    diag[i] += blk
+                elif c > i:
+                    upper[i].append((c, blk))
+                    if check:
+                        uppers[(i, c)] = blk
+                else:
+                    if blk.any():  # silent-zero padding tiles are not mirrors
+                        if check:
+                            lowers[(c, i)] = blk
+        if check:
+            for key in set(uppers) | set(lowers):
+                u = uppers.get(key)
+                lo = lowers.get(key)
+                if u is None:
+                    u = np.zeros_like(lo.T)
+                if lo is None:
+                    lo = np.zeros_like(u.T)
+                if not np.allclose(u, lo.T):
+                    raise ValueError(f"tile {key} is not symmetric")
+        ku = max(max((len(u) for u in upper), default=1), 1)
+        off_blocks = np.zeros((nrb, ku, bm, bn), dtype=blocks.dtype)
+        off_cols = np.tile(
+            np.arange(nrb, dtype=np.int32)[:, None], (1, ku)
+        )  # padding points at own row (zero tiles: inert both ways)
+        for i, tiles in enumerate(upper):
+            for k, (c, blk) in enumerate(tiles):
+                off_blocks[i, k] = blk
+                off_cols[i, k] = c
+        return SymBellMatrix(
+            jnp.asarray(diag),
+            jnp.asarray(off_blocks),
+            jnp.asarray(off_cols),
+            bell.shape,
+            bell.nnz,
+            kmax,
+        )
+
+    @staticmethod
+    def from_csr(csr: "CSRMatrix", bm: int = 128, bn: int = 128) -> "SymBellMatrix":
+        return SymBellMatrix.from_bell(
+            BlockedEllMatrix.from_csr(csr, bm=bm, bn=bn), check=False
+        )
+
+    @property
+    def bm(self) -> int:
+        return int(self.diag_blocks.shape[1])
+
+    @property
+    def bn(self) -> int:
+        return int(self.diag_blocks.shape[2])
+
+    @property
+    def ku(self) -> int:
+        return int(self.off_blocks.shape[1])
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def dtype(self):
+        return self.diag_blocks.dtype
+
+    @property
+    def padded_shape(self) -> Tuple[int, int]:
+        np_ = self.diag_blocks.shape[0] * self.bm
+        return (np_, np_)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from .ops.spmv import sym_bell_spmv
+
+        return sym_bell_spmv(self, x)
+
+    def diagonal(self) -> jax.Array:
+        n = self.shape[0]
+        nrb, bm, bn = self.diag_blocks.shape
+        rows = jnp.arange(nrb * bm)
+        d = self.diag_blocks[rows // bm, rows % bm, rows % bn]
+        return d[:n]
+
+    def to_dense(self) -> jax.Array:
+        nrb = self.diag_blocks.shape[0]
+        bm, bn = self.bm, self.bn
+        np_, _ = self.padded_shape
+        out = jnp.zeros((np_, np_), dtype=self.dtype)
+        for i in range(nrb):
+            out = out.at[i * bm : (i + 1) * bm, i * bn : (i + 1) * bn].add(
+                self.diag_blocks[i]
+            )
+            for k in range(self.ku):
+                c = self.off_cols[i, k]
+                idx = (jnp.asarray(i * bm, c.dtype), c * jnp.asarray(bn, c.dtype))
+                blk = self.off_blocks[i, k]
+                out = jax.lax.dynamic_update_slice(
+                    out, jax.lax.dynamic_slice(out, idx, (bm, bn)) + blk, idx
+                )
+                idx_t = (idx[1], idx[0])
+                out = jax.lax.dynamic_update_slice(
+                    out,
+                    jax.lax.dynamic_slice(out, idx_t, (bn, bm)) + blk.T,
+                    idx_t,
+                )
+        return out[: self.shape[0], : self.shape[1]]
+
+    def memory_footprint(self) -> int:
+        return (
+            self.diag_blocks.size * self.diag_blocks.dtype.itemsize
+            + self.off_blocks.size * self.off_blocks.dtype.itemsize
+            + self.off_cols.size * self.off_cols.dtype.itemsize
+        )
+
+    def full_tile_bytes(self) -> int:
+        """Operator bytes the equivalent FULL blocked-ELL layout streams per
+        SpMV — the useful-content byte count effective-bandwidth accounting
+        credits symmetric storage with (each stored off tile does the work
+        of two full-layout tiles)."""
+        nrb = self.diag_blocks.shape[0]
+        return nrb * self.full_kmax * self.bm * self.bn * self.dtype.itemsize
+
+    def padding_ratio(self) -> float:
+        stored = self.diag_blocks.size + self.off_blocks.size
+        # each stored off slot carries two of the full layout's nnz
+        return float(stored + self.off_blocks.size) / max(self.nnz, 1)
+
+    def astype(self, dtype) -> "SymBellMatrix":
+        return dataclasses.replace(
+            self,
+            diag_blocks=self.diag_blocks.astype(dtype),
+            off_blocks=self.off_blocks.astype(dtype),
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
 class DIAMatrix(LinearOperator):
     """Diagonal (DIA) sparse layout — the TPU-ideal format for banded SPD
     matrices.
