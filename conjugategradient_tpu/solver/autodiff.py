@@ -110,6 +110,11 @@ def implicit_cg_solve(
     ``tol``/``maxiter``/``M``/``recompute_r_every``/``fused`` are
     non-differentiable static arguments (as in ``cg_solve``'s jit contract).
 
+    Differentiating with respect to the OPERATOR needs
+    ``jax.grad(..., allow_int=True)`` (or ``jax.vjp``): operator pytrees
+    carry integer structure leaves (CSR indices, blocked-ELL column ids)
+    which receive ``float0`` cotangents — standard JAX, nothing to unpack.
+
     Example::
 
         def loss(op, b):
