@@ -268,11 +268,12 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
 
     if storage == "sym":
         a = SymBellMatrix.from_bell(full, check=False)
-        shape_static, nnz_static, fk_static = a.shape, a.nnz, a.full_kmax
+        shape_static, nnz_static = a.shape, a.nnz
+        fk_static, banded_static = a.full_kmax, a.banded
 
         def make_a(diag, off, cols):
             return SymBellMatrix(diag, off, cols, shape_static, nnz_static,
-                                 fk_static)
+                                 fk_static, banded_static)
 
         op_args = (a.diag_blocks, a.off_blocks, a.off_cols)
     else:

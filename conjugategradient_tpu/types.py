@@ -486,17 +486,21 @@ class SymBellMatrix(LinearOperator):
     shape: Tuple[int, int]
     nnz: int  # true nnz of the FULL (expanded) matrix, static metadata
     full_kmax: int  # kmax of the equivalent full BlockedEllMatrix, static
+    #: block-tridiagonal pattern (ku == 1, every real upper tile targets the
+    #: next block-row) — static pack-time fact that lets the fused kernel
+    #: carry the mirror in a register instead of scatter stores
+    banded: bool = False
 
     def tree_flatten(self):
         return (
             (self.diag_blocks, self.off_blocks, self.off_cols),
-            (self.shape, self.nnz, self.full_kmax),
+            (self.shape, self.nnz, self.full_kmax, self.banded),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         diag_blocks, off_blocks, off_cols = children
-        return cls(diag_blocks, off_blocks, off_cols, aux[0], aux[1], aux[2])
+        return cls(diag_blocks, off_blocks, off_cols, *aux)
 
     @staticmethod
     def from_bell(bell: "BlockedEllMatrix", check: bool = True) -> "SymBellMatrix":
@@ -553,6 +557,14 @@ class SymBellMatrix(LinearOperator):
             for k, (c, blk) in enumerate(tiles):
                 off_blocks[i, k] = blk
                 off_cols[i, k] = c
+        banded = bool(
+            ku == 1
+            and nrb > 1
+            and np.array_equal(
+                off_cols[:-1, 0], np.arange(1, nrb, dtype=np.int32)
+            )
+            and off_cols[-1, 0] == nrb - 1  # last row: inert padding slot
+        )
         return SymBellMatrix(
             jnp.asarray(diag),
             jnp.asarray(off_blocks),
@@ -560,6 +572,7 @@ class SymBellMatrix(LinearOperator):
             bell.shape,
             bell.nnz,
             kmax,
+            banded,
         )
 
     @staticmethod
