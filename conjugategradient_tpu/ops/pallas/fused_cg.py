@@ -216,141 +216,6 @@ def _sym_dir_spmv_kernel(R: int, ku: int, bm: int, bn: int,
     return kernel
 
 
-def _sym_banded_dir_spmv_kernel(R: int, bm: int, bn: int,
-                                precond: bool = False):
-    """Block-tridiagonal specialization of :func:`_sym_dir_spmv_kernel`.
-
-    When every row's single upper tile points at the NEXT block-row
-    (``off_cols[r] == r+1``), the mirror contribution Bᵀp[row] is consumed
-    by exactly the next row processed — so it rides a (1, bn) VMEM scratch
-    carried across the sequential grid instead of read-modify-write scatter
-    stores into a whole-VMEM q.  q becomes a plain per-step blocked output
-    again and the kernel does zero dynamic stores (measured: the general
-    scatter kernel streams at ~590 GB/s raw vs the ~750 GB/s engine rate;
-    this variant exists to close that gap on banded operators)."""
-
-    def kernel(cols_ref, beta_ref, dblk_ref, oblk_ref, r_ref, pold_ref,
-               *rest):
-        if precond:
-            d_ref, pnew_ref, q_ref, pap_ref, pv, mir = rest
-        else:
-            pnew_ref, q_ref, pap_ref, pv, mir = rest
-        g = pl.program_id(0)
-        rows_per_g = (R * bm) // bn
-
-        @pl.when(g == 0)
-        def _():
-            z = d_ref[:] * r_ref[:] if precond else r_ref[:]
-            pv[:] = z + beta_ref[0, 0] * pold_ref[:]
-            pnew_ref[:] = pv[:]
-            pap_ref[0, 0] = 0.0
-            mir[:] = jnp.zeros_like(mir)
-
-        for rr in range(R):
-            row = g * R + rr
-            xr = pv[row, :]
-            acc = jnp.sum(
-                dblk_ref[rr].astype(jnp.float32) * xr[None, :], axis=1
-            )
-            # the single upper tile; the last row's padding slot is a zero
-            # tile pointing at its own row, inert through both products
-            c = cols_ref[row]
-            blk = oblk_ref[rr, 0].astype(jnp.float32)
-            xb = pv[c, :]
-            acc = acc + jnp.sum(blk * xb[None, :], axis=1)
-            acc = acc + mir[0, :]  # Bᵀp from the previous row
-            mir[0, :] = jnp.sum(blk * xr[:, None], axis=0)
-            q_ref[rr, :] = acc
-
-        prows = pv[pl.ds(g * rows_per_g, rows_per_g), :]
-        pap_ref[0, 0] += jnp.sum(q_ref[:] * prows.reshape(R, bm))
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "row_group"))
-def sym_banded_fused_dir_spmv_dot(
-    diag_blocks: jax.Array,
-    off_blocks: jax.Array,
-    off_cols: jax.Array,
-    r2d: jax.Array,
-    pold2d: jax.Array,
-    beta: jax.Array,
-    inv_diag2d: jax.Array = None,
-    interpret: bool = False,
-    row_group: int = 8,
-):
-    """Banded (block-tridiagonal) symmetric K1 — same contract as
-    :func:`sym_fused_dir_spmv_dot`, valid ONLY when ``ku == 1`` and every
-    real upper tile targets the next block-row (``SymBellMatrix.banded``
-    is the pack-time check)."""
-    nrb, bm, bn = diag_blocks.shape
-    ku = off_blocks.shape[1]
-    ncb = r2d.shape[0]
-    if bm != bn:
-        raise ValueError(f"fused kernel needs square tiles, got {bm}x{bn}")
-    if ku != 1:
-        raise ValueError("banded symmetric kernel needs ku == 1")
-    R = row_group
-    while nrb % R:
-        R //= 2
-    R = max(R, 1)
-    precond = inv_diag2d is not None
-
-    in_specs = [
-        pl.BlockSpec((1, 1), lambda g, cols: (0, 0),
-                     memory_space=pltpu.SMEM),  # beta
-        pl.BlockSpec((R, bm, bn), lambda g, cols: (g, 0, 0)),  # diag tiles
-        pl.BlockSpec((R, 1, bm, bn), lambda g, cols: (g, 0, 0, 0)),  # upper
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # r (whole)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # p_old (whole)
-    ]
-    operands = [off_cols.reshape(-1), beta, diag_blocks, off_blocks,
-                r2d, pold2d]
-    if precond:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        operands.append(inv_diag2d)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nrb // R,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # p_new (whole)
-            pl.BlockSpec((R, bm), lambda g, cols: (g, 0)),  # q (blocked)
-            pl.BlockSpec((1, 1), lambda g, cols: (0, 0),
-                         memory_space=pltpu.SMEM),  # pap
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((ncb, bn), jnp.float32),
-            pltpu.VMEM((1, bn), jnp.float32),  # mirror carry
-        ],
-    )
-
-    vec_bytes = ncb * bn * 4
-    tile_bytes = (
-        diag_blocks.size + off_blocks.size
-    ) * diag_blocks.dtype.itemsize
-    p_new, q, pap = pl.pallas_call(
-        _sym_banded_dir_spmv_kernel(R, bm, bn, precond=precond),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((ncb, bn), jnp.float32),
-            jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * nrb * 3 * bm * bn + 4 * ncb * bn,
-            bytes_accessed=tile_bytes
-            + (4 if precond else 3) * vec_bytes
-            + nrb * bm * 4,
-            transcendentals=0,
-        ),
-    )(*operands)
-    return p_new, q, pap
-
-
 @functools.partial(jax.jit, static_argnames=("interpret", "row_group"))
 def sym_fused_dir_spmv_dot(
     diag_blocks: jax.Array,

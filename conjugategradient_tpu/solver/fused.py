@@ -146,14 +146,11 @@ def fused_cg_step(
     from ..ops.pallas.fused_cg import (
         fused_dir_spmv_dot,
         fused_update_dot,
-        sym_banded_fused_dir_spmv_dot,
         sym_fused_dir_spmv_dot,
     )
 
     if isinstance(a, SymBellMatrix):
-        k1 = (sym_banded_fused_dir_spmv_dot if a.banded
-              else sym_fused_dir_spmv_dot)
-        p_new, q, pap = k1(
+        p_new, q, pap = sym_fused_dir_spmv_dot(
             a.diag_blocks, a.off_blocks, a.off_cols,
             state.r, state.p, state.beta, interpret=interpret,
         )
@@ -260,7 +257,6 @@ def _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret):
     from ..ops.pallas.fused_cg import (
         fused_dir_spmv_dot,
         fused_update_dot_pcg,
-        sym_banded_fused_dir_spmv_dot,
         sym_fused_dir_spmv_dot,
     )
 
@@ -285,9 +281,7 @@ def _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret):
 
     def body(s):
         if isinstance(a, SymBellMatrix):
-            k1 = (sym_banded_fused_dir_spmv_dot if a.banded
-                  else sym_fused_dir_spmv_dot)
-            p_new, q, pap = k1(
+            p_new, q, pap = sym_fused_dir_spmv_dot(
                 a.diag_blocks, a.off_blocks, a.off_cols,
                 s.r, s.p, s.beta, inv_diag2d=d2d, interpret=interpret,
             )

@@ -210,85 +210,6 @@ class TestBandedKernel:
         low = sym.astype(jnp.float32)
         assert low.banded  # astype preserves the static pattern fact
 
-    def test_banded_kernel_matches_general(self, rng):
-        from conjugategradient_tpu.ops.pallas.fused_cg import (
-            sym_banded_fused_dir_spmv_dot,
-        )
-
-        A = _block_tridiag(rng, dtype=np.float64).astype(np.float32)
-        _, sym = _pack(A.astype(np.float64), 8)
-        sym = sym.astype(jnp.float32)
-        assert sym.banded and sym.ku == 1
-        n = A.shape[0]
-        r = rng.standard_normal(n).astype(np.float32)
-        p = rng.standard_normal(n).astype(np.float32)
-        beta = np.float32(0.41)
-        args = (
-            sym.diag_blocks, sym.off_blocks, sym.off_cols,
-            jnp.asarray(r.reshape(-1, 8)), jnp.asarray(p.reshape(-1, 8)),
-            jnp.full((1, 1), beta),
-        )
-        pb, qb, papb = sym_banded_fused_dir_spmv_dot(
-            *args, interpret=True, row_group=4
-        )
-        pg, qg, papg = sym_fused_dir_spmv_dot(
-            *args, interpret=True, row_group=4
-        )
-        np.testing.assert_allclose(np.asarray(pb), np.asarray(pg))
-        np.testing.assert_allclose(
-            np.asarray(qb), np.asarray(qg), rtol=1e-5
-        )
-        np.testing.assert_allclose(
-            float(papb[0, 0]), float(papg[0, 0]), rtol=1e-5
-        )
-        # and against the dense oracle
-        pv = r + beta * p
-        np.testing.assert_allclose(
-            np.asarray(qb).ravel(), (A @ pv).astype(np.float32), rtol=1e-4
-        )
-
-    def test_banded_pcg_kernel(self, rng):
-        from conjugategradient_tpu.ops.pallas.fused_cg import (
-            sym_banded_fused_dir_spmv_dot,
-        )
-
-        A = _block_tridiag(rng).astype(np.float32)
-        _, sym = _pack(A.astype(np.float64), 8)
-        sym = sym.astype(jnp.float32)
-        n = A.shape[0]
-        r = rng.standard_normal(n).astype(np.float32)
-        p = rng.standard_normal(n).astype(np.float32)
-        d = (1.0 / np.diag(A)).astype(np.float32)
-        beta = np.float32(0.2)
-        pb, qb, papb = sym_banded_fused_dir_spmv_dot(
-            sym.diag_blocks, sym.off_blocks, sym.off_cols,
-            jnp.asarray(r.reshape(-1, 8)), jnp.asarray(p.reshape(-1, 8)),
-            jnp.full((1, 1), beta),
-            inv_diag2d=jnp.asarray(d.reshape(-1, 8)),
-            interpret=True, row_group=4,
-        )
-        pv = d * r + beta * p
-        np.testing.assert_allclose(np.asarray(pb).ravel(), pv, atol=1e-5)
-        np.testing.assert_allclose(
-            np.asarray(qb).ravel(), (A @ pv).astype(np.float32), rtol=1e-4
-        )
-
-    def test_banded_solve_matches_general_solve(self, rng):
-        import dataclasses
-
-        A = _block_tridiag(rng).astype(np.float32)
-        _, sym = _pack(A.astype(np.float64), 8)
-        sym = sym.astype(jnp.float32)
-        b = jnp.asarray(rng.standard_normal(A.shape[0]), jnp.float32)
-        xb, ib = fused_bell_cg_solve(sym, b, tol=1e-5, maxiter=300,
-                                     interpret=True)
-        sym_gen = dataclasses.replace(sym, banded=False)
-        xg, ig = fused_bell_cg_solve(sym_gen, b, tol=1e-5, maxiter=300,
-                                     interpret=True)
-        assert int(ib.iterations) == int(ig.iterations)
-        np.testing.assert_allclose(np.asarray(xb), np.asarray(xg), rtol=1e-4,
-                                   atol=1e-6)
-
 
 class TestSolver:
     def test_fused_solve_matches_full_bell(self, rng):
