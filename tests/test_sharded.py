@@ -720,3 +720,131 @@ def test_sharded_batched_dia_block_matches_single_device_blockcg(rng):
         np.testing.assert_allclose(
             np.asarray(X[i, :n]), np.asarray(Xr[i]), rtol=1e-8, atol=1e-9
         )
+
+
+class TestShardedSymBell:
+    """Row-sharded SYMMETRIC blocked-ELL (partition_symbell_rows +
+    sharded_symbell_cg_solve): intra-shard tiles stored once and mirrored
+    locally, cross-shard tiles stored fully — must be iteration-identical
+    to the sharded FULL layout and match the single-device solve."""
+
+    def _setup(self, nx=20):
+        rows, cols, vals, shape = poisson2d_coo(nx)
+        A = CSRMatrix.from_coo(rows, cols, vals, shape)
+        from conjugategradient_tpu.parallel import partition_symbell_rows
+
+        parts = partition_symbell_rows(
+            np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+            shape, N_DEV, bn=8,
+        )
+        n = shape[0]
+        b_pad = jnp.zeros((parts[-1],)).at[:n].set(
+            jnp.asarray(reference_rhs(n))
+        )
+        return A, parts, b_pad, n
+
+    def test_partition_saves_storage(self):
+        A, parts, b_pad, n = self._setup()
+        diag, off, offc, cross, crossr, crossc, n_pad = parts
+        blocks, bcols, _ = partition_csr_rows(
+            np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+            A.shape, N_DEV, bm=8, bn=8,
+        )
+        sym_tiles = diag.size + off.size + cross.size
+        assert sym_tiles < blocks.size
+
+    def test_matches_single_device(self):
+        from conjugategradient_tpu.parallel import sharded_symbell_cg_solve
+
+        A, parts, b_pad, n = self._setup()
+        diag, off, offc, cross, crossr, crossc, n_pad = parts
+        x_ref, i_ref = cg_solve(A, jnp.asarray(reference_rhs(n)), tol=1e-10)
+        x_sh, i_sh = sharded_symbell_cg_solve(
+            diag, off, offc, cross, crossr, crossc, b_pad, tol=1e-10, maxiter=n + 1
+        )
+        assert int(i_sh.iterations) == int(i_ref.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x_sh[:n]), np.asarray(x_ref), rtol=1e-8, atol=1e-9
+        )
+        k = int(i_ref.iterations)
+        h_ref = np.asarray(i_ref.rho_history)[:k]
+        h_sh = np.asarray(i_sh.rho_history)[:k]
+        sel = h_ref > h_ref[0] * 1e-20
+        np.testing.assert_allclose(h_sh[sel], h_ref[sel], rtol=1e-4)
+
+    def test_matches_sharded_full_layout(self):
+        from conjugategradient_tpu.parallel import sharded_symbell_cg_solve
+
+        A, parts, b_pad, n = self._setup()
+        diag, off, offc, cross, crossr, crossc, n_pad = parts
+        blocks, bcols, _ = partition_csr_rows(
+            np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+            A.shape, N_DEV, bm=8, bn=8,
+        )
+        x_f, i_f = sharded_cg_solve(
+            jnp.asarray(blocks), jnp.asarray(bcols), b_pad,
+            tol=1e-10, maxiter=n + 1,
+        )
+        x_s, i_s = sharded_symbell_cg_solve(
+            diag, off, offc, cross, crossr, crossc, b_pad, tol=1e-10, maxiter=n + 1
+        )
+        assert int(i_s.iterations) == int(i_f.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x_s[:n]), np.asarray(x_f[:n]), rtol=1e-9, atol=1e-10
+        )
+
+    def test_jacobi_pcg(self):
+        from conjugategradient_tpu.parallel import sharded_symbell_cg_solve
+        from conjugategradient_tpu import jacobi_preconditioner
+
+        A, parts, b_pad, n = self._setup()
+        diag, off, offc, cross, crossr, crossc, n_pad = parts
+        inv_d = np.ones((n_pad,))
+        inv_d[:n] = 1.0 / np.asarray(A.diagonal())
+        x_ref, i_ref = cg_solve(
+            A, jnp.asarray(reference_rhs(n)), tol=1e-10,
+            M=jacobi_preconditioner(A),
+        )
+        x_sh, i_sh = sharded_symbell_cg_solve(
+            diag, off, offc, cross, crossr, crossc, b_pad, tol=1e-10, maxiter=n + 1,
+            inv_diag=jnp.asarray(inv_d),
+        )
+        assert int(i_sh.iterations) == int(i_ref.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x_sh[:n]), np.asarray(x_ref), rtol=1e-8, atol=1e-9
+        )
+
+    def test_pipelined_and_sstep(self):
+        from conjugategradient_tpu.parallel import sharded_symbell_cg_solve
+
+        A, parts, b_pad, n = self._setup(nx=12)
+        diag, off, offc, cross, crossr, crossc, n_pad = parts
+        x_ref, i_ref = cg_solve(A, jnp.asarray(reference_rhs(n)), tol=1e-10)
+        for kw in ({"method": "pipelined"}, {"method": "sstep", "s": 1}):
+            x_sh, i_sh = sharded_symbell_cg_solve(
+                diag, off, offc, cross, crossr, crossc, b_pad, tol=1e-10,
+                maxiter=n + 1, **kw,
+            )
+            assert int(i_sh.iterations) == int(i_ref.iterations), kw
+            np.testing.assert_allclose(
+                np.asarray(x_sh[:n]), np.asarray(x_ref), rtol=1e-7,
+                atol=1e-8, err_msg=str(kw),
+            )
+
+    def test_restart_matches_single_device_restart(self):
+        from conjugategradient_tpu.parallel import sharded_symbell_cg_solve
+
+        A, parts, b_pad, n = self._setup(nx=12)
+        diag, off, offc, cross, crossr, crossc, n_pad = parts
+        x_ref, i_ref = cg_solve(
+            A, jnp.asarray(reference_rhs(n)), tol=1e-8,
+            recompute_r_every=10,
+        )
+        x_sh, i_sh = sharded_symbell_cg_solve(
+            diag, off, offc, cross, crossr, crossc, b_pad, tol=1e-8,
+            maxiter=n + 1, recompute_r_every=10,
+        )
+        assert int(i_sh.iterations) == int(i_ref.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x_sh[:n]), np.asarray(x_ref), rtol=1e-8, atol=1e-9
+        )
