@@ -207,6 +207,34 @@ def sym_bell_spmv(a, x: jax.Array) -> jax.Array:
     return y.astype(out_dtype)
 
 
+def sym_bell_spmv_multi(a, X: jax.Array) -> jax.Array:
+    """Multi-RHS symmetric blocked-ELL SpMV: ``Y[:, j] = A @ X[:, j]``.
+
+    Same storage amortization as :func:`sym_bell_spmv` (each upper tile
+    streamed ONCE, applied as B and Bᵀ) multiplied by the multi-RHS
+    amortization of :func:`bell_spmv_multi` (the tile stream is shared by
+    all R lanes): the (bm, bn) × (bn, R) products are real MXU work and
+    the mirror contributions scatter at block granularity per lane batch.
+    """
+    n, _ = a.shape
+    np_, mp = a.padded_shape
+    R = X.shape[1]
+    Xp = X if mp == X.shape[0] else jnp.pad(X, ((0, mp - X.shape[0]), (0, 0)))
+    x3d = Xp.reshape(mp // a.bn, a.bn, R)
+    out_dtype = jnp.promote_types(a.dtype, X.dtype)
+    acc = _acc(out_dtype)
+    kw = dict(
+        preferred_element_type=acc, precision=jax.lax.Precision.HIGHEST
+    )
+    qd = jnp.einsum("rmn,rnB->rmB", a.diag_blocks, x3d, **kw)
+    qu = jnp.einsum("rkmn,rknB->rmB", a.off_blocks, x3d[a.off_cols], **kw)
+    v = jnp.einsum("rkmn,rmB->rknB", a.off_blocks, x3d, **kw)
+    qt = jnp.zeros((x3d.shape[0], a.bn, R), acc).at[
+        a.off_cols.reshape(-1)
+    ].add(v.reshape(-1, a.bn, R))
+    return (qd + qu + qt).reshape(-1, R)[:n].astype(out_dtype)
+
+
 def bell_spmv_multi(a: BlockedEllMatrix, X: jax.Array) -> jax.Array:
     """Multi-RHS blocked-ELL SpMV: ``Y[:, j] = A @ X[:, j]`` in one pass.
 

@@ -33,7 +33,13 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..types import BlockedEllMatrix, DIAMatrix, SellMatrix, as_linear_operator
+from ..types import (
+    BlockedEllMatrix,
+    DIAMatrix,
+    SellMatrix,
+    SymBellMatrix,
+    as_linear_operator,
+)
 from .cg import CGInfo, cg_solve
 from .restart import while_with_periodic_restart
 
@@ -83,10 +89,17 @@ def _lockstep_ops(op, M, inv_diag):
     preconditioner objects for same-shaped operators hit the jit cache);
     any other traceable per-vector apply passes as the static ``M`` and is
     vmapped over the R columns."""
-    from ..ops.spmv import bell_spmv_multi, dia_spmv_multi, sell_spmv_multi
+    from ..ops.spmv import (
+        bell_spmv_multi,
+        dia_spmv_multi,
+        sell_spmv_multi,
+        sym_bell_spmv_multi,
+    )
 
     if isinstance(op, BlockedEllMatrix):
         matvec_multi = lambda X: bell_spmv_multi(op, X)
+    elif isinstance(op, SymBellMatrix):
+        matvec_multi = lambda X: sym_bell_spmv_multi(op, X)
     elif isinstance(op, SellMatrix):
         matvec_multi = lambda X: sell_spmv_multi(op, X)
     else:
@@ -263,7 +276,7 @@ def batched_cg_init(
     ``solver.checkpoint.save_state``.
     """
     op = as_linear_operator(A, n=n, dtype=getattr(B, "dtype", None))
-    if not isinstance(op, (BlockedEllMatrix, SellMatrix, DIAMatrix)):
+    if not isinstance(op, (BlockedEllMatrix, SymBellMatrix, SellMatrix, DIAMatrix)):
         raise TypeError(
             "batched_cg_init needs a lockstep-capable operator "
             f"(BlockedEll/SELL/DIA), got {type(op).__name__}"
@@ -406,7 +419,9 @@ def cg_solve_batched(
     # .inv_diag) pass their diagonal DYNAMICALLY so fresh preconditioner
     # objects for same-shaped operators hit the jit cache (no retrace)
     inv_diag = getattr(M, "inv_diag", None)
-    use_lockstep = isinstance(op, (BlockedEllMatrix, SellMatrix, DIAMatrix))
+    use_lockstep = isinstance(
+        op, (BlockedEllMatrix, SymBellMatrix, SellMatrix, DIAMatrix)
+    )
     if use_lockstep and isinstance(op, DIAMatrix) and op.offsets:
         # dia_spmv_multi is the XLA padded-slice formulation; at stencil-
         # scale offsets (≥1024) that formulation collapses on TPU and the

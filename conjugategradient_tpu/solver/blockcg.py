@@ -45,7 +45,13 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..types import BlockedEllMatrix, DIAMatrix, SellMatrix, as_linear_operator
+from ..types import (
+    BlockedEllMatrix,
+    DIAMatrix,
+    SellMatrix,
+    SymBellMatrix,
+    as_linear_operator,
+)
 from .batched import _lockstep_ops
 from .cg import CGInfo
 from .restart import while_with_periodic_restart
@@ -92,7 +98,7 @@ class BlockCGState:
 def _block_ops(op, M):
     """(matvec_multi, precond, with_m) — the lockstep fast paths for
     BlockedEll/SELL/DIA, a column-vmapped matvec for everything else."""
-    if isinstance(op, (BlockedEllMatrix, SellMatrix, DIAMatrix)):
+    if isinstance(op, (BlockedEllMatrix, SymBellMatrix, SellMatrix, DIAMatrix)):
         return _lockstep_ops(op, M, None)
     mv = jax.vmap(op.matvec, in_axes=1, out_axes=1)
     if M is not None:

@@ -276,3 +276,44 @@ class TestSolver:
                                nrb * bm, 1)
         assert fused_supported(sym_ok, dtype=jnp.float32, interpret=True)
         assert not fused_supported(sym_ok, dtype=jnp.float64, interpret=True)
+
+
+class TestMultiRHS:
+    def test_spmv_multi_matches_dense(self, rng):
+        from conjugategradient_tpu.ops.spmv import sym_bell_spmv_multi
+
+        A = _random_block_sym(rng)
+        _, sym = _pack(A, 8)
+        X = rng.standard_normal((A.shape[0], 5))
+        Y = np.asarray(sym_bell_spmv_multi(sym, jnp.asarray(X)))
+        np.testing.assert_allclose(Y, A @ X, rtol=1e-12)
+
+    def test_cg_solve_batched_lockstep(self, rng):
+        from conjugategradient_tpu import cg_solve, cg_solve_batched
+
+        A = _random_block_sym(rng, nrb=8)
+        _, sym = _pack(A, 8)
+        n = A.shape[0]
+        B = jnp.asarray(rng.standard_normal((3, n)))
+        X, info = cg_solve_batched(sym, B, tol=1e-10)
+        for i in range(3):
+            x_i, inf_i = cg_solve(sym, B[i], tol=1e-10)
+            assert int(info.iterations[i]) == int(inf_i.iterations)
+            np.testing.assert_allclose(
+                np.asarray(X[i]), np.asarray(x_i), rtol=1e-8, atol=1e-10
+            )
+
+    def test_block_cg(self, rng):
+        from conjugategradient_tpu import block_cg_solve
+
+        A = _random_block_sym(rng, nrb=8)
+        bell, sym = _pack(A, 8)
+        n = A.shape[0]
+        B = jnp.asarray(rng.standard_normal((3, n)))
+        Xs, i_s = block_cg_solve(sym, B, tol=1e-10)
+        Xf, i_f = block_cg_solve(bell, B, tol=1e-10)
+        for i in range(3):
+            assert int(i_s.iterations[i]) == int(i_f.iterations[i])
+            np.testing.assert_allclose(
+                np.asarray(Xs[i]), np.asarray(Xf[i]), rtol=1e-7, atol=1e-9
+            )
