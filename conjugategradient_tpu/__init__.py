@@ -41,6 +41,10 @@ from .solver import (
     cg_step,
     expected_step_count,
     implicit_cg_solve,
+    DeflationBasis,
+    deflated_cg_solve,
+    make_deflation_basis,
+    harvest_deflation_basis,
     block_jacobi_preconditioner,
     jacobi_preconditioner,
     memory_footprint,
@@ -75,6 +79,10 @@ __all__ = [
     "cg_step",
     "expected_step_count",
     "implicit_cg_solve",
+    "DeflationBasis",
+    "deflated_cg_solve",
+    "make_deflation_basis",
+    "harvest_deflation_basis",
     "block_jacobi_preconditioner",
     "jacobi_preconditioner",
     "memory_footprint",

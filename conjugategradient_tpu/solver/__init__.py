@@ -18,6 +18,14 @@ from .cg import (
     memory_footprint,
 )
 from .checkpoint import load_state, run_cg, save_state
+from .deflated import (
+    DeflationBasis,
+    basis_quality,
+    deflated_cg_solve,
+    deflation_basis_from_vectors,
+    harvest_deflation_basis,
+    make_deflation_basis,
+)
 from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
 from .pipelined import pipelined_cg_solve
@@ -40,6 +48,12 @@ __all__ = [
     "BlockCGState",
     "block_cg_solve",
     "implicit_cg_solve",
+    "DeflationBasis",
+    "deflated_cg_solve",
+    "deflation_basis_from_vectors",
+    "make_deflation_basis",
+    "harvest_deflation_basis",
+    "basis_quality",
     "load_state",
     "run_cg",
     "save_state",

@@ -263,8 +263,10 @@ def _lanczos_tridiag_device(op_arrays, op_static, v0, k: int):
     alphas = jnp.zeros((k,), dtype=dt)
     betas = jnp.zeros((k,), dtype=dt)
     carry = (V, alphas, betas, v, jnp.zeros_like(v), jnp.asarray(0.0, dt))
-    _, alphas, betas, *_ = jax.lax.fori_loop(0, k, body, carry)
-    return alphas, betas
+    V, alphas, betas, *_ = jax.lax.fori_loop(0, k, body, carry)
+    # V rides along for Ritz-VECTOR consumers (solver/deflated.py); the
+    # bounds estimator below ignores it
+    return V, alphas, betas
 
 
 def estimate_spectral_bounds(
@@ -300,7 +302,7 @@ def estimate_spectral_bounds(
         np.random.default_rng(seed).standard_normal(m), dtype=op.dtype
     )
     op_arrays, op_static = jax.tree_util.tree_flatten(op)
-    alphas, betas = _lanczos_tridiag_device(tuple(op_arrays), op_static, v0, k)
+    _, alphas, betas = _lanczos_tridiag_device(tuple(op_arrays), op_static, v0, k)
     alphas = np.asarray(alphas, dtype=np.float64)
     betas = np.asarray(betas, dtype=np.float64)
     # truncate at the first breakdown: Ritz values are exact from there on

@@ -1,0 +1,169 @@
+"""Deflated / recycling CG (solver/deflated.py).
+
+The theory being tested (Saad-Yeung-Erhel-Guyomarc'h 2000): deflating the
+k lowest eigenmodes runs CG at condition λ_max/λ_{k+1}; with exact
+eigenvectors the iteration-count gain follows √κ, with Lanczos/harvested
+Ritz vectors the gain tracks basis quality (basis_quality)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conjugategradient_tpu import (
+    CSRMatrix,
+    DeflationBasis,
+    cg_solve,
+    deflated_cg_solve,
+    jacobi_preconditioner,
+    make_deflation_basis,
+)
+from conjugategradient_tpu.problems import poisson2d_coo, reference_rhs
+from conjugategradient_tpu.solver.deflated import (
+    basis_quality,
+    deflation_basis_from_vectors,
+    harvest_deflation_basis,
+)
+
+
+@pytest.fixture(scope="module")
+def poisson():
+    rows, cols, vals, shape = poisson2d_coo(24)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    b = jnp.asarray(reference_rhs(shape[0]))
+    _, i_plain = cg_solve(A, b, tol=1e-10)
+    return A, b, int(i_plain.iterations)
+
+
+class TestExactDeflation:
+    def test_exact_eigenvectors_cut_iterations(self, poisson):
+        A, b, plain_iters = poisson
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        for k, max_iters in ((12, 70), (24, 58)):
+            basis = deflation_basis_from_vectors(A, jnp.asarray(V[:, :k]))
+            x, info = deflated_cg_solve(A, b, basis, tol=1e-10)
+            assert int(info.iterations) < plain_iters
+            assert int(info.iterations) <= max_iters  # measured 63 / 51
+            resid = float(jnp.linalg.norm(b - A.matvec(x)))
+            assert resid < 1e-8
+            # exact eigenvectors: quality ~ 0
+            assert float(basis_quality(A, basis).max()) < 1e-8
+
+    def test_residual_stays_W_orthogonal(self, poisson):
+        A, b, _ = poisson
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        basis = deflation_basis_from_vectors(A, jnp.asarray(V[:, :8]))
+        x, info = deflated_cg_solve(A, b, basis, tol=1e-10)
+        r = b - A.matvec(x)
+        assert float(jnp.abs(basis.W.T @ r).max()) < 1e-9
+
+    def test_same_solution_as_plain(self, poisson):
+        A, b, _ = poisson
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        basis = deflation_basis_from_vectors(A, jnp.asarray(V[:, :8]))
+        x_d, _ = deflated_cg_solve(A, b, basis, tol=1e-12)
+        x_p, _ = cg_solve(A, b, tol=1e-12)
+        # both recurrences stagnate near the f64 floor (‖x‖ ~ 1e5 here);
+        # compare in the norm that the floor actually bounds
+        rel = float(
+            jnp.linalg.norm(x_d - x_p) / jnp.linalg.norm(x_p)
+        )
+        assert rel < 1e-9, rel
+
+
+class TestLanczosBasis:
+    def test_enough_lanczos_beats_plain(self, poisson):
+        A, b, plain_iters = poisson
+        basis = make_deflation_basis(A, k=12, lanczos_iters=80)
+        x, info = deflated_cg_solve(A, b, basis, tol=1e-10)
+        assert int(info.iterations) < plain_iters  # measured 84 vs 90
+        assert float(jnp.linalg.norm(b - A.matvec(x))) < 1e-8
+
+    def test_quality_improves_with_iters(self, poisson):
+        A, b, _ = poisson
+        q_small = float(
+            basis_quality(A, make_deflation_basis(A, k=8, lanczos_iters=30)).max()
+        )
+        q_big = float(
+            basis_quality(A, make_deflation_basis(A, k=8, lanczos_iters=100)).max()
+        )
+        assert q_big < q_small
+
+    def test_pytree_roundtrip(self, poisson):
+        A, b, _ = poisson
+        basis = make_deflation_basis(A, k=4, lanczos_iters=20)
+        leaves, treedef = jax.tree_util.tree_flatten(basis)
+        b2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert b2.k == basis.k
+
+
+class TestRecycling:
+    def test_harvested_basis_speeds_second_solve(self, poisson):
+        """The recycling workflow: harvest from a solve on b1, deflate a
+        solve on an unrelated b2 — fewer iterations than plain CG."""
+        A, b, _ = poisson
+        n = A.shape[0]
+        b2 = jnp.asarray(np.random.default_rng(3).standard_normal(n))
+        _, i_plain2 = cg_solve(A, b2, tol=1e-10)
+        basis = harvest_deflation_basis(A, b, k=12, m=80)
+        x2, i2 = deflated_cg_solve(A, b2, basis, tol=1e-10)
+        assert int(i2.iterations) < int(i_plain2.iterations)  # 83 vs 94
+        assert float(jnp.linalg.norm(b2 - A.matvec(x2))) < 1e-8
+
+    def test_harvest_matches_lanczos_tridiagonal(self, poisson):
+        """The CG-coefficient tridiagonal must reproduce Lanczos Ritz
+        values — same Krylov space, same T."""
+        A, b, _ = poisson
+        basis_h = harvest_deflation_basis(A, b, k=6, m=40)
+        # the harvested Ritz values (Rayleigh quotients of W columns)
+        W = np.asarray(basis_h.W)
+        Ad = np.asarray(A.to_dense())
+        theta_h = np.sort(np.diag(W.T @ Ad @ W) / np.diag(W.T @ W))
+        # direct Lanczos on the same starting vector b
+        from conjugategradient_tpu.solver.deflated import make_deflation_basis
+
+        basis_l = make_deflation_basis(A, k=6, lanczos_iters=40, v0=b)
+        Wl = np.asarray(basis_l.W)
+        theta_l = np.sort(np.diag(Wl.T @ Ad @ Wl) / np.diag(Wl.T @ Wl))
+        np.testing.assert_allclose(theta_h, theta_l, rtol=1e-6)
+
+    def test_early_convergence_truncates(self):
+        """Harvest m beyond exact convergence must not NaN the basis."""
+        n = 24
+        rng = np.random.default_rng(0)
+        Q = rng.standard_normal((n, n))
+        A = CSRMatrix.from_dense(jnp.asarray(Q @ Q.T + n * np.eye(n)))
+        b = jnp.asarray(rng.standard_normal(n))
+        basis = harvest_deflation_basis(A, b, k=4, m=n)  # m = n > iters
+        assert bool(jnp.all(jnp.isfinite(basis.W)))
+        x, info = deflated_cg_solve(A, b, basis, tol=1e-12)
+        assert float(jnp.linalg.norm(b - A.matvec(x))) < 1e-8
+
+
+class TestComposition:
+    def test_with_jacobi(self, poisson):
+        A, b, _ = poisson
+        M = jacobi_preconditioner(A)
+        _, i_pcg = cg_solve(A, b, tol=1e-10, M=M)
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        basis = deflation_basis_from_vectors(A, jnp.asarray(V[:, :12]))
+        x, i_d = deflated_cg_solve(A, b, basis, tol=1e-10, M=M)
+        assert float(jnp.linalg.norm(b - A.matvec(x))) < 1e-8
+        assert int(i_d.iterations) < int(i_pcg.iterations)
+
+    def test_warm_start(self, poisson):
+        A, b, _ = poisson
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        basis = deflation_basis_from_vectors(A, jnp.asarray(V[:, :8]))
+        x0, _ = deflated_cg_solve(A, b, basis, tol=1e-4)
+        x, info = deflated_cg_solve(A, b, basis, x0=x0, tol=1e-10)
+        x_cold, info_cold = deflated_cg_solve(A, b, basis, tol=1e-10)
+        assert int(info.iterations) < int(info_cold.iterations)
+        assert float(jnp.linalg.norm(b - A.matvec(x))) < 1e-8
+
+    def test_bad_k_raises(self, poisson):
+        A, b, _ = poisson
+        with pytest.raises(ValueError, match="k"):
+            make_deflation_basis(A, k=50, lanczos_iters=10)
+        with pytest.raises(ValueError, match="k"):
+            harvest_deflation_basis(A, b, k=50, m=10)

@@ -60,7 +60,10 @@ class TestFromCooDuplicates:
         a = CSRMatrix.from_coo(rows, cols, vals, (n, n))
         dt = time.perf_counter() - t0
         assert float(jnp.sum(a.data)) == pytest.approx(m)
-        assert dt < 5.0, f"duplicate summing took {dt:.1f}s — loop regressed?"
+        # vectorized path: ~0.1-1 s; the old per-duplicate Python loop:
+        # 30+ s.  20 s keeps the discriminant while surviving a loaded
+        # machine (5 s flaked when chip benches shared the box).
+        assert dt < 20.0, f"duplicate summing took {dt:.1f}s — loop regressed?"
 
 
 class TestBulkMtxParse:
