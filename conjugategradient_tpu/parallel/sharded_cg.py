@@ -291,6 +291,97 @@ def _local_symbell_matvec(diag_s, off_s, offcols_s, cross_s, crossrows_s,
     return q.reshape(-1).astype(out_dtype)
 
 
+def make_mesh_2d(p: int, devices=None,
+                 axes: Tuple[str, str] = ("rp", "cp")) -> Mesh:
+    """A p×p 2-D device mesh (the 2-D block decomposition's substrate)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if devices.size < p * p:
+        raise ValueError(f"need {p * p} devices for a {p}x{p} mesh, "
+                         f"have {devices.size}")
+    return Mesh(devices.reshape(-1)[: p * p].reshape(p, p), axes)
+
+
+def partition_csr_blocks_2d(
+    data: np.ndarray,
+    indices: np.ndarray,
+    indptr: np.ndarray,
+    shape: Tuple[int, int],
+    p: int,
+    bm: int = 128,
+    bn: int = 128,
+):
+    """Split host CSR into a p×p grid of blocked-ELL blocks (2-D
+    decomposition): device (i, j) owns rows [i·S, (i+1)·S) × cols
+    [j·S, (j+1)·S) with LOCAL column indices.
+
+    The 2-D SpMV replaces the 1-D scheme's all_gather of the whole
+    operand (n bytes into every device) with a mesh TRANSPOSE ppermute
+    (n/p bytes) plus a psum of the partial products over the column axis
+    (n/p bytes) — per-device collective bytes drop from n to 2n/p, the
+    classic 2-D sparse decomposition (the scaling-book shape for
+    matrices whose column footprint spans every shard, where no ring
+    halo exists).  Use the 1-D ring (DIA) for banded operators instead;
+    kmax here is homogenized over ALL p² blocks, so banded patterns pay
+    empty-block padding.
+
+    Returns ``(blocks (p, p, nrb, kmax, bm, bn), block_cols (p, p, nrb,
+    kmax) LOCAL, n_padded)`` — feed to :func:`sharded_cg_solve_2d`.
+    """
+    n, ncols = shape
+    if n != ncols:
+        raise ValueError(f"2-D decomposition needs a square system, got {shape}")
+    if bm != bn:
+        raise ValueError("2-D decomposition needs square tiles (stripes "
+                         "serve as both row and column ranges)")
+    stripe = _cdiv(_cdiv(n, p), bm) * bm
+    n_padded = stripe * p
+
+    data = np.asarray(data)
+    indices = np.asarray(indices, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+
+    bells = []
+    for i in range(p):
+        r0 = min(i * stripe, n)
+        r1 = min((i + 1) * stripe, n)
+        lo, hi = indptr[r0], indptr[r1]
+        rows_l = (
+            np.repeat(np.arange(r0, r1), np.diff(indptr[r0 : r1 + 1])) - r0
+        )
+        cols_g = indices[lo:hi]
+        vals = data[lo:hi]
+        row_of = []
+        for j in range(p):
+            c0 = j * stripe
+            sel = (cols_g >= c0) & (cols_g < c0 + stripe)
+            rows_s, cols_s, vals_s = rows_l[sel], cols_g[sel] - c0, vals[sel]
+            counts = np.bincount(rows_s, minlength=stripe)
+            sub_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(
+                np.int64
+            )
+            order = np.lexsort((cols_s, rows_s))
+            row_of.append(
+                BlockedEllMatrix.from_csr_host(
+                    vals_s[order], cols_s[order], sub_indptr,
+                    (stripe, stripe), bm=bm, bn=bn,
+                )
+            )
+        bells.append(row_of)
+
+    nrb = stripe // bm
+    kmax = max(b.kmax for row in bells for b in row)
+    dt = np.asarray(bells[0][0].blocks).dtype
+    blocks = np.zeros((p, p, nrb, kmax, bm, bn), dtype=dt)
+    block_cols = np.zeros((p, p, nrb, kmax), dtype=np.int32)
+    for i in range(p):
+        for j in range(p):
+            bb = np.asarray(bells[i][j].blocks)
+            bc = np.asarray(bells[i][j].block_cols)
+            blocks[i, j, :, : bb.shape[1]] = bb
+            block_cols[i, j, :, : bc.shape[1]] = bc
+    return blocks, block_cols, n_padded
+
+
 def partition_dia_rows(
     diags: np.ndarray,
     shape: Tuple[int, int],
@@ -1375,6 +1466,127 @@ def sharded_symbell_cg_solve(
             put(b), put(x0)]
     if with_m:
         args.append(put(inv_diag))
+
+    x, k, done, rho, rnorm, hist = solve_jit(*args)
+    info = CGInfo(
+        iterations=k,
+        converged=done & ~jnp.isnan(rnorm),
+        rho=rho,
+        rnorm_sq=rnorm,
+        rho_history=hist,
+    )
+    return x, info
+
+
+def sharded_cg_solve_2d(
+    blocks,
+    block_cols,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    tol: float = 0.0,
+    maxiter: Optional[int] = None,
+    inv_diag: Optional[jax.Array] = None,
+    method: str = "standard",
+    recompute_r_every: int = 0,
+    s: int = 4,
+    rcond: Optional[float] = None,
+):
+    """(P)CG on a p×p 2-D block decomposition of A.
+
+    Device (i, j) owns block A_ij (:func:`partition_csr_blocks_2d`); all
+    vectors live as ROW pieces (piece i on mesh row i, replicated along
+    the column axis).  Per SpMV: ONE mesh-transpose ``ppermute`` moves
+    piece j to device (i, j) (n/p bytes) and ONE ``psum`` over the
+    column axis reduces the partial products (n/p bytes) — versus the
+    1-D scheme's n-byte all_gather into every device.  Dot products
+    psum over the row axis only (pieces are replicated along columns).
+    The loop itself is the SAME per-shard machinery as every 1-D
+    front-end (_sharded_pcg / pipelined / sstep), so restart, Jacobi-PCG
+    and the communication-avoiding methods compose unchanged.
+
+    ``mesh``: a ("rp", "cp") p×p mesh (default: :func:`make_mesh_2d`
+    over ⌊√n_devices⌋²).  Returns ``(x, CGInfo)``.
+    """
+    if mesh is None:
+        p = int(np.sqrt(len(jax.devices())))
+        mesh = make_mesh_2d(max(p, 1))
+    rp_ax, cp_ax = mesh.axis_names
+    p = mesh.devices.shape[0]
+    assert mesh.devices.shape == (p, p), mesh.devices.shape
+    assert blocks.shape[:2] == (p, p), (blocks.shape, p)
+    n_padded = int(b.shape[0])
+    bn = int(blocks.shape[-1])
+    nrb = int(blocks.shape[2])
+    maxiter = int(n_padded + 1 if maxiter is None else maxiter)
+    tol_arr = jnp.asarray(tol, dtype=b.dtype)
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    with_m = inv_diag is not None
+    recompute_r_every = int(recompute_r_every)
+    s_eff, rcond_eff = _resolve_single_rhs_method(
+        method, with_m, recompute_r_every, s, rcond, b.dtype
+    )
+    transpose_perm = [
+        (a * p + c, c * p + a) for a in range(p) for c in range(p)
+    ]
+
+    key = ("bell2d", _mesh_key(mesh), maxiter, float(tol), with_m, bn,
+           str(b.dtype), method, recompute_r_every, s_eff, rcond_eff)
+    solve_jit = _cache_get(key)
+    if solve_jit is None:
+        def solve_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
+            blocks_ij = blocks_s[0, 0]
+            cols_ij = cols_s[0, 0]
+
+            def local_matvec(v_row):
+                # mesh transpose: device (i, j) trades its row piece i
+                # for piece j — the SpMV operand for block A_ij
+                v_col = jax.lax.ppermute(
+                    v_row, (rp_ax, cp_ax), transpose_perm
+                )
+                q_part = _local_bell_matvec(
+                    blocks_ij, cols_ij, v_col.reshape(-1, bn)
+                )
+                # partial products reduce along the block row
+                return jax.lax.psum(q_part, cp_ax)
+
+            if method == "pipelined":
+                return _sharded_pipelined_cg(
+                    local_matvec, b_s, x0_s, tol_arr, maxiter, rp_ax
+                )
+            if method == "sstep":
+                return _sharded_sstep_cg(
+                    local_matvec, b_s, x0_s, tol_arr, maxiter, rp_ax,
+                    s_eff, rcond_eff,
+                )
+            return _sharded_pcg(
+                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter,
+                rp_ax, recompute_r_every=recompute_r_every,
+            )
+
+        n_op = 5 if with_m else 4
+        in_specs = [P(rp_ax, cp_ax), P(rp_ax, cp_ax)] + [P(rp_ax)] * (
+            n_op - 2
+        )
+        solve_jit = jax.jit(shard_map(
+            solve_shard,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(rp_ax), P(), P(), P(), P(), P()),
+            check_vma=False,
+        ))
+        _cache_put(key, solve_jit)
+
+    put_op = lambda a: jax.device_put(
+        a, NamedSharding(mesh, P(rp_ax, cp_ax))
+    )
+    put_v = lambda a: jax.device_put(a, NamedSharding(mesh, P(rp_ax)))
+    args = [put_op(jnp.asarray(blocks)), put_op(jnp.asarray(block_cols)),
+            put_v(b), put_v(x0)]
+    if with_m:
+        args.append(put_v(inv_diag))
 
     x, k, done, rho, rnorm, hist = solve_jit(*args)
     info = CGInfo(

@@ -162,3 +162,43 @@ def test_dia_sstep_matrix_powers_kernel_collectives():
         f"the MPK basis must exchange ONE s*w-wide halo per block "
         f"(2 ppermutes), got {cp}"
     )
+
+
+def test_2d_decomposition_no_allgather():
+    """The 2-D block decomposition's whole point: NO n-byte all-gather in
+    the loop body — one n/p mesh-transpose permute + the q-partial psum
+    (plus standard CG's two dot psums)."""
+    from conjugategradient_tpu.parallel import (
+        make_mesh_2d,
+        partition_csr_blocks_2d,
+        sharded_cg_solve_2d,
+    )
+
+    rows, cols, vals, shape = poisson2d_coo(16)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    blocks, bcols, n_pad = partition_csr_blocks_2d(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, 2, bm=8, bn=8,
+    )
+    n = shape[0]
+    b = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        jnp.asarray(reference_rhs(n, dtype=np.float32))
+    )
+    mesh = make_mesh_2d(2)
+    sc._SOLVE_CACHE.clear()
+    sharded_cg_solve_2d(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, mesh=mesh,
+        tol=0.0, maxiter=4,
+    )
+    ((key, fn),) = list(sc._SOLVE_CACHE.items())
+    put_op = lambda a: jax.device_put(a, NamedSharding(mesh, P("rp", "cp")))
+    put_v = lambda a: jax.device_put(a, NamedSharding(mesh, P("rp")))
+    args = [put_op(jnp.asarray(blocks)), put_op(jnp.asarray(bcols)),
+            put_v(b), put_v(jnp.zeros_like(b))]
+    txt = fn.lower(*args).compile().as_text()
+    sc._SOLVE_CACHE.clear()
+    ar, ag = _while_body_collectives(txt)
+    ar2, cp = _body_permutes(txt)
+    assert ag == 0, f"2-D loop must not all-gather, got {ag}"
+    assert cp == 1, f"one mesh-transpose permute per iteration, got {cp}"
+    assert ar == 3, f"q-partial psum + 2 dot psums, got {ar}"

@@ -848,3 +848,85 @@ class TestShardedSymBell:
         np.testing.assert_allclose(
             np.asarray(x_sh[:n]), np.asarray(x_ref), rtol=1e-8, atol=1e-9
         )
+
+
+class TestSharded2D:
+    """p×p 2-D block decomposition (partition_csr_blocks_2d +
+    sharded_cg_solve_2d): mesh-transpose ppermute + column-axis psum
+    replace the 1-D all_gather; must be iteration-identical to the
+    single-device solve."""
+
+    def _setup(self, nx=20, p=2):
+        from conjugategradient_tpu.parallel import (
+            make_mesh_2d,
+            partition_csr_blocks_2d,
+        )
+
+        rows, cols, vals, shape = poisson2d_coo(nx)
+        A = CSRMatrix.from_coo(rows, cols, vals, shape)
+        blocks, bcols, n_pad = partition_csr_blocks_2d(
+            np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+            shape, p, bm=8, bn=8,
+        )
+        n = shape[0]
+        b = jnp.zeros((n_pad,)).at[:n].set(jnp.asarray(reference_rhs(n)))
+        return A, blocks, bcols, b, n, make_mesh_2d(p)
+
+    def test_matches_single_device(self):
+        from conjugategradient_tpu.parallel import sharded_cg_solve_2d
+
+        A, blocks, bcols, b, n, mesh = self._setup()
+        x_ref, i_ref = cg_solve(A, jnp.asarray(reference_rhs(n)), tol=1e-10)
+        x, info = sharded_cg_solve_2d(
+            blocks, bcols, b, mesh=mesh, tol=1e-10, maxiter=n + 1
+        )
+        assert int(info.iterations) == int(i_ref.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x[:n]), np.asarray(x_ref), rtol=1e-8, atol=1e-9
+        )
+        k = int(i_ref.iterations)
+        h_ref = np.asarray(i_ref.rho_history)[:k]
+        h = np.asarray(info.rho_history)[:k]
+        sel = h_ref > h_ref[0] * 1e-20
+        np.testing.assert_allclose(h[sel], h_ref[sel], rtol=1e-4)
+
+    def test_jacobi_and_methods(self):
+        from conjugategradient_tpu import jacobi_preconditioner
+        from conjugategradient_tpu.parallel import sharded_cg_solve_2d
+
+        A, blocks, bcols, b, n, mesh = self._setup(nx=14)
+        n_pad = int(b.shape[0])
+        inv_d = np.ones((n_pad,))
+        inv_d[:n] = 1.0 / np.asarray(A.diagonal())
+        x_ref, i_ref = cg_solve(
+            A, jnp.asarray(reference_rhs(n)), tol=1e-10,
+            M=jacobi_preconditioner(A),
+        )
+        x, info = sharded_cg_solve_2d(
+            blocks, bcols, b, mesh=mesh, tol=1e-10, maxiter=n + 1,
+            inv_diag=jnp.asarray(inv_d),
+        )
+        assert int(info.iterations) == int(i_ref.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x[:n]), np.asarray(x_ref), rtol=1e-8, atol=1e-9
+        )
+        x_plain, i_plain = cg_solve(A, jnp.asarray(reference_rhs(n)),
+                                    tol=1e-10)
+        for kw in ({"method": "pipelined"}, {"method": "sstep", "s": 1}):
+            x_m, i_m = sharded_cg_solve_2d(
+                blocks, bcols, b, mesh=mesh, tol=1e-10, maxiter=n + 1, **kw
+            )
+            assert int(i_m.iterations) == int(i_plain.iterations), kw
+            np.testing.assert_allclose(
+                np.asarray(x_m[:n]), np.asarray(x_plain), rtol=1e-7,
+                atol=1e-8, err_msg=str(kw),
+            )
+
+    def test_partition_rejects_rect(self):
+        from conjugategradient_tpu.parallel import partition_csr_blocks_2d
+
+        with pytest.raises(ValueError, match="square"):
+            partition_csr_blocks_2d(
+                np.ones(1), np.zeros(1, np.int64), np.array([0, 1, 1]),
+                (2, 3), 2,
+            )
