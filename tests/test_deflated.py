@@ -167,3 +167,23 @@ class TestComposition:
             make_deflation_basis(A, k=50, lanczos_iters=10)
         with pytest.raises(ValueError, match="k"):
             harvest_deflation_basis(A, b, k=50, m=10)
+
+
+class TestTesterFlag:
+    def test_deflate_flag_solves_and_rejects_combos(self, capsys):
+        import pathlib
+        import tester
+
+        mtx = str(pathlib.Path(__file__).resolve().parent.parent
+                  / "problems" / "poisson2d_34.mtx")
+        rc = tester.main([mtx, "--deflate", "8", "--tol", "1e-8"])
+        assert rc == 0
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        parts = line.split()
+        assert len(parts) == 4 and int(parts[0]) == 1156
+        assert float(parts[3]) < 1e-10
+
+        rc = tester.main([mtx, "--deflate", "8", "--nrhs", "2"])
+        assert rc == 2
+        rc = tester.main([mtx, "--deflate", "8", "--method", "sstep"])
+        assert rc == 2
