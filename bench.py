@@ -79,17 +79,8 @@ def _hbm_peak_gbps() -> float:
     return _HBM_PEAK_GBPS.get(kind, 819.0)
 
 
-def block_tridiag_bell(n: int, bm: int, bn: int, dtype):
-    """Block-tridiagonal SPD operator directly in blocked-ELL form.
-
-    Dense (bm, bn) tiles: SPD diagonally-dominant diagonal tiles, symmetric
-    off-diagonal couplings.  kmax = 3 with zero padding waste — measures the
-    kernel's streaming speed at its layout-best.
-    """
-    import jax.numpy as jnp
-
-    from conjugategradient_tpu.types import BlockedEllMatrix
-
+def _block_tridiag_np(n: int, bm: int, bn: int):
+    """Host-side tiles of the bench's block-tridiagonal SPD operator."""
     assert bm == bn, "square tiles for this generator"
     nrb = n // bm
     rng = np.random.default_rng(0)
@@ -111,12 +102,41 @@ def block_tridiag_bell(n: int, bm: int, bn: int, dtype):
             blocks[i, k] = off
             block_cols[i, k] = i + 1
             k += 1
-    nnz = nrb * 3 * bm * bn
+    return blocks, block_cols, nrb * 3 * bm * bn
+
+
+def block_tridiag_bell(n: int, bm: int, bn: int, dtype):
+    """Block-tridiagonal SPD operator directly in blocked-ELL form.
+
+    Dense (bm, bn) tiles: SPD diagonally-dominant diagonal tiles, symmetric
+    off-diagonal couplings.  kmax = 3 with zero padding waste — measures the
+    kernel's streaming speed at its layout-best.
+    """
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.types import BlockedEllMatrix
+
+    blocks, block_cols, nnz = _block_tridiag_np(n, bm, bn)
     return BlockedEllMatrix(
         jnp.asarray(blocks, dtype=dtype),
         jnp.asarray(block_cols),
         (n, n),
         nnz,
+    )
+
+
+def block_tridiag_sym_bell(n: int, bm: int, bn: int, dtype):
+    """The same operator in SYMMETRIC blocked-ELL storage, packed entirely
+    host-side (np.asarray of a multi-GB device tile stream runs at
+    ~26 MB/s — never round-trip through the device at bench scale)."""
+    from conjugategradient_tpu.types import SymBellMatrix
+
+    blocks, block_cols, nnz = _block_tridiag_np(n, bm, bn)
+    if np.dtype(dtype) != np.float32:
+        blocks = blocks.astype(dtype)
+    return SymBellMatrix._pack_np(
+        blocks, block_cols.astype(np.int64), (n, n), (n, n), nnz,
+        check=False,
     )
 
 
@@ -256,7 +276,6 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
         stream_roofline_gbps,
     )
 
-    full = block_tridiag_bell(n, 128, 128, jnp.float32)
     b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
     tol_arr = jnp.asarray(0.0, jnp.float32)
 
@@ -267,7 +286,7 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
     from conjugategradient_tpu.types import BlockedEllMatrix, SymBellMatrix
 
     if storage == "sym":
-        a = SymBellMatrix.from_bell(full, check=False)
+        a = block_tridiag_sym_bell(n, 128, 128, jnp.float32)
         shape_static, nnz_static = a.shape, a.nnz
         fk_static, banded_static = a.full_kmax, a.banded
 
@@ -277,7 +296,7 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
 
         op_args = (a.diag_blocks, a.off_blocks, a.off_cols)
     else:
-        a = full
+        a = block_tridiag_bell(n, 128, 128, jnp.float32)
         shape_static, nnz_static = a.shape, a.nnz
 
         def make_a(blocks, cols):

@@ -129,17 +129,14 @@ def load_matrix(
         )
     elif layout == "symbell":
         # symmetric storage needs square tiles (the transpose application
-        # swaps tile axes); use bn x bn
+        # swaps tile axes); use bn x bn.  Packs host-side end-to-end
+        # (from_csr_host) — no device round-trip — with the symmetry check
+        # ON so a non-symmetric general file fails loudly here
         from ..types import SymBellMatrix
 
-        bell = BlockedEllMatrix.from_csr_host(
-            data.astype(dtype), indices, indptr, shape, bm=bn, bn=bn
+        op = SymBellMatrix.from_csr_host(
+            data.astype(dtype), indices, indptr, shape, bn=bn, check=True
         )
-        # the .mtx ingest expanded symmetric storage (or the file was
-        # general); from_bell(check=True) would re-verify tile-by-tile in
-        # O(tiles) numpy — cheap relative to parse, keep it on so a
-        # non-symmetric general file fails loudly here
-        op = SymBellMatrix.from_bell(bell, check=True)
     elif layout == "dia":
         op = DIAMatrix.from_csr_host(
             data.astype(dtype), indices, indptr, shape

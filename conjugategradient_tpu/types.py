@@ -281,7 +281,7 @@ class BlockedEllMatrix(LinearOperator):
         return cls(blocks, block_cols, aux[0], aux[1])
 
     @staticmethod
-    def from_csr_host(
+    def _pack_host_arrays(
         data: np.ndarray,
         indices: np.ndarray,
         indptr: np.ndarray,
@@ -289,11 +289,14 @@ class BlockedEllMatrix(LinearOperator):
         bm: int = 128,
         bn: int = 128,
         dtype=None,
-    ) -> "BlockedEllMatrix":
-        """Host-side CSR -> blocked-ELL conversion (done once at ingest).
+    ):
+        """CSR -> blocked-ELL as NUMPY arrays: ``(blocks, block_cols, nnz)``.
 
-        Uses the native C++ packer (native/ell_pack.cpp) when built — an
-        O(nnz) single pass — else a vectorizable NumPy fallback.
+        The packing core of :meth:`from_csr_host`, exposed so consumers
+        that repack further on the host (SymBellMatrix) never round-trip
+        through device arrays — ``np.asarray`` of a multi-GB jax array
+        measured 26 MB/s (91 s for a 2.4 GB tile stream), dwarfing the
+        pack itself.
         """
         n, ncols = shape
         nrb = _cdiv(n, bm)
@@ -312,9 +315,7 @@ class BlockedEllMatrix(LinearOperator):
                 blocks, block_cols, _ = _native.ell_pack_native(
                     data, indices, indptr, shape, bm, bn, dtype=data.dtype
                 )
-                return BlockedEllMatrix(
-                    jnp.asarray(blocks), jnp.asarray(block_cols), (n, ncols), nnz
-                )
+                return blocks, np.asarray(block_cols, np.int32), nnz
 
         # NumPy fallback, O(nnz log nnz): sort entries by (row-block,
         # col-block) once, find each row-block's distinct col-blocks from the
@@ -351,8 +352,29 @@ class BlockedEllMatrix(LinearOperator):
             (rb, slot, row_ids - rb * bm, indices - cb * bn),
             data,
         )
+        return blocks, block_cols, nnz
+
+    @staticmethod
+    def from_csr_host(
+        data: np.ndarray,
+        indices: np.ndarray,
+        indptr: np.ndarray,
+        shape: Tuple[int, int],
+        bm: int = 128,
+        bn: int = 128,
+        dtype=None,
+    ) -> "BlockedEllMatrix":
+        """Host-side CSR -> blocked-ELL conversion (done once at ingest).
+
+        Uses the native C++ packer (native/ell_pack.cpp) when built — an
+        O(nnz) single pass — else a vectorizable NumPy fallback.
+        """
+        blocks, block_cols, nnz = BlockedEllMatrix._pack_host_arrays(
+            data, indices, indptr, shape, bm=bm, bn=bn, dtype=dtype
+        )
         return BlockedEllMatrix(
-            jnp.asarray(blocks), jnp.asarray(block_cols), (n, ncols), nnz
+            jnp.asarray(blocks), jnp.asarray(block_cols),
+            (shape[0], shape[1]), nnz,
         )
 
     @staticmethod
@@ -506,57 +528,102 @@ class SymBellMatrix(LinearOperator):
     def from_bell(bell: "BlockedEllMatrix", check: bool = True) -> "SymBellMatrix":
         """Repack a full blocked-ELL operator into symmetric storage.
 
-        Host-side, O(tiles).  ``check=True`` verifies each dropped lower
-        tile equals the transpose of its stored upper mirror (one pass over
-        the tile stream) — pass ``check=False`` for ingest paths that
-        already guarantee symmetry (e.g. the MatrixMarket reader's
-        symmetric expansion).
+        Host-side, O(tiles), fully vectorized.  ``check=True`` verifies
+        each dropped lower tile equals the transpose of its stored upper
+        mirror (one pass over the tile stream) — pass ``check=False`` for
+        ingest paths that already guarantee symmetry (e.g. the
+        MatrixMarket reader's symmetric expansion).
+
+        Note: ``bell`` holds DEVICE arrays, and pulling a multi-GB tile
+        stream back to numpy is slow (measured 26 MB/s); at scale, ingest
+        via :meth:`from_csr_host`, which packs host-side end-to-end.
         """
-        blocks = np.asarray(bell.blocks)
-        cols = np.asarray(bell.block_cols)
+        return SymBellMatrix._pack_np(
+            np.asarray(bell.blocks),
+            np.asarray(bell.block_cols).astype(np.int64),
+            bell.padded_shape, bell.shape, bell.nnz, check,
+        )
+
+    @staticmethod
+    def from_csr_host(
+        data: np.ndarray,
+        indices: np.ndarray,
+        indptr: np.ndarray,
+        shape: Tuple[int, int],
+        bn: int = 128,
+        dtype=None,
+        check: bool = True,
+    ) -> "SymBellMatrix":
+        """Host-side CSR -> symmetric blocked-ELL, no device round-trips.
+
+        Packs to full blocked-ELL in numpy (native C++ packer when built)
+        and repacks symmetric before anything touches the device — the
+        at-scale ingest path (from_bell on a device-resident 2.4 GB
+        operator paid 91 s just converting back to numpy).
+        """
+        blocks, block_cols, nnz = BlockedEllMatrix._pack_host_arrays(
+            data, indices, indptr, shape, bm=bn, bn=bn, dtype=dtype
+        )
+        nrb = blocks.shape[0]
+        padded = (nrb * bn, _cdiv(shape[1], bn) * bn)
+        return SymBellMatrix._pack_np(
+            blocks, block_cols.astype(np.int64), padded, shape, nnz, check
+        )
+
+    @staticmethod
+    def _pack_np(blocks, cols, padded_shape, shape, nnz, check):
         nrb, kmax, bm, bn = blocks.shape
         if bm != bn:
             raise ValueError(f"symmetric layout needs square tiles, got {bm}x{bn}")
-        np_, mp = bell.padded_shape
+        np_, mp = padded_shape
         if np_ != mp:
-            raise ValueError(f"symmetric layout needs a square system, got {bell.shape}")
+            raise ValueError(f"symmetric layout needs a square system, got {shape}")
+        # fully vectorized repack: per-slot classification by (col vs row),
+        # zero-tile detection in one pass — the per-tile Python loop this
+        # replaces dominated 1.5M-row ingest
+        rows_idx = np.arange(nrb, dtype=np.int64)[:, None]  # (nrb, 1)
+        nonzero = blocks.reshape(nrb, kmax, -1).any(axis=2)  # (nrb, kmax)
         diag = np.zeros((nrb, bm, bn), dtype=blocks.dtype)
-        upper: list = [[] for _ in range(nrb)]
-        uppers: dict = {}
-        lowers: dict = {}
-        for i in range(nrb):
-            for k in range(kmax):
-                c = int(cols[i, k])
-                blk = blocks[i, k]
-                if c == i:
-                    diag[i] += blk
-                elif c > i:
-                    upper[i].append((c, blk))
-                    if check:
-                        uppers[(i, c)] = blk
-                else:
-                    if blk.any():  # silent-zero padding tiles are not mirrors
-                        if check:
-                            lowers[(c, i)] = blk
+        for k in range(kmax):  # kmax is small; nrb axis vectorized
+            sel = cols[:, k] == rows_idx[:, 0]
+            diag[sel] += blocks[sel, k]
+        up_mask = (cols > rows_idx) & nonzero
+        lo_mask = (cols < rows_idx) & nonzero
+        u_r, u_k = np.nonzero(up_mask)
         if check:
-            for key in set(uppers) | set(lowers):
-                u = uppers.get(key)
-                lo = lowers.get(key)
-                if u is None:
-                    u = np.zeros_like(lo.T)
-                if lo is None:
-                    lo = np.zeros_like(u.T)
-                if not np.allclose(u, lo.T):
-                    raise ValueError(f"tile {key} is not symmetric")
-        ku = max(max((len(u) for u in upper), default=1), 1)
+            l_r, l_k = np.nonzero(lo_mask)
+            u_keys = u_r * nrb + cols[u_r, u_k]
+            # lower tile at (row, col) mirrors upper (col, row)
+            l_keys = cols[l_r, l_k] * nrb + l_r
+            ou, ol = np.argsort(u_keys), np.argsort(l_keys)
+            if len(u_keys) != len(l_keys) or not np.array_equal(
+                u_keys[ou], l_keys[ol]
+            ):
+                only = set(u_keys.tolist()) ^ set(l_keys.tolist())
+                key = sorted(only)[0]
+                raise ValueError(
+                    f"tile ({key // nrb}, {key % nrb}) is not symmetric "
+                    "(nonzero on one side of the diagonal only)"
+                )
+            U = blocks[u_r[ou], u_k[ou]]
+            L = blocks[l_r[ol], l_k[ol]]
+            if not np.allclose(U, np.swapaxes(L, 1, 2)):
+                bad = np.nonzero(
+                    ~np.isclose(U, np.swapaxes(L, 1, 2)).all(axis=(1, 2))
+                )[0][0]
+                key = int(u_keys[ou][bad])
+                raise ValueError(
+                    f"tile ({key // nrb}, {key % nrb}) is not symmetric"
+                )
+        counts = up_mask.sum(axis=1)
+        ku = max(int(counts.max()) if len(counts) else 1, 1)
+        slot = np.cumsum(up_mask, axis=1) - 1  # slot within row, valid at mask
         off_blocks = np.zeros((nrb, ku, bm, bn), dtype=blocks.dtype)
         off_cols = np.tile(
             np.arange(nrb, dtype=np.int32)[:, None], (1, ku)
         )  # padding points at own row (zero tiles: inert both ways)
-        for i, tiles in enumerate(upper):
-            for k, (c, blk) in enumerate(tiles):
-                off_blocks[i, k] = blk
-                off_cols[i, k] = c
+        off_blocks[u_r, slot[u_r, u_k]] = blocks[u_r, u_k]
+        off_cols[u_r, slot[u_r, u_k]] = cols[u_r, u_k].astype(np.int32)
         banded = bool(
             ku == 1
             and nrb > 1
@@ -569,8 +636,8 @@ class SymBellMatrix(LinearOperator):
             jnp.asarray(diag),
             jnp.asarray(off_blocks),
             jnp.asarray(off_cols),
-            bell.shape,
-            bell.nnz,
+            shape,
+            nnz,
             kmax,
             banded,
         )
