@@ -132,8 +132,10 @@ def block_tridiag_sym_bell(n: int, bm: int, bn: int, dtype):
     from conjugategradient_tpu.types import SymBellMatrix
 
     blocks, block_cols, nnz = _block_tridiag_np(n, bm, bn)
-    if np.dtype(dtype) != np.float32:
-        blocks = blocks.astype(dtype)
+    # cast explicitly: relying on jnp.asarray's x64-disabled downcast would
+    # hand an f64 operator to fused_supported under jax_enable_x64 (and the
+    # bench would silently fall back to the unfused path)
+    blocks = blocks.astype(np.dtype(dtype))
     return SymBellMatrix._pack_np(
         blocks, block_cols.astype(np.int64), (n, n), (n, n), nnz,
         check=False,

@@ -783,10 +783,8 @@ def _sharded_block_cg(
     return X.T, k, done, jnp.diagonal(rho), rnorm, hist.T
 
 
-def _default_rcond(dtype) -> float:
-    """solver/blockcg.py's dtype-adaptive Gram cutoff."""
-    dt = jnp.promote_types(dtype, jnp.float32)
-    return 1e-10 if dt == jnp.dtype(jnp.float64) else 1e-4
+# Gram cutoff ladder: the one copy lives in solver/blockcg.py
+_default_rcond = _sstep_default_rcond
 
 
 def _batched_loop(method: str, recompute_r_every: int, rcond: float):
@@ -903,7 +901,9 @@ def _pcg_replace_fn(
 
     def replace(c):
         k, done, x, r, p, rho, rnorm, hist = c
-        mask = (~done) & (k < maxiter) & (k % recompute_r_every == 0)
+        # no `k < maxiter` term — capping on a boundary still replaces
+        # the reported residual with the true one (solver/cg.py)
+        mask = (~done) & (k % recompute_r_every == 0)
         r_true = b_s - local_matvec(x)
         rnorm_t = pdot(r_true, r_true)
         z_t = precond(r_true)
@@ -2229,11 +2229,14 @@ def _generic_sharded_run(
     tol_arr = jnp.asarray(tol, dtype=state.x.dtype)
     nop = len(op_arrays)
 
-    key = (f"{kind}-run", _mesh_key(mesh), axis, maxiter, limit, float(tol),
+    # ``limit`` rides as a DYNAMIC replicated scalar: a static limit would
+    # recompile the whole shard_map program every chunk (limit = k + steps
+    # moves each call)
+    key = (f"{kind}-run", _mesh_key(mesh), axis, maxiter, float(tol),
            with_m, with_b, extra_key, str(state.x.dtype), recompute_r_every)
     run_jit = _cache_get(key)
     if run_jit is None:
-        def run_shard(*args_s):
+        def run_shard(limit_s, *args_s):
             op_shards = [a[0] for a in args_s[:nop]]
             i = nop
             b_s = args_s[i] if with_b else None
@@ -2247,14 +2250,15 @@ def _generic_sharded_run(
                                       recompute_r_every)
 
             def cond(c):
-                return (c[0] < limit) & (~c[1])
+                return (c[0] < limit_s) & (~c[1])
 
             return while_with_periodic_restart(
                 cond, body, replace, recompute_r_every, lambda c: c[0], carry
             )
 
         in_specs = (
-            [P(axis)] * nop
+            [P()]
+            + [P(axis)] * nop
             + ([P(axis)] if with_b else [])
             + ([P(axis)] if with_m else [])
             + list(_STATE_SPECS(axis))
@@ -2271,7 +2275,8 @@ def _generic_sharded_run(
     put = lambda a, spec=P(axis): jax.device_put(
         jnp.asarray(a), NamedSharding(mesh, spec)
     )
-    args = [put(a) for a in op_arrays]
+    args = [put(jnp.asarray(limit, jnp.int32), P())]
+    args.extend(put(a) for a in op_arrays)
     if with_b:
         args.append(put(b))
     if with_m:

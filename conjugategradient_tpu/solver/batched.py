@@ -82,6 +82,21 @@ class BatchedCGState:
         return cls(*children)
 
 
+def _dia_multi_collapses(op) -> bool:
+    """True when dia_spmv_multi's XLA padded-slice formulation would
+    collapse: TPU backend and any |offset| >= 1024 — the single-RHS auto
+    policy flees to the Pallas windowed kernel there (6.7x,
+    docs/performance.md).  One shared gate for every multi-RHS consumer
+    (cg_solve_batched, batched_cg_init, block_cg_solve)."""
+    if not (isinstance(op, DIAMatrix) and op.offsets):
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        backend = "cpu"
+    return backend == "tpu" and max(abs(o) for o in op.offsets) >= 1024
+
+
 def _lockstep_ops(op, M, inv_diag):
     """(matvec_multi, precond, with_m) for the lockstep loop.
 
@@ -102,6 +117,10 @@ def _lockstep_ops(op, M, inv_diag):
         matvec_multi = lambda X: sym_bell_spmv_multi(op, X)
     elif isinstance(op, SellMatrix):
         matvec_multi = lambda X: sell_spmv_multi(op, X)
+    elif _dia_multi_collapses(op):
+        # column-vmapped single-RHS matvec: each lane rides the Pallas
+        # windowed DIA kernel instead of the collapsed multi formulation
+        matvec_multi = jax.vmap(op.matvec, in_axes=1, out_axes=1)
     else:
         matvec_multi = lambda X: dia_spmv_multi(op, X)
     if inv_diag is not None:
@@ -186,7 +205,9 @@ def _lockstep_replace(matvec_multi, precond, with_m, Bt, maxiter,
     R = Bt.shape[1]
 
     def replace(s: BatchedCGState) -> BatchedCGState:
-        active = (~s.done) & (s.k < maxiter)
+        # no `k < maxiter` term — capping on a boundary still replaces
+        # the reported residual with the true one (solver/cg.py)
+        active = ~s.done
         restart = active & (s.k % recompute_r_every == 0)
         Rt = Bt - matvec_multi(s.X)
         rnorm_t = _dot_cols(Rt, Rt)
@@ -335,18 +356,20 @@ def run_batched_cg(
     if B is None:  # body closes over Bt only for restarts
         B = jnp.zeros_like(state.X.T)
     return _batched_run_core(
-        tuple(op_arrays), op_static, state, B, tol_arr, maxiter, limit,
+        tuple(op_arrays), op_static, state, B, tol_arr, maxiter,
+        jnp.asarray(limit, jnp.int32),
         None if inv_diag is not None else M, inv_diag, recompute_r_every,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("op_static", "maxiter", "limit", "M",
-                     "recompute_r_every"),
+    static_argnames=("op_static", "maxiter", "M", "recompute_r_every"),
 )
 def _batched_run_core(op_arrays, op_static, state, B, tol_arr, maxiter,
                       limit, M, inv_diag, recompute_r_every):
+    # ``limit`` is a DYNAMIC operand: a static limit would recompile the
+    # whole loop every chunk of a chunked drive (limit = k + steps moves)
     op = jax.tree_util.tree_unflatten(op_static, op_arrays)
     matvec_multi, precond, with_m = _lockstep_ops(op, M, inv_diag)
     body = _lockstep_body(matvec_multi, precond, with_m, B.T, tol_arr,
@@ -422,18 +445,11 @@ def cg_solve_batched(
     use_lockstep = isinstance(
         op, (BlockedEllMatrix, SymBellMatrix, SellMatrix, DIAMatrix)
     )
-    if use_lockstep and isinstance(op, DIAMatrix) and op.offsets:
-        # dia_spmv_multi is the XLA padded-slice formulation; at stencil-
-        # scale offsets (≥1024) that formulation collapses on TPU and the
-        # single-RHS auto policy flees to the Pallas windowed kernel (6.7×,
-        # docs/performance.md) — keep those operators on the vmap fallback
-        # so every lane rides the fast kernel
-        try:
-            backend = jax.default_backend()
-        except Exception:  # pragma: no cover
-            backend = "cpu"
-        if backend == "tpu" and max(abs(o) for o in op.offsets) >= 1024:
-            use_lockstep = False
+    if use_lockstep and _dia_multi_collapses(op):
+        # the whole-batch vmap fallback beats a collapsed lockstep loop;
+        # callers that NEED the lockstep carry (batched_cg_init,
+        # block_cg_solve) get the column-vmapped matvec via _lockstep_ops
+        use_lockstep = False
     if use_lockstep:
         mi = int(op.shape[0] + 1 if maxiter is None else maxiter)
         op_arrays, op_static = jax.tree_util.tree_flatten(op)

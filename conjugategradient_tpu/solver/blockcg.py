@@ -59,6 +59,15 @@ from .restart import while_with_periodic_restart
 _HI = jax.lax.Precision.HIGHEST
 
 
+def default_gram_rcond(dtype) -> float:
+    """Dtype-adaptive Gram-pseudoinverse cutoff — THE one copy of the
+    measured ladder (1e-10 in f64; 1e-4 in f32/bf16, where tighter
+    cutoffs stall or diverge on rounding noise — see block_cg_solve's
+    rcond docstring).  sstep and the sharded front-ends import this."""
+    dt = jnp.promote_types(dtype, jnp.float32)
+    return 1e-10 if dt == jnp.dtype(jnp.float64) else 1e-4
+
+
 def _spd_pinv_apply(W: jax.Array, Y: jax.Array, rcond: float) -> jax.Array:
     """W^+ Y for a (near-)SPD R x R Gram matrix via eigh with a relative
     eigenvalue cutoff — zero (not infinite) response along dead directions."""
@@ -179,7 +188,9 @@ def _block_replace(matvec_multi, precond, with_m, maxiter, Bt,
 
     def replace(s: BlockCGState) -> BlockCGState:
         R = s.X.shape[1]
-        active = (~s.done) & (s.k < maxiter)
+        # no `k < maxiter` term — capping on a boundary still replaces
+        # the reported residual with the true one (solver/cg.py)
+        active = ~s.done
         fire = jnp.any(active) & (
             jnp.max(jnp.where(active, s.k, 0)) % recompute_r_every == 0
         )
@@ -293,8 +304,7 @@ def block_cg_solve(
     if X0 is None:
         X0 = jnp.zeros_like(B)
     if rcond is None:
-        dt = jnp.promote_types(B.dtype, jnp.float32)
-        rcond = 1e-10 if dt == jnp.dtype(jnp.float64) else 1e-4
+        rcond = default_gram_rcond(B.dtype)
     mi = int(op.shape[0] + 1 if maxiter is None else maxiter)
     op_arrays, op_static = jax.tree_util.tree_flatten(op)
     return _block_cg_core(

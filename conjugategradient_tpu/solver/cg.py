@@ -512,7 +512,10 @@ def _cg_solve_core_impl(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
         # Runs OUTSIDE the hot body (solver/restart.py: a lax.cond here
         # cost ~40% of the iteration on TPU even when never taken);
         # masked so a non-boundary or finished-solve call is a no-op.
-        mask = (~s.done) & (s.k < maxiter) & (s.k % recompute_r_every == 0)
+        # no `k < maxiter` term: a solve capping EXACTLY on a restart
+        # boundary still gets its final rnorm/hist replaced with the
+        # true residual — the honesty this feature exists for
+        mask = (~s.done) & (s.k % recompute_r_every == 0)
         r_true = b - op.matvec(s.x)
         rnorm = dot(r_true, r_true)
         z = r_true if M is None else M(r_true)

@@ -288,11 +288,8 @@ def _deflated_core(op_arrays, op_static, basis, b, x0, tol_arr, maxiter, M):
     carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
              x, r, p, rho0, rnorm0, hist, x, rnorm0)
 
-    def cond(c):
-        return (c[0] < maxiter) & (~c[1])
-
     def body(c):
-        k, done, x, r, p, rho, rnorm, hist, x_best, rnorm_min = c
+        k, done, x, r, p, rho, rnorm, hist, x_best, rnorm_min, divg = c
         q = op.matvec(p)
         pap = pdot(p, q)
         exact = rho == 0
@@ -307,8 +304,9 @@ def _deflated_core(op_arrays, op_static, basis, b, x0, tol_arr, maxiter, M):
         # cap.  Plain CG merely stagnates there; the deflated loop must
         # STOP.  1e6 on ‖r‖² = 1000× in norm over the running best —
         # far above any healthy CG transient.
-        diverged = rnorm > 1e6 * rnorm_min
-        done = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr) | diverged
+        tol_met = jnp.sqrt(rnorm) <= tol_arr
+        diverged = (rnorm > 1e6 * rnorm_min) & ~tol_met
+        done = jnp.isnan(rnorm) | tol_met | diverged
         z = precond(r)
         rnorm_next = pdot(r, r)
         rho_next = rnorm_next if M is None else pdot(r, z)
@@ -319,17 +317,22 @@ def _deflated_core(op_arrays, op_static, basis, b, x0, tol_arr, maxiter, M):
         better = rnorm_next < rnorm_min
         x_best = jnp.where(better, x, x_best)
         rnorm_min = jnp.where(better, rnorm_next, rnorm_min)
-        return (k, done, x, r, p, rho_next, rnorm_next, hist,
-                x_best, rnorm_min)
+        return (k, done & ~diverged, x, r, p, rho_next, rnorm_next, hist,
+                x_best, rnorm_min, divg | diverged)
 
-    (k, done, x, r, p, rho, rnorm, hist, x_best,
-     rnorm_min) = jax.lax.while_loop(cond, body, carry)
+    carry = carry + (jnp.asarray(False),)
+
+    def cond2(c):
+        return (c[0] < maxiter) & (~c[1]) & (~c[10])
+
+    (k, done, x, r, p, rho, rnorm, hist, x_best, rnorm_min,
+     divg_flag) = jax.lax.while_loop(cond2, body, carry)
     # return the best iterate: identical to the last one on healthy
     # solves, and the pre-divergence solution when the guard fired
     use_best = rnorm_min < rnorm
     x = jnp.where(use_best, x_best, x)
     rnorm_out = jnp.where(use_best, rnorm_min, rnorm)
-    return x, k, done, rho, rnorm_out, hist
+    return x, k, done, rho, rnorm_out, hist, divg_flag
 
 
 def deflated_cg_solve(
@@ -364,12 +367,13 @@ def deflated_cg_solve(
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     op_arrays, op_static = jax.tree_util.tree_flatten(op)
-    x, k, done, rho, rnorm, hist = _deflated_core(
+    x, k, done, rho, rnorm, hist, diverged = _deflated_core(
         tuple(op_arrays), op_static, basis, b, x0, tol_arr, maxiter, M
     )
     info = CGInfo(
         iterations=k,
-        converged=done & ~jnp.isnan(rnorm),
+        # the divergence guard is a FAILURE stop, never a convergence
+        converged=done & ~jnp.isnan(rnorm) & ~diverged,
         rho=rho,
         rnorm_sq=rnorm,
         rho_history=hist,

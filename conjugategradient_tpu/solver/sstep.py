@@ -55,16 +55,14 @@ import jax
 import jax.numpy as jnp
 
 from ..types import as_linear_operator
-from .blockcg import _spd_pinv_apply
+from .blockcg import _spd_pinv_apply, default_gram_rcond
 from .cg import CGInfo
 
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _default_rcond(dtype) -> float:
-    """Gram-pseudoinverse cutoff (solver/blockcg.py's dtype ladder)."""
-    dt = jnp.promote_types(dtype, jnp.float32)
-    return 1e-10 if dt == jnp.dtype(jnp.float64) else 1e-4
+# one measured ladder for every Gram cutoff in the framework
+_default_rcond = default_gram_rcond
 
 
 def _eq_pinv_apply(M: jax.Array, Y: jax.Array, rcond: float) -> jax.Array:
@@ -176,25 +174,32 @@ def make_sstep_loop(
 
         # ν enters exactly where A·R = ν·S does: the S-terms of PᵀW and dr
         RtS = G[iR, iS]
+        # all small-matrix algebra pins precision=HIGHEST: the MXU's
+        # default f32 matmul rounds through bf16, which feeds straight
+        # into the step coefficients (CLAUDE.md precision rule)
+        mm = lambda X, Y: jnp.matmul(X, Y, precision=_HI)
         PtW = (
-            nu * (RtS + B.T @ G[iP, iS])
-            + (G[iR, iW] + B.T @ G[iP, iW]) @ B
+            nu * (RtS + mm(B.T, G[iP, iS]))
+            + mm(G[iR, iW] + mm(B.T, G[iP, iW]), B)
         )
-        Ptr = G[iR, 0] + B.T @ G[iP, 0]
+        Ptr = G[iR, 0] + mm(B.T, G[iP, 0])
         a = _eq_pinv_apply(PtW, Ptr, rcond)  # (s,)
 
         # local skinny updates (row-stacked bases: P = R + BᵀP₋ rowwise)
         R_rows, S_rows = K[:s], K[1:]
-        c_prev = B @ a  # previous-block coefficient of the step
+        c_prev = mm(B, a)  # previous-block coefficient of the step
         dx = jnp.einsum("i,in->n", a, R_rows.astype(acc), precision=_HI)
         dx = dx + jnp.einsum("i,in->n", c_prev, Pb.astype(acc), precision=_HI)
         dr = nu * jnp.einsum("i,in->n", a, S_rows.astype(acc), precision=_HI)
         dr = dr + jnp.einsum("i,in->n", c_prev, Wb.astype(acc), precision=_HI)
         x_new = (x.astype(acc) + dx).astype(x.dtype)
         r_new = (r.astype(acc) - dr).astype(r.dtype)
-        P_new = (R_rows.astype(acc) + B.T @ Pb.astype(acc)).astype(b.dtype)
-        W_new = (nu * S_rows.astype(acc)
-                 + B.T @ Wb.astype(acc)).astype(b.dtype)
+        P_new = (
+            R_rows.astype(acc) + mm(B.T.astype(acc), Pb.astype(acc))
+        ).astype(b.dtype)
+        W_new = (
+            nu * S_rows.astype(acc) + mm(B.T.astype(acc), Wb.astype(acc))
+        ).astype(b.dtype)
 
         # adapt ν so the NEXT block's scaled rows stay O(‖r‖): the observed
         # per-level growth of this block's scaled basis is

@@ -412,6 +412,19 @@ def main(argv=None) -> int:
         }))
     if args.history:
         hist_all = np.asarray(info.rho_history)
+        if args.refine != "off":
+            # CG-IR: info.iterations counts TOTAL INNER work while the
+            # history is the OUTER true-residual trace (one entry per
+            # refinement) — pairing them under the plain keys would read
+            # as a contradictory record, so the refine history is labeled
+            # for what it is
+            hist = np.sqrt(hist_all[np.isfinite(hist_all)])
+            print(json.dumps({
+                "inner_iterations": int(info.iterations),
+                "converged": bool(info.converged),
+                "outer_residual_norms": [float(v) for v in hist],
+            }))
+            return 0
         if hist_all.ndim == 2:  # --nrhs: report lane 0
             k = int(np.asarray(info.iterations)[0])
             hist = np.sqrt(hist_all[0][: k + 1])

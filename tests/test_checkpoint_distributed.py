@@ -267,3 +267,54 @@ def test_sharded_sell_checkpoint_resume_bit_identical(tmp_path):
     x_ck, info_ck = sharded_state_result(state)
     assert int(info_ck.iterations) == int(info_ref.iterations)
     np.testing.assert_array_equal(np.asarray(x_ck), np.asarray(x_ref))
+
+
+def test_chunked_driving_compiles_once():
+    """The chunk limit is a DYNAMIC operand: driving a sharded solve in
+    many chunks must reuse ONE compiled program (a static limit recompiled
+    the whole shard_map per chunk — seconds each at mesh scale)."""
+    import conjugategradient_tpu.parallel.sharded_cg as sc
+    from conjugategradient_tpu.parallel import (
+        partition_csr_rows,
+        sharded_cg_init,
+        sharded_run_cg,
+    )
+
+    rows, cols, vals, shape = poisson2d_coo(12)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    blocks, bcols, n_pad = partition_csr_rows(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, N_DEV, bm=8, bn=8,
+    )
+    n = shape[0]
+    b = jnp.zeros((n_pad,)).at[:n].set(jnp.asarray(reference_rhs(n)))
+    blocks, bcols = jnp.asarray(blocks), jnp.asarray(bcols)
+    state = sharded_cg_init(blocks, bcols, b, maxiter=n + 1)
+    state = sharded_run_cg(blocks, bcols, state, tol=1e-10, steps=5)
+    n_cached = len(sc._SOLVE_CACHE)
+    for steps in (7, 3, 11):
+        state = sharded_run_cg(blocks, bcols, state, tol=1e-10, steps=steps)
+    assert len(sc._SOLVE_CACHE) == n_cached, (
+        "chunked driving must hit the one cached program"
+    )
+    assert int(state.k) == 5 + 7 + 3 + 11
+
+
+def test_batched_chunked_driving_compiles_once(rng):
+    from conjugategradient_tpu.solver import (
+        batched_cg_init,
+        run_batched_cg,
+    )
+    from conjugategradient_tpu.solver.batched import _batched_run_core
+    from conjugategradient_tpu.types import BlockedEllMatrix
+
+    rows, cols, vals, shape = poisson2d_coo(12)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float64)
+    bell = BlockedEllMatrix.from_csr(A, bm=8, bn=8)
+    B = jnp.asarray(rng.standard_normal((2, shape[0])))
+    state = batched_cg_init(bell, B, maxiter=shape[0] + 1)
+    state = run_batched_cg(bell, state, 1e-10, steps=5)
+    n_compiles = _batched_run_core._cache_size()
+    for steps in (7, 3):
+        state = run_batched_cg(bell, state, 1e-10, steps=steps)
+    assert _batched_run_core._cache_size() == n_compiles

@@ -169,6 +169,24 @@ class TestComposition:
             harvest_deflation_basis(A, b, k=50, m=10)
 
 
+class TestDivergenceGuard:
+    def test_unattainable_tol_stops_not_converged_best_x(self, poisson):
+        """tol below the f64 stagnation floor: the projector amplifies
+        rounding noise exponentially past the floor (measured 1.4e-21 →
+        9.6e12 by the cap); the guard must STOP the loop, report
+        converged=False, and return the best iterate, not the diverged
+        one."""
+        A, b, _ = poisson
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        basis = deflation_basis_from_vectors(A, jnp.asarray(V[:, :8]))
+        x, info = deflated_cg_solve(A, b, basis, tol=1e-30)
+        assert not bool(info.converged)
+        assert int(info.iterations) < A.shape[0]  # stopped before the cap
+        # best-iterate return: the solution is still at the f64 floor
+        resid = float(jnp.linalg.norm(b - A.matvec(x)))
+        assert resid < 1e-7, resid
+
+
 class TestTesterFlag:
     def test_deflate_flag_solves_and_rejects_combos(self, capsys):
         import pathlib
