@@ -15,6 +15,7 @@ from conjugategradient_tpu.types import (
     BlockedEllMatrix,
     DIAMatrix,
     SellMatrix,
+    SymBellMatrix,
     _sell_pack_rows,
 )
 
@@ -54,6 +55,7 @@ def test_all_layouts_agree_with_dense(problem):
         SellMatrix.from_csr(csr),
         DIAMatrix.from_csr(csr),
         BlockedEllMatrix.from_csr(csr, bm=4, bn=8),
+        SymBellMatrix.from_csr(csr, bm=4, bn=4),
     ):
         np.testing.assert_allclose(
             np.asarray(op.matvec(xj)), want, rtol=1e-10, atol=1e-10,
