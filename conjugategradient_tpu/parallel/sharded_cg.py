@@ -921,6 +921,116 @@ def _pcg_replace_fn(
     return replace
 
 
+def shard_deflation_basis(basis, n_padded: int, n_shards: int):
+    """Row-shard a solver/deflated.DeflationBasis for the mesh loops.
+
+    Returns ``(W_sh (S, m, k), AW_sh (S, m, k), E_chol (k, k))`` — the
+    tall-skinny factors split like every other vector (zero-padded rows
+    are inert through both applications), the k×k Cholesky factor
+    replicated.
+    """
+    import numpy as np_
+
+    W = np_.asarray(basis.W)
+    AW = np_.asarray(basis.AW)
+    n, k = W.shape
+    m = n_padded // n_shards
+    Wp = np_.zeros((n_padded, k), W.dtype)
+    Wp[:n] = W
+    AWp = np_.zeros((n_padded, k), AW.dtype)
+    AWp[:n] = AW
+    return (
+        Wp.reshape(n_shards, m, k),
+        AWp.reshape(n_shards, m, k),
+        jnp.asarray(basis.E_chol),
+    )
+
+
+def _sharded_deflated_pcg(
+    local_matvec, b_s, x0_s, inv_diag_s, W_s, AW_s, E_chol,
+    tol_arr, maxiter: int, axis: str,
+):
+    """Deflated (P)CG per shard — solver/deflated._deflated_core with the
+    dots and the tall-skinny projector products psum'd over the mesh.
+
+    Per iteration the deflation adds ONE extra (k,)-payload psum (the
+    (AW)ᵀz product) on top of standard CG's two scalar rounds; the k×k
+    triangular solve replicates.  Carries the same divergence guard and
+    best-iterate return as the single-device loop (the projector's E⁻¹
+    amplifies post-stagnation rounding noise exponentially).
+    """
+    from jax.scipy.linalg import cho_solve
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def pdot(u, v):
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
+
+    def psum_vec(v):
+        return jax.lax.psum(v, axis)
+
+    def precond(r):
+        return r if inv_diag_s is None else inv_diag_s * r
+
+    def solve_E(y):
+        return cho_solve((E_chol, True), y)
+
+    def project(z):
+        mu = solve_E(psum_vec(jnp.matmul(AW_s.T, z, precision=hi)))
+        return z - jnp.matmul(W_s, mu, precision=hi)
+
+    # Galerkin initial correction (Wᵀ r₀ = 0)
+    r = b_s - local_matvec(x0_s)
+    mu = solve_E(psum_vec(jnp.matmul(W_s.T, r, precision=hi)))
+    x = x0_s + jnp.matmul(W_s, mu, precision=hi)
+    r = r - jnp.matmul(AW_s, mu, precision=hi)
+
+    z = precond(r)
+    p = project(z)
+    rnorm0 = pdot(r, r)
+    rho0 = rnorm0 if inv_diag_s is None else pdot(r, z)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=rnorm0.dtype)
+    hist = hist.at[0].set(rnorm0)
+    carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             x, r, p, rho0, rnorm0, hist, x, rnorm0, jnp.asarray(False))
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1]) & (~c[10])
+
+    def body(c):
+        k, done, x, r, p, rho, rnorm, hist, x_best, rnorm_min, divg = c
+        q = local_matvec(p)
+        pap = pdot(p, q)
+        exact = rho == 0
+        alpha = jnp.where(exact, 0, rho / jnp.where(exact, 1, pap))
+        x = x + alpha * p
+        r = r - alpha * q
+        tol_met = jnp.sqrt(rnorm) <= tol_arr
+        diverged = (rnorm > 1e6 * rnorm_min) & ~tol_met
+        done = jnp.isnan(rnorm) | tol_met
+        z = precond(r)
+        rnorm_next = pdot(r, r)
+        rho_next = rnorm_next if inv_diag_s is None else pdot(r, z)
+        beta = jnp.where(exact, 0, rho_next / jnp.where(exact, 1, rho))
+        p = project(z) + beta * p
+        k = k + 1
+        hist = hist.at[k].set(rnorm_next)
+        better = rnorm_next < rnorm_min
+        x_best = jnp.where(better, x, x_best)
+        rnorm_min = jnp.where(better, rnorm_next, rnorm_min)
+        return (k, done, x, r, p, rho_next, rnorm_next, hist,
+                x_best, rnorm_min, divg | diverged)
+
+    (k, done, x, r, p, rho, rnorm, hist, x_best, rnorm_min,
+     divg) = jax.lax.while_loop(cond, body, carry)
+    use_best = rnorm_min < rnorm
+    x = jnp.where(use_best, x_best, x)
+    rnorm_out = jnp.where(use_best, rnorm_min, rnorm)
+    # diverged exits report done=False downstream (converged=False)
+    return x, k, done & ~divg, rho, rnorm_out, hist
+
+
 def _sharded_pcg(
     local_matvec: Callable[[jax.Array], jax.Array],
     b_s: jax.Array,
@@ -1241,6 +1351,7 @@ def sharded_cg_solve(
     recompute_r_every: int = 0,
     s: int = 4,
     rcond: Optional[float] = None,
+    basis=None,
 ):
     """Row-sharded (P)CG over a 1-D mesh, blocked-ELL operator.
 
@@ -1275,6 +1386,10 @@ def sharded_cg_solve(
         single-device dispatch) and excludes method="pipelined"/"sstep".
       s / rcond: s-step block size and Gram-pseudoinverse cutoff (None =
         dtype-adaptive); only read when method="sstep".
+      basis: optional solver/deflated.DeflationBasis — runs the DEFLATED
+        per-shard loop (directions A-orthogonal to the basis; one extra
+        (k,)-payload psum per iteration for the projector).  Standard
+        method only; excludes recompute_r_every and the fused path.
 
     Returns (x, CGInfo); x is row-sharded but exposed as a global jax.Array.
     """
@@ -1292,26 +1407,43 @@ def sharded_cg_solve(
     s_eff, rcond_eff = _resolve_single_rhs_method(
         method, with_m, recompute_r_every, s, rcond, b.dtype
     )
+    with_basis = basis is not None
+    if with_basis and (method != "standard" or recompute_r_every):
+        raise ValueError(
+            "deflation (basis=) runs the standard per-shard loop "
+            "(no method=pipelined/sstep, no recompute_r_every)"
+        )
     if use_fused == "always" and recompute_r_every:
         raise ValueError(
             "use_fused='always' has no residual-replacement variant — "
             "restarts run the per-shard XLA path (recompute_r_every=0 "
             "to force fused)"
         )
-    fused = method == "standard" and recompute_r_every == 0 and (
-        use_fused == "always"
-        or (use_fused == "auto"
-            and _fused_shards_supported(blocks, b, with_m, interpret))
+    fused = (
+        method == "standard" and recompute_r_every == 0 and not with_basis
+        and (
+            use_fused == "always"
+            or (use_fused == "auto"
+                and _fused_shards_supported(blocks, b, with_m, interpret))
+        )
     )
 
     key = ("bell", _mesh_key(mesh), axis, maxiter, float(tol), with_m, bn,
            str(b.dtype), fused, interpret, method, recompute_r_every,
-           s_eff, rcond_eff)
+           s_eff, rcond_eff,
+           (basis.k if with_basis else 0))
     solve_jit = _cache_get(key)
     if solve_jit is None:
-        def solve_shard(blocks_s, cols_s, b_s, x0_s, inv_diag_s=None):
+        def solve_shard(blocks_s, cols_s, b_s, x0_s, *rest):
             blocks_s = blocks_s[0]
             cols_s = cols_s[0]
+            i = 0
+            inv_diag_s = None
+            if with_m:
+                inv_diag_s = rest[i]
+                i += 1
+            if with_basis:
+                W_s, AW_s, E_chol_r = rest[i][0], rest[i + 1][0], rest[i + 2]
 
             if fused:
                 return _sharded_fused_cg(
@@ -1323,6 +1455,12 @@ def sharded_cg_solve(
             def local_matvec(v_local):
                 v_full = jax.lax.all_gather(v_local, axis, tiled=True)
                 return _local_bell_matvec(blocks_s, cols_s, v_full.reshape(-1, bn))
+
+            if with_basis:
+                return _sharded_deflated_pcg(
+                    local_matvec, b_s, x0_s, inv_diag_s,
+                    W_s, AW_s, E_chol_r, tol_arr, maxiter, axis,
+                )
 
             if method == "pipelined":
                 return _sharded_pipelined_cg(
@@ -1340,6 +1478,8 @@ def sharded_cg_solve(
             )
 
         in_specs = [P(axis)] * (5 if with_m else 4)
+        if with_basis:
+            in_specs += [P(axis), P(axis), P()]
         solve_jit = jax.jit(shard_map(
             solve_shard,
             mesh=mesh,
@@ -1349,10 +1489,16 @@ def sharded_cg_solve(
         ))
         _cache_put(key, solve_jit)
 
-    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
+    put = lambda a, spec=P(axis): jax.device_put(a, NamedSharding(mesh, spec))
     args = [put(blocks), put(block_cols), put(b), put(x0)]
     if with_m:
         args.append(put(inv_diag))
+    if with_basis:
+        W_sh, AW_sh, E_chol = shard_deflation_basis(
+            basis, n_padded, n_shards
+        )
+        args += [put(jnp.asarray(W_sh)), put(jnp.asarray(AW_sh)),
+                 put(E_chol, P())]
 
     x, k, done, rho, rnorm, hist = solve_jit(*args)
     info = CGInfo(

@@ -205,3 +205,86 @@ class TestTesterFlag:
         assert rc == 2
         rc = tester.main([mtx, "--deflate", "8", "--method", "sstep"])
         assert rc == 2
+
+
+class TestShardedDeflation:
+    """Deflation on the mesh (sharded_cg_solve(basis=...)): one extra
+    (k,)-payload psum per iteration; must be iteration-identical to the
+    single-device deflated loop."""
+
+    N_DEV = 8
+
+    def _setup(self):
+        import jax
+
+        if len(jax.devices()) < self.N_DEV:
+            pytest.skip("needs 8 devices")
+        from conjugategradient_tpu.parallel import partition_csr_rows
+
+        rows, cols, vals, shape = poisson2d_coo(16)
+        A = CSRMatrix.from_coo(rows, cols, vals, shape)
+        n = shape[0]
+        blocks, bcols, n_pad = partition_csr_rows(
+            np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+            shape, self.N_DEV, bm=8, bn=8,
+        )
+        b_pad = jnp.zeros((n_pad,)).at[:n].set(
+            jnp.asarray(reference_rhs(n))
+        )
+        return A, jnp.asarray(blocks), jnp.asarray(bcols), b_pad, n
+
+    def test_matches_single_device(self):
+        from conjugategradient_tpu.parallel import sharded_cg_solve
+
+        A, blocks, bcols, b_pad, n = self._setup()
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        basis = deflation_basis_from_vectors(A, jnp.asarray(V[:, :8]))
+        x1, i1 = deflated_cg_solve(A, jnp.asarray(b_pad[:n]), basis,
+                                   tol=1e-10)
+        x_sh, i_sh = sharded_cg_solve(
+            blocks, bcols, b_pad, tol=1e-10, maxiter=n + 1, basis=basis
+        )
+        assert int(i_sh.iterations) == int(i1.iterations)
+        assert bool(i_sh.converged)
+        np.testing.assert_allclose(
+            np.asarray(x_sh[:n]), np.asarray(x1), rtol=1e-8, atol=1e-9
+        )
+        k = int(i1.iterations)
+        h1 = np.asarray(i1.rho_history)[:k]
+        hs = np.asarray(i_sh.rho_history)[:k]
+        sel = h1 > h1[0] * 1e-20
+        np.testing.assert_allclose(hs[sel], h1[sel], rtol=1e-4)
+
+    def test_with_jacobi(self):
+        from conjugategradient_tpu.parallel import sharded_cg_solve
+
+        A, blocks, bcols, b_pad, n = self._setup()
+        n_pad = int(b_pad.shape[0])
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        basis = deflation_basis_from_vectors(A, jnp.asarray(V[:, :6]))
+        M = jacobi_preconditioner(A)
+        inv_d = np.ones((n_pad,))
+        inv_d[:n] = 1.0 / np.asarray(A.diagonal())
+        x1, i1 = deflated_cg_solve(A, jnp.asarray(b_pad[:n]), basis,
+                                   tol=1e-10, M=M)
+        x_sh, i_sh = sharded_cg_solve(
+            blocks, bcols, b_pad, tol=1e-10, maxiter=n + 1, basis=basis,
+            inv_diag=jnp.asarray(inv_d),
+        )
+        assert int(i_sh.iterations) == int(i1.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x_sh[:n]), np.asarray(x1), rtol=1e-8, atol=1e-9
+        )
+
+    def test_rejects_method_combos(self):
+        from conjugategradient_tpu.parallel import sharded_cg_solve
+
+        A, blocks, bcols, b_pad, n = self._setup()
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        basis = deflation_basis_from_vectors(A, jnp.asarray(V[:, :4]))
+        with pytest.raises(ValueError, match="deflation"):
+            sharded_cg_solve(blocks, bcols, b_pad, basis=basis,
+                             method="pipelined")
+        with pytest.raises(ValueError, match="deflation"):
+            sharded_cg_solve(blocks, bcols, b_pad, basis=basis,
+                             recompute_r_every=5)
