@@ -1531,6 +1531,7 @@ def sharded_symbell_cg_solve(
     recompute_r_every: int = 0,
     s: int = 4,
     rcond: Optional[float] = None,
+    basis=None,
 ):
     """Row-sharded (P)CG on SYMMETRIC blocked-ELL storage.
 
@@ -1543,8 +1544,9 @@ def sharded_symbell_cg_solve(
     all_gather of p plus two psum dots (one for pipelined, one per s for
     sstep) — while streaming up to 2× fewer operator bytes per shard.
 
-    Args mirror :func:`sharded_cg_solve`; the six operator arrays come
-    from :func:`partition_symbell_rows`.  Returns ``(x, CGInfo)``.
+    Args mirror :func:`sharded_cg_solve` (including ``basis=`` for the
+    deflated per-shard loop); the six operator arrays come from
+    :func:`partition_symbell_rows`.  Returns ``(x, CGInfo)``.
     """
     mesh = mesh or make_row_mesh(axis=axis)
     n_shards = mesh.devices.size
@@ -1561,17 +1563,30 @@ def sharded_symbell_cg_solve(
     s_eff, rcond_eff = _resolve_single_rhs_method(
         method, with_m, recompute_r_every, s, rcond, b.dtype
     )
+    with_basis = basis is not None
+    if with_basis and (method != "standard" or recompute_r_every):
+        raise ValueError(
+            "deflation (basis=) runs the standard per-shard loop "
+            "(no method=pipelined/sstep, no recompute_r_every)"
+        )
 
     key = ("symbell", _mesh_key(mesh), axis, maxiter, float(tol), with_m,
            bn, str(b.dtype), interpret, method, recompute_r_every,
-           s_eff, rcond_eff)
+           s_eff, rcond_eff, (basis.k if with_basis else 0))
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(diag_s, off_s, offcols_s, cross_s, crossrows_s,
-                        crosscols_s, b_s, x0_s, inv_diag_s=None):
+                        crosscols_s, b_s, x0_s, *rest):
             diag_s, off_s, offcols_s = diag_s[0], off_s[0], offcols_s[0]
             cross_s, crossrows_s = cross_s[0], crossrows_s[0]
             crosscols_s = crosscols_s[0]
+            i = 0
+            inv_diag_s = None
+            if with_m:
+                inv_diag_s = rest[i]
+                i += 1
+            if with_basis:
+                W_s, AW_s, E_chol_r = rest[i][0], rest[i + 1][0], rest[i + 2]
             base_block = jax.lax.axis_index(axis) * nrb
 
             def local_matvec(v_local):
@@ -1581,6 +1596,11 @@ def sharded_symbell_cg_solve(
                     crosscols_s, v_full.reshape(-1, bn), base_block,
                 )
 
+            if with_basis:
+                return _sharded_deflated_pcg(
+                    local_matvec, b_s, x0_s, inv_diag_s,
+                    W_s, AW_s, E_chol_r, tol_arr, maxiter, axis,
+                )
             if method == "pipelined":
                 return _sharded_pipelined_cg(
                     local_matvec, b_s, x0_s, tol_arr, maxiter, axis
@@ -1596,6 +1616,8 @@ def sharded_symbell_cg_solve(
             )
 
         in_specs = [P(axis)] * (9 if with_m else 8)
+        if with_basis:
+            in_specs += [P(axis), P(axis), P()]
         solve_jit = jax.jit(shard_map(
             solve_shard,
             mesh=mesh,
@@ -1605,13 +1627,19 @@ def sharded_symbell_cg_solve(
         ))
         _cache_put(key, solve_jit)
 
-    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
+    put = lambda a, spec=P(axis): jax.device_put(a, NamedSharding(mesh, spec))
     args = [put(jnp.asarray(diag)), put(jnp.asarray(off)),
             put(jnp.asarray(off_cols)), put(jnp.asarray(cross)),
             put(jnp.asarray(cross_rows)), put(jnp.asarray(cross_cols)),
             put(b), put(x0)]
     if with_m:
         args.append(put(inv_diag))
+    if with_basis:
+        W_sh, AW_sh, E_chol = shard_deflation_basis(
+            basis, n_padded, n_shards
+        )
+        args += [put(jnp.asarray(W_sh)), put(jnp.asarray(AW_sh)),
+                 put(E_chol, P())]
 
     x, k, done, rho, rnorm, hist = solve_jit(*args)
     info = CGInfo(

@@ -288,3 +288,29 @@ class TestShardedDeflation:
         with pytest.raises(ValueError, match="deflation"):
             sharded_cg_solve(blocks, bcols, b_pad, basis=basis,
                              recompute_r_every=5)
+
+    def test_symbell_front_end(self):
+        from conjugategradient_tpu.parallel import (
+            partition_symbell_rows,
+            sharded_symbell_cg_solve,
+        )
+
+        A, blocks, bcols, b_pad, n = self._setup()
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        basis = deflation_basis_from_vectors(A, jnp.asarray(V[:, :8]))
+        parts = partition_symbell_rows(
+            np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+            A.shape, self.N_DEV, bn=8,
+        )
+        diag, off, offc, cross, crossr, crossc, n_pad = parts
+        b2 = jnp.zeros((n_pad,)).at[:n].set(b_pad[:n])
+        x1, i1 = deflated_cg_solve(A, jnp.asarray(b_pad[:n]), basis,
+                                   tol=1e-10)
+        x_sh, i_sh = sharded_symbell_cg_solve(
+            diag, off, offc, cross, crossr, crossc, b2,
+            tol=1e-10, maxiter=n + 1, basis=basis,
+        )
+        assert int(i_sh.iterations) == int(i1.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x_sh[:n]), np.asarray(x1), rtol=1e-8, atol=1e-9
+        )
