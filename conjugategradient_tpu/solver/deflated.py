@@ -224,7 +224,8 @@ def harvest_deflation_basis(
     k: int = 8,
     m: Optional[int] = None,
     n: Optional[int] = None,
-) -> DeflationBasis:
+    return_x: bool = False,
+):
     """Run m CG iterations on ``A x = b`` (x0 = 0) and harvest the k
     lowest Ritz vectors from the iteration's own coefficients — the
     recycling workflow: the first solve of a sequence pays for every
@@ -234,6 +235,11 @@ def harvest_deflation_basis(
     ``m`` defaults to ``max(4k, 2k+20)``.  Quality improves with m like
     Lanczos convergence to the LOW end of the spectrum (slow for
     Poisson-like operators) — check :func:`basis_quality`.
+
+    ``return_x=True`` additionally returns the harvest pass's own m-th
+    iterate ``(basis, x_m)`` — warm-start the FIRST solve with it
+    (``deflated_cg_solve(..., x0=x_m)``) and the harvest iterations are
+    never paid twice.
     """
     import numpy as np
 
@@ -242,7 +248,7 @@ def harvest_deflation_basis(
     if not 0 < k <= m:
         raise ValueError(f"need 0 < k <= m, got k={k}, m={m}")
     op_arrays, op_static = jax.tree_util.tree_flatten(op)
-    V, al, be, _ = _cg_harvest_device(tuple(op_arrays), op_static, b, m)
+    V, al, be, x_m = _cg_harvest_device(tuple(op_arrays), op_static, b, m)
     al = np.asarray(al, np.float64)
     be = np.asarray(be, np.float64)
     # truncate where CG hit exact convergence (alpha frozen at 0)
@@ -259,7 +265,10 @@ def harvest_deflation_basis(
     kk = min(k, mm)
     Yk = jnp.asarray(Y[:, :kk], dtype=V.dtype)
     W = jnp.matmul(V[:mm].T, Yk, precision=_HI).astype(op.dtype)
-    return deflation_basis_from_vectors(op, W)
+    basis = deflation_basis_from_vectors(op, W)
+    if return_x:
+        return basis, x_m.astype(getattr(b, "dtype", x_m.dtype))
+    return basis
 
 
 @functools.partial(

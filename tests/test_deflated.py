@@ -314,3 +314,17 @@ class TestShardedDeflation:
         np.testing.assert_allclose(
             np.asarray(x_sh[:n]), np.asarray(x1), rtol=1e-8, atol=1e-9
         )
+
+
+class TestHarvestWarmStart:
+    def test_harvest_x_warm_starts_first_solve(self, poisson):
+        """return_x=True hands back the harvest pass's own iterate: the
+        first solve warm-started from it needs fewer iterations than a
+        cold deflated solve — the harvest work is never paid twice."""
+        A, b, _ = poisson
+        basis, x_m = harvest_deflation_basis(A, b, k=12, m=80,
+                                             return_x=True)
+        x_cold, i_cold = deflated_cg_solve(A, b, basis, tol=1e-10)
+        x_warm, i_warm = deflated_cg_solve(A, b, basis, x0=x_m, tol=1e-10)
+        assert int(i_warm.iterations) < int(i_cold.iterations)
+        assert float(jnp.linalg.norm(b - A.matvec(x_warm))) < 1e-8
