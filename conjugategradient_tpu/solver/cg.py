@@ -228,10 +228,11 @@ def cg_solve(
         never-recompute semantics (CG.hpp:392).
 
       fused: "auto" (default) dispatches f32 solves on TPU to the
-        two-fused-Pallas-kernel iteration — blocked-ELL (solver/fused.py,
-        incl. Jacobi-PCG when M comes from ``jacobi_preconditioner``) and
-        matrix-free stencil (solver/fused_stencil.py); "never" forces the
-        portable loop; "always" requires a fused-capable operator.
+        two-fused-Pallas-kernel iteration — blocked-ELL and SYMMETRIC
+        blocked-ELL (solver/fused.py, incl. Jacobi-PCG when M comes from
+        ``jacobi_preconditioner``) and matrix-free stencil
+        (solver/fused_stencil.py); "never" forces the portable loop;
+        "always" requires a fused-capable operator.
 
     Note: the whole solve is cached as one compiled program keyed on the
     operator structure/shapes and on ``M``'s identity — reuse the same
