@@ -26,6 +26,7 @@ from .types import (
     SellMatrix,
     StencilOperator,
     SymBellMatrix,
+    SymDIAMatrix,
     as_linear_operator,
 )
 from .solver import (
@@ -65,6 +66,7 @@ __all__ = [
     "SellMatrix",
     "StencilOperator",
     "SymBellMatrix",
+    "SymDIAMatrix",
     "as_linear_operator",
     "CGInfo",
     "CGState",

@@ -141,9 +141,16 @@ def load_matrix(
         op = DIAMatrix.from_csr_host(
             data.astype(dtype), indices, indptr, shape
         )
+    elif layout == "symdia":
+        from ..types import SymDIAMatrix
+
+        full = DIAMatrix.from_csr_host(
+            data.astype(dtype), indices, indptr, shape
+        )
+        op = SymDIAMatrix.from_dia(full, check=True)
     else:
         raise ValueError(
             f"unknown layout {layout!r} "
-            "(want 'auto', 'csr', 'sell', 'bell', 'symbell' or 'dia')"
+            "(want 'auto', 'csr', 'sell', 'bell', 'symbell', 'dia' or 'symdia')"
         )
     return (op, perm) if reorder else op

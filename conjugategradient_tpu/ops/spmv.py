@@ -332,6 +332,34 @@ def dia_spmv(a, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
     return y.astype(jnp.promote_types(a.dtype, x.dtype))
 
 
+def sym_dia_spmv(a, x: jax.Array) -> jax.Array:
+    """Symmetric DIA SpMV: each stored (≥0-offset) diagonal applied twice.
+
+    ``y += diags[d] * shift(x, +k)`` along the stored direction and
+    ``y += shift(diags[d] * x, −k)`` as its mirror — both terms read the
+    diagonal ONCE (XLA keeps it live across the two uses), so the
+    operator stream is the stored half only (types.SymDIAMatrix).  Like
+    :func:`dia_spmv`'s XLA path this is pure shifted multiply-adds: no
+    index arrays, no gathers, one fused streaming pass.
+    """
+    n = a.shape[0]
+    offsets = a.offsets
+    w = max(offsets) if offsets else 0
+    out_dtype = jnp.promote_types(a.dtype, x.dtype)
+    acc = jnp.promote_types(out_dtype, jnp.float32)
+    xa = x.astype(acc)
+    xp = jnp.pad(xa, (w, w)) if w else xa
+    y = jnp.zeros((n,), dtype=acc)
+    for d, off in enumerate(offsets):
+        dv = a.diags[d].astype(acc)
+        y = y + dv * jax.lax.slice(xp, (w + off,), (w + off + n,))
+        if off > 0:
+            # mirror: y[i] += diags[d][i-off] * x[i-off]
+            tp = jnp.pad(dv * xa, (w, w))
+            y = y + jax.lax.slice(tp, (w - off,), (w - off + n,))
+    return y.astype(out_dtype)
+
+
 def dia_spmv_multi(a, X: jax.Array) -> jax.Array:
     """Multi-RHS DIA SpMV: ``Y[:, j] = A @ X[:, j]`` in one pass, X (n, R).
 

@@ -344,7 +344,7 @@ def cg_solve(
     # and pins what fits in VMEM.  Worth a per-operator compile exactly in
     # the production pattern (one A, many b); bounded LRU, big-operator
     # gate (closures ≳400 MB die in remote-compile — CLAUDE.md).
-    from ..types import DIAMatrix
+    from ..types import DIAMatrix, SymDIAMatrix
 
     # the per-operator caches below require a CONCRETE operator AND concrete
     # vectors: under an outer jit/vmap op.diags (or b/x0) is a tracer —
@@ -354,7 +354,12 @@ def cg_solve(
     def _concrete(a):
         return a is None or not isinstance(a, jax.core.Tracer)
 
-    if isinstance(op, DIAMatrix) and _concrete(op.diags):
+    # SymDIAMatrix rides the same constant-closure cache (the compiled
+    # solve is matvec-generic and keys on diags identity + offsets); its
+    # halved constant footprint doubles the reach of the 320 MB gate.
+    # The >320MB pre-blocked upgrade below stays full-DIA only (the
+    # Pallas windowed kernel has no symmetric variant).
+    if isinstance(op, (DIAMatrix, SymDIAMatrix)) and _concrete(op.diags):
         try:
             backend = jax.default_backend()
         except Exception:  # pragma: no cover
@@ -378,6 +383,7 @@ def cg_solve(
             )
         if (
             backend == "tpu"
+            and isinstance(op, DIAMatrix)
             and nbytes > (320 << 20)
             and op.offsets
             and max(abs(o) for o in op.offsets) >= 1024
@@ -460,13 +466,16 @@ def _dia_const_solve(op, b, x0, tol_arr, maxiter, M, recompute_r_every):
         while len(_DIA_CONST_CACHE) > _DIA_CONST_CACHE_MAX:
             _DIA_CONST_CACHE.popitem(last=False)
     def _arg_fallback():
+        from ..types import DIAMatrix as _DIA
+
         o = op
         # same gates as cg_solve's >320MB branch: the blocked copy only pays
         # off where dia_spmv runs the Pallas windowed kernel (offsets >= 1024
         # AND an f32/bf16 operator) — other dtypes take the XLA path, where
         # a pre-blocked copy would be dead HBM weight
         if (
-            o.offsets
+            isinstance(o, _DIA)
+            and o.offsets
             and max(abs(x) for x in o.offsets) >= 1024
             and o.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
         ):

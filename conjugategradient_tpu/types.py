@@ -997,6 +997,142 @@ def _sell_pack_rows(data, indices, indptr, shape, n_shards: int):
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
+class SymDIAMatrix(LinearOperator):
+    """Symmetric DIA: only the offsets ≥ 0 stored — the banded twin of
+    :class:`SymBellMatrix`.
+
+    A symmetric matrix's −k diagonal is its +k diagonal re-indexed
+    (``A[i, i−k] = A[i−k, i] = diags₊ₖ[i−k]``), so storing both halves
+    streams every off-diagonal value twice per SpMV for zero information.
+    This layout keeps ``diags[d, i] = A[i, i + offsets[d]]`` for
+    ``offsets[d] ≥ 0`` only and applies each stored diagonal both ways:
+
+        y += diags[d] * shift(x, +k)          (the stored direction)
+        y += shift(diags[d] * x, −k)          (its mirror — same stream,
+                                               no extra diagonal read)
+
+    Near-2× fewer operator bytes on wide bands ((w/2+1)/(w+1) of the full
+    stream).  Because :func:`~conjugategradient_tpu.cg_solve`'s DIA
+    constant-closure cache is matvec-generic, SymDIA rides it directly —
+    and the halved constant footprint doubles the size reach of the
+    320 MB relay-limit gate (a Flan-class 608 MB full-DIA operator that
+    dies at the relay limit packs to ~304 MB symmetric).
+    """
+
+    diags: jax.Array  # (ndiag_nonneg, n)
+    offsets: Tuple[int, ...]  # static, all >= 0, ascending
+    shape: Tuple[int, int]
+    nnz: int  # true nnz of the FULL (expanded) matrix, static metadata
+
+    def tree_flatten(self):
+        return (self.diags,), (self.offsets, self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @staticmethod
+    def from_dia(dia: "DIAMatrix", check: bool = True) -> "SymDIAMatrix":
+        """Repack a full DIA operator into symmetric storage.
+
+        ``check=True`` verifies each dropped −k diagonal equals its +k
+        mirror re-indexed (vectorized, one pass); a +k diagonal whose −k
+        partner is missing must itself be all-zero outside the overlap.
+        """
+        n, ncols = dia.shape
+        if n != ncols:
+            raise ValueError(f"symmetric layout needs a square system, got {dia.shape}")
+        diags = np.asarray(dia.diags)
+        offs = dia.offsets
+        pos = [d for d, o in enumerate(offs) if o >= 0]
+        by_off = {o: d for d, o in enumerate(offs)}
+        if check:
+            for d, o in enumerate(offs):
+                if o >= 0:
+                    continue
+                k = -o
+                dneg = diags[d]
+                if k in by_off:
+                    dpos = diags[by_off[k]]
+                    # A[i, i−k] = A[i−k, i]: dneg[i] == dpos[i−k] for i >= k
+                    if not (
+                        np.allclose(dneg[k:], dpos[: n - k])
+                        and not dneg[:k].any()
+                    ):
+                        raise ValueError(f"diagonal {o} is not symmetric")
+                elif dneg.any():
+                    raise ValueError(
+                        f"diagonal {o} has no +{k} mirror and is nonzero"
+                    )
+            for d, o in enumerate(offs):
+                if o > 0 and -o not in by_off and diags[d].any():
+                    raise ValueError(
+                        f"diagonal +{o} has no -{o} mirror and is nonzero"
+                    )
+        return SymDIAMatrix(
+            jnp.asarray(diags[pos]),
+            tuple(offs[d] for d in pos),
+            dia.shape,
+            dia.nnz,
+        )
+
+    @staticmethod
+    def from_csr(csr: "CSRMatrix", max_diags: Optional[int] = None,
+                 check: bool = True) -> "SymDIAMatrix":
+        return SymDIAMatrix.from_dia(
+            DIAMatrix.from_csr(csr, max_diags=max_diags), check=check
+        )
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def dtype(self):
+        return self.diags.dtype
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from .ops.spmv import sym_dia_spmv
+
+        return sym_dia_spmv(self, x)
+
+    def diagonal(self) -> jax.Array:
+        if self.offsets and self.offsets[0] == 0:
+            return self.diags[0]
+        return jnp.zeros((self.shape[0],), self.dtype)
+
+    def to_dense(self) -> jax.Array:
+        n = self.shape[0]
+        out = jnp.zeros((n, n), dtype=self.dtype)
+        rows = jnp.arange(n)
+        for d, off in enumerate(self.offsets):
+            cols = rows + off
+            ok = cols < n
+            out = out.at[
+                jnp.where(ok, rows, 0), jnp.where(ok, cols, 0)
+            ].add(jnp.where(ok, self.diags[d], 0))
+            if off > 0:
+                out = out.at[
+                    jnp.where(ok, cols, 0), jnp.where(ok, rows, 0)
+                ].add(jnp.where(ok, self.diags[d], 0))
+        return out
+
+    def memory_footprint(self) -> int:
+        return self.diags.size * self.diags.dtype.itemsize
+
+    def full_diag_bytes(self) -> int:
+        """Bytes the equivalent FULL DIA layout streams per SpMV (each
+        stored off-diagonal serves both halves)."""
+        n_off = sum(1 for o in self.offsets if o > 0)
+        ndiag_full = len(self.offsets) + n_off
+        return ndiag_full * self.shape[0] * self.dtype.itemsize
+
+    def astype(self, dtype) -> "SymDIAMatrix":
+        return dataclasses.replace(self, diags=self.diags.astype(dtype))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
 class SellMatrix(LinearOperator):
     """Degree-bucketed ELL ("sliced-ELL") — the TPU layout for SCATTERED
     sparse matrices, where DIA/blocked-ELL padding explodes and CSR falls

@@ -40,13 +40,15 @@ def main(argv=None) -> int:
     ap.add_argument("--maxiter", type=int, default=None,
                     help="iteration cap (reference: N+1)")
     ap.add_argument("--layout",
-                    choices=("auto", "csr", "sell", "bell", "symbell", "dia"),
+                    choices=("auto", "csr", "sell", "bell", "symbell",
+                             "dia", "symdia"),
                     default="csr",
                     help="device operator layout: auto picks by sparsity "
                          "pattern; bell = blocked-ELL tiles; symbell = "
                          "symmetric blocked-ELL (each off-diagonal tile "
                          "stored once, ~1.5-2x less HBM traffic); dia = "
-                         "diagonal storage (banded fast path)")
+                         "diagonal storage (banded fast path); symdia = "
+                         "symmetric DIA (offsets >= 0 stored once)")
     ap.add_argument("--reorder", action="store_true",
                     help="RCM-reorder the system first (bandwidth reduction; "
                          "the printed metrics are permutation-invariant)")

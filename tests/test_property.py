@@ -16,6 +16,7 @@ from conjugategradient_tpu.types import (
     DIAMatrix,
     SellMatrix,
     SymBellMatrix,
+    SymDIAMatrix,
     _sell_pack_rows,
 )
 
@@ -56,6 +57,7 @@ def test_all_layouts_agree_with_dense(problem):
         DIAMatrix.from_csr(csr),
         BlockedEllMatrix.from_csr(csr, bm=4, bn=8),
         SymBellMatrix.from_csr(csr, bm=4, bn=4),
+        SymDIAMatrix.from_csr(csr),
     ):
         np.testing.assert_allclose(
             np.asarray(op.matvec(xj)), want, rtol=1e-10, atol=1e-10,

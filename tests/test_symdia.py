@@ -1,0 +1,114 @@
+"""Symmetric DIA storage (types.SymDIAMatrix): only the offsets ≥ 0
+stored, each applied along both directions — the banded twin of the
+symmetric blocked-ELL layout.  Must be numerically indistinguishable from
+the full DIA layout: same matvec values, iteration-identical solves, and
+it rides cg_solve's DIA constant-closure dispatch (matvec-generic)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conjugategradient_tpu import CSRMatrix, DIAMatrix, SymDIAMatrix, cg_solve
+from conjugategradient_tpu.ops.spmv import sym_dia_spmv
+from conjugategradient_tpu.problems import banded_spd_coo, reference_rhs
+
+
+@pytest.fixture(scope="module")
+def banded():
+    rows, cols, vals, shape = banded_spd_coo(300, bandwidth=9, seed=4)
+    csr = CSRMatrix.from_coo(rows, cols, vals, shape)
+    dia = DIAMatrix.from_csr(csr)
+    return csr, dia, np.asarray(dia.to_dense())
+
+
+class TestType:
+    def test_matvec_matches_dense_and_dia(self, banded, rng):
+        csr, dia, A = banded
+        sym = SymDIAMatrix.from_dia(dia)
+        x = rng.standard_normal(A.shape[0])
+        y = np.asarray(sym.matvec(jnp.asarray(x)))
+        np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+        np.testing.assert_allclose(
+            y, np.asarray(dia.matvec(jnp.asarray(x))), rtol=1e-12
+        )
+
+    def test_storage_nearly_halves(self, banded):
+        _, dia, _ = banded
+        sym = SymDIAMatrix.from_dia(dia)
+        assert all(o >= 0 for o in sym.offsets)
+        assert sym.memory_footprint() < 0.6 * dia.memory_footprint()
+        assert sym.full_diag_bytes() == dia.diags.size * dia.dtype.itemsize
+
+    def test_diagonal_and_to_dense(self, banded):
+        _, dia, A = banded
+        sym = SymDIAMatrix.from_dia(dia)
+        np.testing.assert_allclose(np.asarray(sym.diagonal()), np.diag(A))
+        np.testing.assert_allclose(np.asarray(sym.to_dense()), A)
+
+    def test_asymmetric_raises(self, banded):
+        _, dia, A = banded
+        A2 = A.copy()
+        A2[0, 3] += 1.0  # break the +3 / -3 mirror
+        dia2 = DIAMatrix.from_csr(CSRMatrix.from_dense(jnp.asarray(A2)))
+        with pytest.raises(ValueError, match="not symmetric"):
+            SymDIAMatrix.from_dia(dia2)
+
+    def test_missing_mirror_raises(self, rng):
+        n = 40
+        A = np.diag(np.full(n, 5.0))
+        A[np.arange(n - 2), np.arange(2, n)] = 1.0  # +2 only, no -2
+        dia = DIAMatrix.from_csr(CSRMatrix.from_dense(jnp.asarray(A)))
+        with pytest.raises(ValueError, match="mirror"):
+            SymDIAMatrix.from_dia(dia)
+
+    def test_astype_and_pytree(self, banded):
+        _, dia, _ = banded
+        sym = SymDIAMatrix.from_dia(dia)
+        low = sym.astype(jnp.float32)
+        assert low.dtype == jnp.float32 and low.offsets == sym.offsets
+        leaves, treedef = jax.tree_util.tree_flatten(sym)
+        sym2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert sym2.offsets == sym.offsets and sym2.nnz == sym.nnz
+
+    def test_rectangular_rejected(self):
+        d = jnp.ones((1, 4))
+        dia = DIAMatrix(d, (0,), (4, 5), 4)
+        with pytest.raises(ValueError, match="square"):
+            SymDIAMatrix.from_dia(dia)
+
+
+class TestSolver:
+    def test_cg_solve_iteration_identical_to_dia(self, banded):
+        csr, dia, A = banded
+        sym = SymDIAMatrix.from_dia(dia)
+        n = A.shape[0]
+        b = jnp.asarray(reference_rhs(n))
+        x_d, i_d = cg_solve(dia, b, tol=1e-10)
+        x_s, i_s = cg_solve(sym, b, tol=1e-10)
+        assert int(i_s.iterations) == int(i_d.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x_s), np.asarray(x_d), rtol=1e-9, atol=1e-11
+        )
+
+    def test_loader_and_tester(self, tmp_path, capsys):
+        import tester
+        from conjugategradient_tpu.io import write_mtx
+
+        rows, cols, vals, shape = banded_spd_coo(120, bandwidth=5, seed=7)
+        path = tmp_path / "banded.mtx"
+        write_mtx(path, rows, cols, vals, shape)
+        rc = tester.main([str(path), "--layout", "symdia", "--tol", "1e-8"])
+        assert rc == 0
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        parts = line.split()
+        assert int(parts[0]) == 120 and float(parts[3]) < 1e-10
+
+    def test_jacobi_pcg(self, banded):
+        from conjugategradient_tpu import jacobi_preconditioner
+
+        csr, dia, A = banded
+        sym = SymDIAMatrix.from_dia(dia)
+        b = jnp.asarray(reference_rhs(A.shape[0]))
+        x, info = cg_solve(sym, b, tol=1e-10, M=jacobi_preconditioner(sym))
+        assert float(jnp.linalg.norm(b - jnp.asarray(A) @ x)) < 1e-8
