@@ -360,6 +360,31 @@ def sym_dia_spmv(a, x: jax.Array) -> jax.Array:
     return y.astype(out_dtype)
 
 
+def sym_dia_spmv_multi(a, X: jax.Array) -> jax.Array:
+    """Multi-RHS symmetric DIA SpMV: ``Y[:, j] = A @ X[:, j]``, X (n, R).
+
+    The stored half-band streams ONCE for all R lanes (each diagonal read
+    once, applied both ways, broadcast over the lane axis) — symmetric
+    storage's byte saving multiplied by the lockstep loop's operator
+    amortization."""
+    n = a.shape[0]
+    offsets = a.offsets
+    w = max(offsets) if offsets else 0
+    out_dtype = jnp.promote_types(a.dtype, X.dtype)
+    acc = jnp.promote_types(out_dtype, jnp.float32)
+    Xa = X.astype(acc)
+    Xp = jnp.pad(Xa, ((w, w), (0, 0))) if w else Xa
+    R = X.shape[1]
+    Y = jnp.zeros((n, R), dtype=acc)
+    for d, off in enumerate(offsets):
+        dv = a.diags[d].astype(acc)[:, None]
+        Y = Y + dv * jax.lax.slice(Xp, (w + off, 0), (w + off + n, R))
+        if off > 0:
+            tp = jnp.pad(dv * Xa, ((w, w), (0, 0)))
+            Y = Y + jax.lax.slice(tp, (w - off, 0), (w - off + n, R))
+    return Y.astype(out_dtype)
+
+
 def dia_spmv_multi(a, X: jax.Array) -> jax.Array:
     """Multi-RHS DIA SpMV: ``Y[:, j] = A @ X[:, j]`` in one pass, X (n, R).
 

@@ -38,6 +38,7 @@ from ..types import (
     DIAMatrix,
     SellMatrix,
     SymBellMatrix,
+    SymDIAMatrix,
     as_linear_operator,
 )
 from .cg import CGInfo, cg_solve
@@ -109,12 +110,15 @@ def _lockstep_ops(op, M, inv_diag):
         dia_spmv_multi,
         sell_spmv_multi,
         sym_bell_spmv_multi,
+        sym_dia_spmv_multi,
     )
 
     if isinstance(op, BlockedEllMatrix):
         matvec_multi = lambda X: bell_spmv_multi(op, X)
     elif isinstance(op, SymBellMatrix):
         matvec_multi = lambda X: sym_bell_spmv_multi(op, X)
+    elif isinstance(op, SymDIAMatrix):
+        matvec_multi = lambda X: sym_dia_spmv_multi(op, X)
     elif isinstance(op, SellMatrix):
         matvec_multi = lambda X: sell_spmv_multi(op, X)
     elif _dia_multi_collapses(op):
@@ -297,7 +301,11 @@ def batched_cg_init(
     ``solver.checkpoint.save_state``.
     """
     op = as_linear_operator(A, n=n, dtype=getattr(B, "dtype", None))
-    if not isinstance(op, (BlockedEllMatrix, SymBellMatrix, SellMatrix, DIAMatrix)):
+    if not isinstance(
+        op,
+        (BlockedEllMatrix, SymBellMatrix, SellMatrix, DIAMatrix,
+         SymDIAMatrix),
+    ):
         raise TypeError(
             "batched_cg_init needs a lockstep-capable operator "
             f"(BlockedEll/SELL/DIA), got {type(op).__name__}"
@@ -443,7 +451,8 @@ def cg_solve_batched(
     # objects for same-shaped operators hit the jit cache (no retrace)
     inv_diag = getattr(M, "inv_diag", None)
     use_lockstep = isinstance(
-        op, (BlockedEllMatrix, SymBellMatrix, SellMatrix, DIAMatrix)
+        op, (BlockedEllMatrix, SymBellMatrix, SellMatrix, DIAMatrix,
+             SymDIAMatrix)
     )
     if use_lockstep and _dia_multi_collapses(op):
         # the whole-batch vmap fallback beats a collapsed lockstep loop;

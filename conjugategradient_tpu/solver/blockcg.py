@@ -50,6 +50,7 @@ from ..types import (
     DIAMatrix,
     SellMatrix,
     SymBellMatrix,
+    SymDIAMatrix,
     as_linear_operator,
 )
 from .batched import _lockstep_ops
@@ -107,7 +108,11 @@ class BlockCGState:
 def _block_ops(op, M):
     """(matvec_multi, precond, with_m) — the lockstep fast paths for
     BlockedEll/SELL/DIA, a column-vmapped matvec for everything else."""
-    if isinstance(op, (BlockedEllMatrix, SymBellMatrix, SellMatrix, DIAMatrix)):
+    if isinstance(
+        op,
+        (BlockedEllMatrix, SymBellMatrix, SellMatrix, DIAMatrix,
+         SymDIAMatrix),
+    ):
         return _lockstep_ops(op, M, None)
     mv = jax.vmap(op.matvec, in_axes=1, out_axes=1)
     if M is not None:

@@ -1017,6 +1017,11 @@ class SymDIAMatrix(LinearOperator):
     and the halved constant footprint doubles the size reach of the
     320 MB relay-limit gate (a Flan-class 608 MB full-DIA operator that
     dies at the relay limit packs to ~304 MB symmetric).
+
+    Scope note: the Pallas windowed DIA kernel (the ≥1024-offset escape
+    hatch) has no symmetric variant yet — at stencil-scale offsets the
+    shift formulation may collapse on TPU like full DIA's XLA path does;
+    prefer full :class:`DIAMatrix` (or the matrix-free stencil) there.
     """
 
     diags: jax.Array  # (ndiag_nonneg, n)

@@ -112,3 +112,44 @@ class TestSolver:
         b = jnp.asarray(reference_rhs(A.shape[0]))
         x, info = cg_solve(sym, b, tol=1e-10, M=jacobi_preconditioner(sym))
         assert float(jnp.linalg.norm(b - jnp.asarray(A) @ x)) < 1e-8
+
+
+class TestMultiRHS:
+    def test_spmv_multi_matches_dense(self, banded, rng):
+        from conjugategradient_tpu.ops.spmv import sym_dia_spmv_multi
+
+        _, dia, A = banded
+        sym = SymDIAMatrix.from_dia(dia)
+        X = rng.standard_normal((A.shape[0], 4))
+        Y = np.asarray(sym_dia_spmv_multi(sym, jnp.asarray(X)))
+        np.testing.assert_allclose(Y, A @ X, rtol=1e-12)
+
+    def test_cg_solve_batched_lockstep(self, banded, rng):
+        from conjugategradient_tpu import cg_solve_batched
+
+        _, dia, A = banded
+        sym = SymDIAMatrix.from_dia(dia)
+        n = A.shape[0]
+        B = jnp.asarray(rng.standard_normal((3, n)))
+        X, info = cg_solve_batched(sym, B, tol=1e-10)
+        for i in range(3):
+            x_i, inf_i = cg_solve(sym, B[i], tol=1e-10)
+            assert int(info.iterations[i]) == int(inf_i.iterations)
+            np.testing.assert_allclose(
+                np.asarray(X[i]), np.asarray(x_i), rtol=1e-8, atol=1e-10
+            )
+
+    def test_block_cg(self, banded, rng):
+        from conjugategradient_tpu import block_cg_solve
+
+        _, dia, A = banded
+        sym = SymDIAMatrix.from_dia(dia)
+        n = A.shape[0]
+        B = jnp.asarray(rng.standard_normal((3, n)))
+        Xs, i_s = block_cg_solve(sym, B, tol=1e-10)
+        Xf, i_f = block_cg_solve(dia, B, tol=1e-10)
+        for i in range(3):
+            assert int(i_s.iterations[i]) == int(i_f.iterations[i])
+            np.testing.assert_allclose(
+                np.asarray(Xs[i]), np.asarray(Xf[i]), rtol=1e-7, atol=1e-9
+            )
