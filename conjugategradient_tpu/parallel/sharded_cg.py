@@ -470,6 +470,44 @@ def _local_dia_matvec(diags_s, offsets, p_local, axis):
     return y.astype(jnp.promote_types(diags_s.dtype, p_local.dtype))
 
 
+def _symdia_left_halo(diags_s, w: int, axis: str) -> jax.Array:
+    """Left-neighbor tails of every stored diagonal ((ndiag, w); shard 0
+    receives zeros) — loop-invariant, fetched ONCE per solve: the
+    symmetric mirror term needs the NEIGHBOR's diagonal values, not just
+    its vector entries."""
+    ns = jax.lax.axis_size(axis)
+    return jax.lax.ppermute(
+        diags_s[:, -w:], axis, [(i, i + 1) for i in range(ns - 1)]
+    )
+
+
+def _local_symdia_matvec(diags_s, dleft, offsets, p_local, axis):
+    """Symmetric-DIA SpMV on one row shard: the stored (≥0-offset) half
+    band applied both ways.  Forward terms ride the usual ring halo of p;
+    mirror terms ``y[i] += d[i−k]·x[i−k]`` additionally need the LEFT
+    w values of each diagonal — supplied once per solve by
+    :func:`_symdia_left_halo` (``dleft``).  Per iteration this costs
+    exactly the full layout's collectives (one ring halo = 2 ppermutes)
+    on half the operator bytes."""
+    m = p_local.shape[0]
+    w = max(max(offsets), 1) if offsets else 1
+    window = ring_halo(p_local, w, axis)  # (m + 2w,)
+    acc = jnp.promote_types(
+        jnp.promote_types(diags_s.dtype, p_local.dtype), jnp.float32
+    )
+    xe = window[: w + m].astype(acc)  # left halo + local x
+    y = jnp.zeros((m,), dtype=acc)
+    for d, off in enumerate(offsets):
+        dv = diags_s[d].astype(acc)
+        lo = off + w
+        y = y + dv * jax.lax.slice(window, (lo,), (lo + m,)).astype(acc)
+        if off > 0:
+            de = jnp.concatenate([dleft[d].astype(acc), dv])  # (m + w,)
+            t = de * xe
+            y = y + jax.lax.slice(t, (w - off,), (w - off + m,))
+    return y.astype(jnp.promote_types(diags_s.dtype, p_local.dtype))
+
+
 def _make_dia_mpk_basis(diags_s, offsets, axis: str, s: int):
     """Matrix-powers-kernel basis for banded shards (the CA-CG companion of
     the s-step loop, after Demmel/Hoemmen): K = [r, Ar, …, Aˢr] computed
@@ -1849,6 +1887,113 @@ def sharded_dia_cg_solve(
                 return _sharded_sstep_cg(
                     local_matvec, b_s, x0_s, tol_arr, maxiter, axis,
                     s_eff, rcond_eff, basis_fn=mpk,
+                )
+            return _sharded_pcg(
+                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis,
+                recompute_r_every=recompute_r_every,
+            )
+
+        in_specs = [P(axis)] * (4 if with_m else 3)
+        solve_jit = jax.jit(shard_map(
+            solve_shard,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(axis), P(), P(), P(), P(), P()),
+            check_vma=False,
+        ))
+        _cache_put(key, solve_jit)
+
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
+    args = [put(jnp.asarray(diags_sharded)), put(b), put(x0)]
+    if with_m:
+        args.append(put(inv_diag))
+
+    x, k, done, rho, rnorm, hist = solve_jit(*args)
+    info = CGInfo(
+        iterations=k,
+        converged=done & ~jnp.isnan(rnorm),
+        rho=rho,
+        rnorm_sq=rnorm,
+        rho_history=hist,
+    )
+    return x, info
+
+
+def sharded_symdia_cg_solve(
+    diags_sharded,
+    offsets: Tuple[int, ...],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis: str = "rows",
+    tol: float = 0.0,
+    maxiter: Optional[int] = None,
+    inv_diag: Optional[jax.Array] = None,
+    method: str = "standard",
+    recompute_r_every: int = 0,
+):
+    """Row-sharded (P)CG on SYMMETRIC DIA storage (offsets ≥ 0 only).
+
+    Half of :func:`sharded_dia_cg_solve`'s operator bytes at exactly its
+    per-iteration collective count: the forward terms ride the usual ring
+    halo of p (2 ppermutes, O(w) bytes), the mirror terms reuse the halo's
+    LEFT side plus a once-per-solve (ndiag, w) halo of the neighbor's
+    diagonal values (:func:`_symdia_left_halo` — loop-invariant, hoisted
+    out of the while_loop by construction).
+
+    Args:
+      diags_sharded: (n_shards, ndiag_nonneg, rows_per_shard) — shard the
+        SymDIAMatrix's ≥0-offset diagonals with :func:`partition_dia_rows`.
+      offsets: static offsets, all ≥ 0, with max(offsets) <= rows_per_shard.
+      method: "standard" or "pipelined" (the s-step matrix-powers kernel
+        has no symmetric variant yet — use the full DIA layout for sstep).
+    """
+    mesh = mesh or make_row_mesh(axis=axis)
+    n_shards = mesh.devices.size
+    assert diags_sharded.shape[0] == n_shards, (diags_sharded.shape, n_shards)
+    rows_per_shard = int(diags_sharded.shape[-1])
+    offsets = tuple(int(o) for o in offsets)
+    if any(o < 0 for o in offsets):
+        raise ValueError(f"symmetric DIA stores offsets >= 0 only, got {offsets}")
+    w = max(max(offsets), 1) if offsets else 1
+    if w > rows_per_shard:
+        raise ValueError(
+            f"bandwidth {w} exceeds rows_per_shard {rows_per_shard}; "
+            "use fewer shards or the blocked-ELL path"
+        )
+    if method not in ("standard", "pipelined"):
+        raise ValueError(
+            "sharded symmetric DIA supports method='standard'/'pipelined' "
+            f"(got {method!r}); use the full DIA layout for sstep"
+        )
+    n_padded = int(b.shape[0])
+    maxiter = int(n_padded + 1 if maxiter is None else maxiter)
+    tol_arr = jnp.asarray(tol, dtype=b.dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    with_m = inv_diag is not None
+    recompute_r_every = int(recompute_r_every)
+    if method == "pipelined" and (with_m or recompute_r_every):
+        raise ValueError("method='pipelined' is unpreconditioned with "
+                         "recompute_r_every=0")
+
+    key = ("symdia", _mesh_key(mesh), axis, maxiter, float(tol), with_m,
+           offsets, str(b.dtype), method, recompute_r_every)
+    solve_jit = _cache_get(key)
+    if solve_jit is None:
+        def solve_shard(diags_s, b_s, x0_s, inv_diag_s=None):
+            diags_s = diags_s[0]
+            # loop-invariant: the left neighbor's diagonal tails, once
+            dleft = _symdia_left_halo(diags_s, w, axis)
+
+            def local_matvec(v_local):
+                return _local_symdia_matvec(
+                    diags_s, dleft, offsets, v_local, axis
+                )
+
+            if method == "pipelined":
+                return _sharded_pipelined_cg(
+                    local_matvec, b_s, x0_s, tol_arr, maxiter, axis
                 )
             return _sharded_pcg(
                 local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis,

@@ -153,3 +153,97 @@ class TestMultiRHS:
             np.testing.assert_allclose(
                 np.asarray(Xs[i]), np.asarray(Xf[i]), rtol=1e-7, atol=1e-9
             )
+
+
+class TestSharded:
+    """sharded_symdia_cg_solve: half the DIA operator bytes at the full
+    layout's collective count (ring halo + a once-per-solve diagonal
+    halo); iteration-identical to single device and to sharded full DIA."""
+
+    N_DEV = 8
+
+    def _setup(self, n=320, bandwidth=6):
+        if len(jax.devices()) < self.N_DEV:
+            pytest.skip("needs 8 devices")
+        from conjugategradient_tpu.parallel import partition_dia_rows
+
+        rows, cols, vals, shape = banded_spd_coo(n, bandwidth=bandwidth,
+                                                 seed=11)
+        csr = CSRMatrix.from_coo(rows, cols, vals, shape)
+        dia = DIAMatrix.from_csr(csr)
+        sym = SymDIAMatrix.from_dia(dia)
+        diags_sh, n_pad = partition_dia_rows(
+            np.asarray(sym.diags), shape, self.N_DEV
+        )
+        b_pad = jnp.zeros((n_pad,)).at[: shape[0]].set(
+            jnp.asarray(reference_rhs(shape[0]))
+        )
+        return dia, sym, jnp.asarray(diags_sh), b_pad, shape[0]
+
+    def test_matches_single_device(self):
+        from conjugategradient_tpu.parallel import sharded_symdia_cg_solve
+
+        dia, sym, diags_sh, b_pad, n = self._setup()
+        x1, i1 = cg_solve(sym, jnp.asarray(b_pad[:n]), tol=1e-10)
+        x_sh, i_sh = sharded_symdia_cg_solve(
+            diags_sh, sym.offsets, b_pad, tol=1e-10, maxiter=n + 1
+        )
+        assert int(i_sh.iterations) == int(i1.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x_sh[:n]), np.asarray(x1), rtol=1e-8, atol=1e-9
+        )
+        k = int(i1.iterations)
+        h1 = np.asarray(i1.rho_history)[:k]
+        hs = np.asarray(i_sh.rho_history)[:k]
+        sel = h1 > h1[0] * 1e-20
+        np.testing.assert_allclose(hs[sel], h1[sel], rtol=1e-4)
+
+    def test_matches_sharded_full_dia(self):
+        from conjugategradient_tpu.parallel import (
+            partition_dia_rows,
+            sharded_dia_cg_solve,
+            sharded_symdia_cg_solve,
+        )
+
+        dia, sym, diags_sh, b_pad, n = self._setup()
+        full_sh, _ = partition_dia_rows(
+            np.asarray(dia.diags), dia.shape, self.N_DEV
+        )
+        x_f, i_f = sharded_dia_cg_solve(
+            jnp.asarray(full_sh), dia.offsets, b_pad, tol=1e-10,
+            maxiter=n + 1,
+        )
+        x_s, i_s = sharded_symdia_cg_solve(
+            diags_sh, sym.offsets, b_pad, tol=1e-10, maxiter=n + 1
+        )
+        assert int(i_s.iterations) == int(i_f.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x_s[:n]), np.asarray(x_f[:n]), rtol=1e-9, atol=1e-10
+        )
+
+    def test_pcg_pipelined_and_guards(self):
+        from conjugategradient_tpu import jacobi_preconditioner
+        from conjugategradient_tpu.parallel import sharded_symdia_cg_solve
+
+        dia, sym, diags_sh, b_pad, n = self._setup()
+        n_pad = int(b_pad.shape[0])
+        inv_d = np.ones((n_pad,))
+        inv_d[:n] = 1.0 / np.asarray(sym.diagonal())
+        x1, i1 = cg_solve(sym, jnp.asarray(b_pad[:n]), tol=1e-10,
+                          M=jacobi_preconditioner(sym))
+        x_sh, i_sh = sharded_symdia_cg_solve(
+            diags_sh, sym.offsets, b_pad, tol=1e-10, maxiter=n + 1,
+            inv_diag=jnp.asarray(inv_d),
+        )
+        assert int(i_sh.iterations) == int(i1.iterations)
+        x2, i2 = cg_solve(sym, jnp.asarray(b_pad[:n]), tol=1e-10)
+        x_p, i_p = sharded_symdia_cg_solve(
+            diags_sh, sym.offsets, b_pad, tol=1e-10, maxiter=n + 1,
+            method="pipelined",
+        )
+        assert int(i_p.iterations) == int(i2.iterations)
+        with pytest.raises(ValueError, match="sstep"):
+            sharded_symdia_cg_solve(diags_sh, sym.offsets, b_pad,
+                                    method="sstep")
+        with pytest.raises(ValueError, match="offsets >= 0"):
+            sharded_symdia_cg_solve(diags_sh, (-1, 0, 1), b_pad)
