@@ -967,15 +967,13 @@ def shard_deflation_basis(basis, n_padded: int, n_shards: int):
     are inert through both applications), the k×k Cholesky factor
     replicated.
     """
-    import numpy as np_
-
-    W = np_.asarray(basis.W)
-    AW = np_.asarray(basis.AW)
+    W = np.asarray(basis.W)
+    AW = np.asarray(basis.AW)
     n, k = W.shape
     m = n_padded // n_shards
-    Wp = np_.zeros((n_padded, k), W.dtype)
+    Wp = np.zeros((n_padded, k), W.dtype)
     Wp[:n] = W
-    AWp = np_.zeros((n_padded, k), AW.dtype)
+    AWp = np.zeros((n_padded, k), AW.dtype)
     AWp[:n] = AW
     return (
         Wp.reshape(n_shards, m, k),
@@ -1450,6 +1448,11 @@ def sharded_cg_solve(
         raise ValueError(
             "deflation (basis=) runs the standard per-shard loop "
             "(no method=pipelined/sstep, no recompute_r_every)"
+        )
+    if use_fused == "always" and with_basis:
+        raise ValueError(
+            "use_fused='always' has no deflated variant — the projector "
+            "runs the per-shard XLA loop (basis=None to force fused)"
         )
     if use_fused == "always" and recompute_r_every:
         raise ValueError(

@@ -88,8 +88,12 @@ def _dia_multi_collapses(op) -> bool:
     collapse: TPU backend and any |offset| >= 1024 — the single-RHS auto
     policy flees to the Pallas windowed kernel there (6.7x,
     docs/performance.md).  One shared gate for every multi-RHS consumer
-    (cg_solve_batched, batched_cg_init, block_cg_solve)."""
-    if not (isinstance(op, DIAMatrix) and op.offsets):
+    (cg_solve_batched, batched_cg_init, block_cg_solve).
+
+    SymDIAMatrix has NO Pallas escape (no symmetric windowed kernel yet),
+    so for it the gate only buys a loud warning at the call sites — the
+    vmapped fallback is the same shift formulation."""
+    if not (isinstance(op, (DIAMatrix, SymDIAMatrix)) and op.offsets):
         return False
     try:
         backend = jax.default_backend()
@@ -117,10 +121,18 @@ def _lockstep_ops(op, M, inv_diag):
         matvec_multi = lambda X: bell_spmv_multi(op, X)
     elif isinstance(op, SymBellMatrix):
         matvec_multi = lambda X: sym_bell_spmv_multi(op, X)
-    elif isinstance(op, SymDIAMatrix):
-        matvec_multi = lambda X: sym_dia_spmv_multi(op, X)
     elif isinstance(op, SellMatrix):
         matvec_multi = lambda X: sell_spmv_multi(op, X)
+    elif isinstance(op, SymDIAMatrix):
+        if _dia_multi_collapses(op):
+            from ..utils.logging import get_logger
+
+            get_logger().warning(
+                "symmetric DIA at offsets >= 1024 on TPU: the shift "
+                "formulation may collapse and no symmetric Pallas kernel "
+                "exists yet — prefer the full DIAMatrix layout here"
+            )
+        matvec_multi = lambda X: sym_dia_spmv_multi(op, X)
     elif _dia_multi_collapses(op):
         # column-vmapped single-RHS matvec: each lane rides the Pallas
         # windowed DIA kernel instead of the collapsed multi formulation
@@ -296,7 +308,8 @@ def batched_cg_init(
 ) -> BatchedCGState:
     """Build the lockstep multi-RHS carry (checkpoint/resume entry point).
 
-    ``A`` must be a lockstep-capable operator (BlockedEll/SELL/DIA); ``B``
+    ``A`` must be a lockstep-capable operator
+    (BlockedEll/SymBell/SELL/DIA/SymDIA); ``B``
     is (nrhs, N).  Drive with :func:`run_batched_cg`; serialize with
     ``solver.checkpoint.save_state``.
     """
@@ -308,7 +321,8 @@ def batched_cg_init(
     ):
         raise TypeError(
             "batched_cg_init needs a lockstep-capable operator "
-            f"(BlockedEll/SELL/DIA), got {type(op).__name__}"
+            "(BlockedEll/SymBell/SELL/DIA/SymDIA), got "
+            f"{type(op).__name__}"
         )
     if B.ndim != 2:
         raise ValueError(f"B must be (nrhs, N), got shape {B.shape}")

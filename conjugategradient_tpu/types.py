@@ -1102,9 +1102,14 @@ class SymDIAMatrix(LinearOperator):
         return sym_dia_spmv(self, x)
 
     def diagonal(self) -> jax.Array:
-        if self.offsets and self.offsets[0] == 0:
-            return self.diags[0]
-        return jnp.zeros((self.shape[0],), self.dtype)
+        if 0 in self.offsets:
+            return self.diags[self.offsets.index(0)]
+        # same contract as DIAMatrix.diagonal(): a silent zero diagonal
+        # would turn Jacobi's 1/diag into inf — fail loudly
+        raise ValueError(
+            "SymDIAMatrix stores no main diagonal (offset 0); diagonal() "
+            "is undefined for it — an SPD operator must have one"
+        )
 
     def to_dense(self) -> jax.Array:
         n = self.shape[0]
