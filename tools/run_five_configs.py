@@ -59,6 +59,15 @@ CONFIGS = [
     ("config5_circuit_g3", 1585478,
      ["problems/circuit_g3.mtx", "--layout", "auto",
       "--maxiter", "20000"]),
+    # symmetric-storage A/B rows (round 3 layouts; not part of the five
+    # BASELINE configs — run with --only to record the symmetric table):
+    # the same systems on half/two-thirds the operator bytes.
+    ("sym_poisson3d_symdia", 48 ** 3,
+     ["problems/poisson3d_48.mtx", "--layout", "symdia"]),
+    ("sym_elasticity3d_symdia", 3 * 16 ** 3,
+     ["problems/elasticity3d_16.mtx", "--layout", "symdia"]),
+    ("sym_poisson2d_symbell", 110 ** 2,
+     ["problems/poisson2d_110.mtx", "--layout", "symbell"]),
 ]
 
 
