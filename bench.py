@@ -29,6 +29,9 @@ detail (bytes_streamed / stored_gbps).  Measured v5e: ~900 GB/s effective
   --config batched   multi-RHS per-RHS amortization (R = 1/8/32)
   --config large     the cg config at 1.5M rows (G3_circuit scale)
   --config irregular SELL vs CSR SpMV on the 1.5M-row power-law pattern
+  --config symdia    full vs SYMMETRIC DIA CG iteration, both as jit
+                     constants (half the constant footprint; headline
+                     byte convention)
 """
 
 from __future__ import annotations
@@ -576,6 +579,91 @@ def bench_irregular(n: int = 786432):
     }
 
 
+def bench_symdia(n: int = 1 << 21, half_band: int = 6, iters: int = 128):
+    """Per-iteration CG time, full DIA vs SYMMETRIC DIA, both as jit
+    CONSTANTS (the DIA production pattern — solver/cg._dia_const_solve).
+
+    The symmetric layout halves the constant footprint (here 13 → 7
+    diagonals), so where the full operator's solve is HBM-bound the sym
+    solve streams half the bytes, and where XLA pins the constants in
+    VMEM the sym copy leaves twice the headroom.  value = the symmetric
+    solve's effective bandwidth with FULL-layout useful bytes (the same
+    convention as the headline); detail carries both raw times and the
+    speedup."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solver.cg import cg_init, cg_step
+    from conjugategradient_tpu.types import DIAMatrix, SymDIAMatrix
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s
+
+    rng = np.random.default_rng(0)
+    w = half_band
+    offs_pos = list(range(0, w + 1))
+    diags_pos = np.zeros((w + 1, n), np.float32)
+    for k in offs_pos[1:]:
+        d = (0.1 * rng.standard_normal(n)).astype(np.float32)
+        d[n - k:] = 0.0  # out-of-range slots are zero by convention
+        diags_pos[k] = d
+    diags_pos[0] = 1.0 + 2.0 * np.abs(diags_pos[1:]).sum(axis=0).max()
+    # expand the mirror half for the full layout: dneg[i] = dpos[i-k]
+    offs_full = list(range(-w, w + 1))
+    diags_full = np.zeros((2 * w + 1, n), np.float32)
+    for j, off in enumerate(offs_full):
+        if off >= 0:
+            diags_full[j] = diags_pos[off]
+        else:
+            k = -off
+            diags_full[j, k:] = diags_pos[k][: n - k]
+    nnz = int((np.abs(diags_full) > 0).sum())
+    full = DIAMatrix(jnp.asarray(diags_full), tuple(offs_full), (n, n), nnz)
+    sym = SymDIAMatrix(jnp.asarray(diags_pos), tuple(offs_pos), (n, n), nnz)
+
+    b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+    tol_arr = jnp.asarray(0.0, jnp.float32)
+    ovh = rpc_overhead_s()
+
+    def time_solve(op):
+        def chain(b_):
+            s = jax.lax.fori_loop(
+                0, iters, lambda i, s: cg_step(op, s, tol_arr),
+                cg_init(op, b_, maxiter=iters),
+            )
+            return s.rnorm_sq.reshape(1)
+
+        f = jax.jit(chain)  # op CLOSED OVER: the DIA constant pattern
+        float(f(b)[0])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(b)[0])
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return (ts[1] - ovh) / iters  # median of 3
+
+    t_full = time_solve(full)
+    t_sym = time_solve(sym)
+    # useful bytes = the FULL layout's stream for the same math (headline
+    # convention) + 7 unfused vector streams
+    full_bytes = diags_full.size * 4 + 7 * n * 4
+    gbps = full_bytes / t_sym / 1e9
+    peak = _hbm_peak_gbps()
+    return {
+        "metric": "symdia_cg_iteration_effective_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / peak, 4),
+        "detail": {"n": n, "half_band": w,
+                   "time_per_iter_us_sym": round(t_sym * 1e6, 2),
+                   "time_per_iter_us_full": round(t_full * 1e6, 2),
+                   "speedup_vs_full": round(t_full / t_sym, 3),
+                   "bytes_effective": full_bytes,
+                   "bytes_streamed": diags_pos.size * 4 + 7 * n * 4},
+    }
+
+
 def bench_large(n: int = 1572864, iters: int = 64):
     """North-star-scale CG iteration: ~1.5M rows (G3_circuit-class), 2.4 GB
     operator stream — BASELINE.md configs 2/5 scale on one chip."""
@@ -592,7 +680,7 @@ def main(argv=None) -> int:
         "--config",
         default="cg",
         choices=("spmv", "stencil", "cg", "cg-full", "pcg", "batched",
-                 "large", "irregular"),
+                 "large", "irregular", "symdia"),
     )
     args = ap.parse_args(argv)
     out = {
@@ -604,6 +692,7 @@ def main(argv=None) -> int:
         "batched": bench_batched,
         "large": bench_large,
         "irregular": bench_irregular,
+        "symdia": bench_symdia,
     }[args.config]()
     print(json.dumps(out))
     return 0
