@@ -328,3 +328,24 @@ class TestHarvestWarmStart:
         x_warm, i_warm = deflated_cg_solve(A, b, basis, x0=x_m, tol=1e-10)
         assert int(i_warm.iterations) < int(i_cold.iterations)
         assert float(jnp.linalg.norm(b - A.matvec(x_warm))) < 1e-8
+
+
+class TestChebyshevComposition:
+    def test_with_chebyshev_preconditioner(self, poisson):
+        """Deflation composes with the polynomial preconditioner: both
+        attack the spectrum from opposite ends (deflation clips the low
+        tail, Chebyshev compresses the bulk)."""
+        from conjugategradient_tpu.solver import (
+            chebyshev_preconditioner,
+            estimate_spectral_bounds,
+        )
+
+        A, b, _ = poisson
+        lam_min, lam_max = estimate_spectral_bounds(A, iters=40)
+        M = chebyshev_preconditioner(A, lam_min, lam_max, degree=4)
+        _, i_cheb = cg_solve(A, b, tol=1e-10, M=M)
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        basis = deflation_basis_from_vectors(A, jnp.asarray(V[:, :8]))
+        x, i_both = deflated_cg_solve(A, b, basis, tol=1e-10, M=M)
+        assert float(jnp.linalg.norm(b - A.matvec(x))) < 1e-8
+        assert int(i_both.iterations) <= int(i_cheb.iterations)
