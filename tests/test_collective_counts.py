@@ -202,3 +202,43 @@ def test_2d_decomposition_no_allgather():
     assert ag == 0, f"2-D loop must not all-gather, got {ag}"
     assert cp == 1, f"one mesh-transpose permute per iteration, got {cp}"
     assert ar == 3, f"q-partial psum + 2 dot psums, got {ar}"
+
+
+def test_symdia_collectives_match_full_dia():
+    """Symmetric DIA on the ring must keep the full layout's PER-ITERATION
+    collective count (2 ring ppermutes + 2 dot psums); the extra diagonal
+    halo is ONE ppermute hoisted OUTSIDE the while-loop body."""
+    from conjugategradient_tpu.parallel import (
+        partition_dia_rows,
+        sharded_symdia_cg_solve,
+    )
+    from conjugategradient_tpu.problems import banded_spd_coo
+    from conjugategradient_tpu.types import DIAMatrix, SymDIAMatrix
+
+    rows, cols, vals, shape = banded_spd_coo(256, bandwidth=4, seed=5)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    sym = SymDIAMatrix.from_dia(DIAMatrix.from_csr(A))
+    n = shape[0]
+    diags_sh, n_pad = partition_dia_rows(np.asarray(sym.diags), shape, N_DEV)
+    b = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        jnp.asarray(reference_rhs(n, dtype=np.float32))
+    )
+    mesh = make_row_mesh(jax.devices()[:N_DEV])
+    sc._SOLVE_CACHE.clear()
+    sharded_symdia_cg_solve(
+        jnp.asarray(diags_sh, jnp.float32), sym.offsets, b,
+        mesh=mesh, tol=0.0, maxiter=4,
+    )
+    ((key, fn),) = list(sc._SOLVE_CACHE.items())
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P("rows")))
+    args = [put(jnp.asarray(diags_sh, jnp.float32)), put(b),
+            put(jnp.zeros_like(b))]
+    txt = fn.lower(*args).compile().as_text()
+    sc._SOLVE_CACHE.clear()
+    ar, cp = _body_permutes(txt)
+    assert ar == 2, f"2 dot psums per iteration, got {ar}"
+    assert cp == 2, f"2 ring ppermutes per iteration, got {cp}"
+    # the diagonal halo is loop-invariant: at least one collective-permute
+    # exists OUTSIDE the loop body
+    total_cp = len(re.findall(r"collective-permute(?:-start)?\(", txt))
+    assert total_cp > cp, "the once-per-solve diagonal halo went missing"
