@@ -1829,6 +1829,7 @@ def sharded_dia_cg_solve(
     recompute_r_every: int = 0,
     s: int = 4,
     rcond: Optional[float] = None,
+    basis=None,
 ):
     """Row-sharded (P)CG with a DIA (banded) operator and ring-halo SpMV.
 
@@ -1867,16 +1868,36 @@ def sharded_dia_cg_solve(
     s_eff, rcond_eff = _resolve_single_rhs_method(
         method, with_m, recompute_r_every, s, rcond, b.dtype
     )
+    with_basis = basis is not None
+    if with_basis and (method != "standard" or recompute_r_every):
+        raise ValueError(
+            "deflation (basis=) runs the standard per-shard loop "
+            "(no method=pipelined/sstep, no recompute_r_every)"
+        )
 
     key = ("dia", _mesh_key(mesh), axis, maxiter, float(tol), with_m, offsets,
-           str(b.dtype), method, recompute_r_every, s_eff, rcond_eff)
+           str(b.dtype), method, recompute_r_every, s_eff, rcond_eff,
+           (basis.k if with_basis else 0))
     solve_jit = _cache_get(key)
     if solve_jit is None:
-        def solve_shard(diags_s, b_s, x0_s, inv_diag_s=None):
+        def solve_shard(diags_s, b_s, x0_s, *rest):
             diags_s = diags_s[0]
+            i = 0
+            inv_diag_s = None
+            if with_m:
+                inv_diag_s = rest[i]
+                i += 1
+            if with_basis:
+                W_s, AW_s, E_chol_r = rest[i][0], rest[i + 1][0], rest[i + 2]
 
             def local_matvec(v_local):
                 return _local_dia_matvec(diags_s, offsets, v_local, axis)
+
+            if with_basis:
+                return _sharded_deflated_pcg(
+                    local_matvec, b_s, x0_s, inv_diag_s,
+                    W_s, AW_s, E_chol_r, tol_arr, maxiter, axis,
+                )
 
             if method == "pipelined":
                 return _sharded_pipelined_cg(
@@ -1897,6 +1918,8 @@ def sharded_dia_cg_solve(
             )
 
         in_specs = [P(axis)] * (4 if with_m else 3)
+        if with_basis:
+            in_specs += [P(axis), P(axis), P()]
         solve_jit = jax.jit(shard_map(
             solve_shard,
             mesh=mesh,
@@ -1906,10 +1929,16 @@ def sharded_dia_cg_solve(
         ))
         _cache_put(key, solve_jit)
 
-    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis)))
+    put = lambda a, spec=P(axis): jax.device_put(a, NamedSharding(mesh, spec))
     args = [put(jnp.asarray(diags_sharded)), put(b), put(x0)]
     if with_m:
         args.append(put(inv_diag))
+    if with_basis:
+        W_sh, AW_sh, E_chol = shard_deflation_basis(
+            basis, n_padded, n_shards
+        )
+        args += [put(jnp.asarray(W_sh)), put(jnp.asarray(AW_sh)),
+                 put(E_chol, P())]
 
     x, k, done, rho, rnorm, hist = solve_jit(*args)
     info = CGInfo(

@@ -349,3 +349,43 @@ class TestChebyshevComposition:
         x, i_both = deflated_cg_solve(A, b, basis, tol=1e-10, M=M)
         assert float(jnp.linalg.norm(b - A.matvec(x))) < 1e-8
         assert int(i_both.iterations) <= int(i_cheb.iterations)
+
+
+
+class TestShardedDiaDeflation:
+    N_DEV = 8
+
+    def test_dia_front_end(self):
+        from conjugategradient_tpu.parallel import (
+            partition_dia_rows,
+            sharded_dia_cg_solve,
+        )
+        from conjugategradient_tpu.problems import banded_spd_coo
+        from conjugategradient_tpu.types import DIAMatrix
+
+        import jax as _jax
+
+        if len(_jax.devices()) < self.N_DEV:
+            pytest.skip("needs 8 devices")
+        rows, cols, vals, shape = banded_spd_coo(320, bandwidth=5, seed=9)
+        A = CSRMatrix.from_coo(rows, cols, vals, shape)
+        dia = DIAMatrix.from_csr(A)
+        n = shape[0]
+        w, V = np.linalg.eigh(np.asarray(A.to_dense()))
+        basis = deflation_basis_from_vectors(dia, jnp.asarray(V[:, :6]))
+        diags_sh, n_pad = partition_dia_rows(
+            np.asarray(dia.diags), shape, self.N_DEV
+        )
+        b_pad = jnp.zeros((n_pad,)).at[:n].set(
+            jnp.asarray(reference_rhs(n))
+        )
+        x1, i1 = deflated_cg_solve(dia, jnp.asarray(b_pad[:n]), basis,
+                                   tol=1e-10)
+        x_sh, i_sh = sharded_dia_cg_solve(
+            jnp.asarray(diags_sh), dia.offsets, b_pad, tol=1e-10,
+            maxiter=n + 1, basis=basis,
+        )
+        assert int(i_sh.iterations) == int(i1.iterations)
+        np.testing.assert_allclose(
+            np.asarray(x_sh[:n]), np.asarray(x1), rtol=1e-8, atol=1e-9
+        )
