@@ -671,29 +671,126 @@ def bench_large(n: int = 1572864, iters: int = 64):
             "cg_iteration_effective_bandwidth_1p5M"}
 
 
+def bench_cg_headline(n: int = 262144, iters: int = 256):
+    """The driver's default record: symmetric-storage CG iteration PLUS the
+    round-1/2 full-storage configuration in one run, so the longitudinal
+    series r1→rN stays one metric.
+
+    Top level carries all three numbers (VERDICT r3 weak #2):
+      value              symmetric effective GB/s (full-layout useful bytes
+                         over the symmetric solve's time — the symmetric-SpMV
+                         convention); vs_baseline = value/roofline
+      stored_gbps        the machine-honest physically-streamed rate of the
+                         same symmetric solve
+      full_storage_gbps  the full-storage config measured in the same
+                         process — directly comparable to BENCH_r01/r02
+                         (full_vs_baseline = that /roofline)
+    """
+    sym = bench_cg(n=n, iters=iters, storage="sym")
+    full = bench_cg(n=n, iters=iters, storage="full")
+    out = dict(sym)
+    out["stored_gbps"] = sym["detail"]["stored_gbps"]
+    out["full_storage_gbps"] = full["value"]
+    out["full_vs_baseline"] = full["vs_baseline"]
+    out["detail"] = {**sym["detail"], "full": full["detail"]}
+    return out
+
+
+def _probe_device(retries: int = 1, wait_s: float = 20.0):
+    """Trivial-op probe: materialize the backend and run one reduction
+    before any real config.  The FIRST device use in a process can block
+    minutes on the previous process's chip grant (CLAUDE.md), so this is
+    where a wedged relay or missing backend surfaces — as a catchable
+    exception inside the bench's failure-JSON envelope rather than a
+    traceback after minutes of real work.  One bounded retry by default."""
+    import time as _time
+
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            dev = jax.devices()[0]
+            val = float(jnp.ones((8,), jnp.float32).sum())
+            assert val == 8.0, f"probe computed {val} != 8.0"
+            return {"device": str(dev), "device_kind": dev.device_kind,
+                    "attempt": attempt}
+        except Exception as e:  # backend init / relay failures land here
+            last = e
+            if attempt < retries:
+                _time.sleep(wait_s)
+    raise RuntimeError(f"device probe failed after {retries + 1} attempts: "
+                       f"{last!r}") from last
+
+
+_CONFIGS = {
+    "spmv": bench_spmv_bell,
+    "stencil": bench_stencil,
+    "cg": bench_cg_headline,
+    "cg-full": lambda: bench_cg(storage="full"),
+    "pcg": bench_pcg,
+    "batched": bench_batched,
+    "large": bench_large,
+    "irregular": bench_irregular,
+    "symdia": bench_symdia,
+}
+
+
+def _failure_record(config: str, stage: str, err: Exception) -> dict:
+    """A parseable one-line JSON for ANY failure (VERDICT r3 weak #1: an
+    init failure used to produce rc=1 + traceback, i.e. an unparseable
+    round artifact).  Keeps the metric/value/unit/vs_baseline keys so
+    schema-expecting consumers still parse it; ``error`` marks it failed."""
+    return {
+        "metric": f"bench_{config}_failed",
+        "value": -1.0,
+        "unit": "error",
+        "vs_baseline": 0.0,
+        "error": f"{type(err).__name__}: {err}",
+        "config": config,
+        "stage": stage,
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     # default: the whole jitted CG iteration (SpMV + 2 dots + 3 axpys) —
     # measured at ~95% of the stream roofline on v5e, it subsumes the SpMV
     # metric and is the quantity that determines solve wall-time.
-    ap.add_argument(
-        "--config",
-        default="cg",
-        choices=("spmv", "stencil", "cg", "cg-full", "pcg", "batched",
-                 "large", "irregular", "symdia"),
-    )
+    ap.add_argument("--config", default="cg", choices=tuple(_CONFIGS))
+    ap.add_argument("--watchdog", type=float, default=0.0,
+                    help="optional wall-clock bound in seconds; on expiry "
+                         "print the failure JSON and exit (a hung relay RPC "
+                         "is not interruptible from Python, so the watchdog "
+                         "hard-exits the process)")
     args = ap.parse_args(argv)
-    out = {
-        "spmv": bench_spmv_bell,
-        "stencil": bench_stencil,
-        "cg": bench_cg,
-        "cg-full": lambda: bench_cg(storage="full"),
-        "pcg": bench_pcg,
-        "batched": bench_batched,
-        "large": bench_large,
-        "irregular": bench_irregular,
-        "symdia": bench_symdia,
-    }[args.config]()
+
+    if args.watchdog > 0:
+        import threading
+
+        def _expire():
+            print(json.dumps(_failure_record(
+                args.config, "watchdog",
+                TimeoutError(f"exceeded --watchdog {args.watchdog}s"))),
+                flush=True)
+            os._exit(0)  # rc=0: the JSON line IS the artifact
+
+        timer = threading.Timer(args.watchdog, _expire)
+        timer.daemon = True
+        timer.start()
+
+    try:
+        probe = _probe_device()
+    except Exception as e:
+        print(json.dumps(_failure_record(args.config, "probe", e)))
+        return 0
+    try:
+        out = _CONFIGS[args.config]()
+    except Exception as e:
+        print(json.dumps(_failure_record(args.config, "bench", e)))
+        return 0
+    out.setdefault("detail", {})["probe"] = probe
     print(json.dumps(out))
     return 0
 

@@ -72,7 +72,17 @@ def read_mtx_coo(path_or_file, dtype=np.float64) -> COOMatrix:
     try:
         header = parse_header(f.readline())
         if header.field == "complex":
-            raise NotImplementedError("complex matrices are not supported")
+            # The reference's header grammar recognizes complex (and the
+            # hermitian symmetry that only occurs with it, mm_reader.cpp:
+            # 109-144) but its body parser never implements them; we keep
+            # the same surface — recognized, precisely rejected — because
+            # CG over complex Hermitian systems is a different algorithm.
+            raise NotImplementedError(
+                "MatrixMarket field 'complex' is recognized but not "
+                "supported (CG targets real SPD systems; a hermitian "
+                "banner implies complex data). Supported fields: real, "
+                "integer, pattern."
+            )
 
         # skip comments / blank lines (ref skip_comments, mm_reader.cpp:146-152)
         line = f.readline()

@@ -677,11 +677,12 @@ def _sharded_lockstep_pcg(
         # boundaries (solver/restart.py: a lax.cond in the hot body cost
         # ~40% of the iteration on TPU even when never taken).  Active
         # lanes advance k together, so the mask covers every still-active
-        # lane at a restart boundary and nothing otherwise.
+        # lane at a restart boundary and nothing otherwise.  No `k < maxiter`
+        # term (matches _pcg_replace_fn / cg.py / batched.py): a lane capping
+        # exactly on a boundary still replaces, so the reported rnorm is the
+        # true residual, not the drifted recurrence.
         k, done, X, Rv, P, rho, rnorm, hist = c
-        restart = (
-            (~done) & (k < maxiter) & (k % recompute_r_every == 0)
-        )
+        restart = (~done) & (k % recompute_r_every == 0)
         Rt = Bt - local_matvec_multi(X)
         rnorm_t = pdot(Rt, Rt)
         Zt = precond(Rt)
@@ -788,8 +789,10 @@ def _sharded_block_cg(
         # space restarts as a block; only counters are per-lane).  Applied
         # at while-loop boundaries (solver/restart.py), masked by the
         # scalar `fire` so off-cadence boundaries are bit-identical no-ops.
+        # No `k < maxiter` term here (matches _pcg_replace_fn): lanes capping
+        # exactly on a boundary still replace and report the true residual.
         k, done, X, Rv, Pv, rho, rnorm, hist = c
-        active = (~done) & (k < maxiter)
+        active = ~done
         fire = jnp.any(active) & (
             jnp.max(jnp.where(active, k, 0)) % recompute_r_every == 0
         )

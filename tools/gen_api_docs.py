@@ -21,6 +21,7 @@ import argparse
 import importlib
 import inspect
 import os
+import re
 import sys
 import textwrap
 
@@ -78,9 +79,13 @@ def _public_names(mod) -> list[str]:
 
 def _signature(obj) -> str:
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # default values whose repr embeds a memory address (`<function dot at
+    # 0x7f...>`) made the output non-reproducible run to run — scrub the
+    # address so the committed doc byte-matches regeneration
+    return re.sub(r" at 0x[0-9a-fA-F]+", "", sig)
 
 
 def _doc(obj) -> str:
