@@ -1,0 +1,717 @@
+"""The sharded CG loop cores — the one place iteration semantics live.
+
+Every per-shard loop here is parameterized by a ``local_matvec`` closure
+(layout-specific, built by the front-ends in ``sharded_cg.py`` from the
+local matvecs in ``local_ops.py``) and the mesh ``axis`` its dots psum
+over.  Numerical semantics match solver/cg.py (and therefore the float64
+oracle): recurrence residual, Hestenes–Stiefel α/β, pre-update
+termination test on ‖r‖², N+1-style cap, optional Jacobi preconditioning.
+
+Single-RHS loops return ``(x, k, done, rho, rnorm, hist)``; multi-RHS
+loops the same with a trailing lane axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..solver.restart import while_with_periodic_restart
+from ..solver.sstep import _default_rcond as _sstep_default_rcond
+from ..solver.sstep import make_sstep_loop
+
+
+def _sharded_lockstep_pcg(
+    local_matvec_multi: Callable[[jax.Array], jax.Array],
+    B_s: jax.Array,  # (R, m) — this shard's slice of every lane
+    X0_s: jax.Array,
+    inv_diag_s: Optional[jax.Array],  # (m,) or None
+    tol_arr: jax.Array,  # scalar or (R,)
+    maxiter: int,
+    axis: str,
+    recompute_r_every: int = 0,
+):
+    """Multi-RHS lockstep (P)CG per shard: the sharded composition of
+    solver/batched.py's lane-masked loop — per-lane α/β/termination, psum'd
+    (R,) lane dots, finished lanes frozen.  Per-lane semantics identical to
+    the single-device lockstep loop (including per-lane residual-replacement
+    restarts: only lanes that executed this body restart, so frozen lanes
+    keep their converged state exactly)."""
+
+    def pdot(U, V):
+        acc = jnp.promote_types(U.dtype, jnp.float32)
+        return jax.lax.psum(
+            jnp.sum(U.astype(acc) * V.astype(acc), axis=0), axis
+        )  # (R,)
+
+    def precond(Rv):
+        return Rv if inv_diag_s is None else inv_diag_s[:, None] * Rv
+
+    Bt = B_s.T  # (m, R)
+    X = X0_s.T
+    R = Bt.shape[1]
+
+    r0 = Bt - local_matvec_multi(X)
+    z0 = precond(r0)
+    rnorm0 = pdot(r0, r0)
+    rho0 = rnorm0 if inv_diag_s is None else pdot(r0, z0)
+    hist = jnp.full((maxiter + 1, R), jnp.nan, dtype=rnorm0.dtype)
+    hist = hist.at[0].set(rnorm0)
+    carry = (
+        jnp.zeros((R,), jnp.int32),
+        jnp.zeros((R,), bool),
+        X,
+        r0,
+        z0,  # p
+        rho0,
+        rnorm0,
+        hist,
+    )
+
+    def body(c):
+        k, done, X, Rv, P, rho, rnorm, hist = c
+        active = (~done) & (k < maxiter)
+        Q = local_matvec_multi(P)
+        pap = pdot(P, Q)
+        exact = rho == 0
+        alpha = jnp.where(exact, 0, rho / jnp.where(exact, 1, pap))
+        am = jnp.where(active, alpha, 0)
+        X = X + am * P
+        Rv = Rv - am * Q
+        done_new = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr)
+        Z = precond(Rv)
+        rnorm_next = pdot(Rv, Rv)
+        rho_next = rnorm_next if inv_diag_s is None else pdot(Rv, Z)
+        beta = jnp.where(exact, 0, rho_next / jnp.where(exact, 1, rho))
+        P = jnp.where(active, Z + beta * P, P)
+        k = jnp.where(active, k + 1, k)
+        rho = jnp.where(active, rho_next, rho)
+        rnorm = jnp.where(active, rnorm_next, rnorm)
+        hist_col = jnp.where(
+            active, rnorm_next, jnp.take_along_axis(hist, k[None, :], 0)[0]
+        )
+        hist = hist.at[k, jnp.arange(R)].set(hist_col)
+        done = jnp.where(active, done_new, done)
+        return (k, done, X, Rv, P, rho, rnorm, hist)
+
+    def replace(c):
+        # per-lane residual-replacement full restart; applied at while-loop
+        # boundaries (solver/restart.py: a lax.cond in the hot body cost
+        # ~40% of the iteration on TPU even when never taken).  Active
+        # lanes advance k together, so the mask covers every still-active
+        # lane at a restart boundary and nothing otherwise.  No `k < maxiter`
+        # term (matches _pcg_replace_fn / cg.py / batched.py): a lane capping
+        # exactly on a boundary still replaces, so the reported rnorm is the
+        # true residual, not the drifted recurrence.
+        k, done, X, Rv, P, rho, rnorm, hist = c
+        restart = (~done) & (k % recompute_r_every == 0)
+        Rt = Bt - local_matvec_multi(X)
+        rnorm_t = pdot(Rt, Rt)
+        Zt = precond(Rt)
+        rho_t = rnorm_t if inv_diag_s is None else pdot(Rt, Zt)
+        Rv = jnp.where(restart, Rt, Rv)
+        P = jnp.where(restart, Zt, P)
+        rho = jnp.where(restart, rho_t, rho)
+        rnorm = jnp.where(restart, rnorm_t, rnorm)
+        hist_col = jnp.where(
+            restart, rnorm_t,
+            jnp.take_along_axis(hist, k[None, :], 0)[0],
+        )
+        hist = hist.at[k, jnp.arange(R)].set(hist_col)
+        return (k, done, X, Rv, P, rho, rnorm, hist)
+
+    def cond(c):
+        k, done = c[0], c[1]
+        return jnp.any((~done) & (k < maxiter))
+
+    k, done, X, Rv, P, rho, rnorm, hist = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda c: jnp.max(c[0]), carry
+    )
+    return X.T, k, done, rho, rnorm, hist.T
+
+
+def _sharded_block_cg(
+    local_matvec_multi: Callable[[jax.Array], jax.Array],
+    B_s: jax.Array,  # (R, m) — this shard's slice of every lane
+    X0_s: jax.Array,
+    inv_diag_s: Optional[jax.Array],  # (m,) or None
+    tol_arr: jax.Array,  # scalar or (R,)
+    maxiter: int,
+    axis: str,
+    recompute_r_every: int = 0,
+    rcond: float = 1e-10,
+):
+    """Block CG per shard (solver/blockcg.py's O'Leary recurrences under
+    shard_map): the R×R Gram blocks psum over the mesh, every device runs
+    the identical replicated eigh pseudo-solve, and the (m,R)×(R,R) update
+    matmuls stay local.  Same collective count per iteration as the
+    lockstep loop — two psums, (R,R) payload instead of (R,)."""
+    from ..solver.blockcg import _spd_pinv_apply
+
+    def pgram(U, V):  # psum'd (R, R) Gram block
+        acc = jnp.promote_types(U.dtype, jnp.float32)
+        return jax.lax.psum(
+            jnp.einsum("mi,mj->ij", U.astype(acc), V.astype(acc),
+                       precision=jax.lax.Precision.HIGHEST), axis
+        )
+
+    def pdot_diag(U):  # psum'd per-lane ‖·‖²
+        acc = jnp.promote_types(U.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(U.astype(acc) ** 2, axis=0), axis)
+
+    def precond(Rv):
+        return Rv if inv_diag_s is None else inv_diag_s[:, None] * Rv
+
+    hi = jax.lax.Precision.HIGHEST
+    Bt = B_s.T  # (m, R)
+    X = X0_s.T
+    R = Bt.shape[1]
+
+    r0 = Bt - local_matvec_multi(X)
+    z0 = precond(r0)
+    rnorm0 = pdot_diag(r0)
+    rho0 = pgram(r0, z0 if inv_diag_s is not None else r0)
+    hist = jnp.full((maxiter + 1, R), jnp.nan, dtype=rnorm0.dtype)
+    hist = hist.at[0].set(rnorm0)
+    carry = (
+        jnp.zeros((R,), jnp.int32),
+        jnp.zeros((R,), bool),
+        X,
+        r0,
+        z0,  # p
+        rho0,
+        rnorm0,
+        hist,
+    )
+
+    def body(c):
+        k, done, X, Rv, Pv, rho, rnorm, hist = c
+        active = (~done) & (k < maxiter)
+        Q = local_matvec_multi(Pv)
+        W = pgram(Pv, Q)
+        alpha = _spd_pinv_apply(W, rho, rcond)  # (R, R), replicated
+        X = X + jnp.einsum("mi,ij->mj", Pv, alpha, precision=hi)
+        Rv = Rv - jnp.einsum("mi,ij->mj", Q, alpha, precision=hi)
+        done_new = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr)
+        Z = precond(Rv)
+        rnorm_next = pdot_diag(Rv)
+        rho_next = pgram(Rv, Z if inv_diag_s is not None else Rv)
+        beta = _spd_pinv_apply(rho, rho_next, rcond)
+        Pv = Z + jnp.einsum("mi,ij->mj", Pv, beta, precision=hi)
+        k = jnp.where(active, k + 1, k)
+        hist_col = jnp.where(
+            active, rnorm_next, jnp.take_along_axis(hist, k[None, :], 0)[0]
+        )
+        hist = hist.at[k, jnp.arange(R)].set(hist_col)
+        done = jnp.where(active, done_new, done)
+        return (k, done, X, Rv, Pv, rho_next, rnorm_next, hist)
+
+    def replace(c):
+        # all-lane full restart (solver/blockcg.py semantics: the shared
+        # space restarts as a block; only counters are per-lane).  Applied
+        # at while-loop boundaries (solver/restart.py), masked by the
+        # scalar `fire` so off-cadence boundaries are bit-identical no-ops.
+        # No `k < maxiter` term here (matches _pcg_replace_fn): lanes capping
+        # exactly on a boundary still replace and report the true residual.
+        k, done, X, Rv, Pv, rho, rnorm, hist = c
+        active = ~done
+        fire = jnp.any(active) & (
+            jnp.max(jnp.where(active, k, 0)) % recompute_r_every == 0
+        )
+        Rt = Bt - local_matvec_multi(X)
+        Zt = precond(Rt)
+        rnorm_t = pdot_diag(Rt)
+        rho_t = pgram(Rt, Zt if inv_diag_s is not None else Rt)
+        hist_col = jnp.where(
+            fire & active, rnorm_t,
+            jnp.take_along_axis(hist, k[None, :], 0)[0],
+        )
+        hist = hist.at[k, jnp.arange(R)].set(hist_col)
+        return (
+            k, done, X,
+            jnp.where(fire, Rt, Rv),
+            jnp.where(fire, Zt, Pv),
+            jnp.where(fire, rho_t, rho),
+            jnp.where(fire, rnorm_t, rnorm),
+            hist,
+        )
+
+    def cond(c):
+        k, done = c[0], c[1]
+        return jnp.any((~done) & (k < maxiter))
+
+    k, done, X, Rv, Pv, rho, rnorm, hist = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda c: jnp.max(c[0]), carry
+    )
+    return X.T, k, done, jnp.diagonal(rho), rnorm, hist.T
+
+
+# Gram cutoff ladder: the one copy lives in solver/blockcg.py
+_default_rcond = _sstep_default_rcond
+
+
+def _batched_loop(method: str, recompute_r_every: int, rcond: float):
+    """Select the inner multi-RHS loop for the sharded batched front-ends."""
+    if method == "block":
+        return functools.partial(
+            _sharded_block_cg,
+            recompute_r_every=recompute_r_every, rcond=rcond,
+        )
+    if method != "lockstep":
+        raise ValueError(f"method must be 'lockstep' or 'block', got {method!r}")
+    return functools.partial(
+        _sharded_lockstep_pcg, recompute_r_every=recompute_r_every
+    )
+
+
+def _pcg_init_carry(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    inv_diag_s: Optional[jax.Array],
+    maxiter: int,
+    axis: str,
+):
+    """Initial per-shard PCG carry (k, done, x, r, p, rho, rnorm, hist)."""
+
+    def pdot(u, v):
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
+
+    r0 = b_s - local_matvec(x0_s)
+    z0 = r0 if inv_diag_s is None else inv_diag_s * r0
+    rnorm0 = pdot(r0, r0)
+    rho0 = rnorm0 if inv_diag_s is None else pdot(r0, z0)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=rnorm0.dtype)
+    hist = hist.at[0].set(rnorm0)
+    return (
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        x0_s,
+        r0,
+        z0,
+        rho0,
+        rnorm0,
+        hist,
+    )
+
+
+def _pcg_body_fn(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    inv_diag_s: Optional[jax.Array],
+    tol_arr: jax.Array,
+    axis: str,
+):
+    """One per-shard PCG iteration; shared by the one-shot solve and the
+    checkpointable chunked driver so resumed solves are bit-identical.
+    Restart logic lives in _pcg_replace_fn (solver/restart.py structure)."""
+
+    def pdot(u, v):
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
+
+    def precond(r):
+        return r if inv_diag_s is None else inv_diag_s * r
+
+    def body(c):
+        k, done, x, r, p, rho, rnorm, hist = c
+        q = local_matvec(p)
+        pap = pdot(p, q)
+        # exact-convergence guard (see solver/cg.cg_step): rho == 0 would
+        # otherwise poison x with 0/0 in the body that observes convergence
+        exact = rho == 0
+        alpha = jnp.where(exact, 0, rho / jnp.where(exact, 1, pap))
+        x = x + alpha * p
+        r = r - alpha * q
+        # termination tests the PRE-update residual (CG.hpp:401-402, SURVEY §2.3(5))
+        done = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr)
+        z = precond(r)
+        rnorm_next = pdot(r, r)
+        rho_next = rnorm_next if inv_diag_s is None else pdot(r, z)
+        beta = jnp.where(exact, 0, rho_next / jnp.where(exact, 1, rho))
+        p = z + beta * p
+        k = k + 1
+        hist = hist.at[k].set(rnorm_next)
+        return (k, done, x, r, p, rho_next, rnorm_next, hist)
+
+    return body
+
+
+def _pcg_replace_fn(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    inv_diag_s: Optional[jax.Array],
+    maxiter: int,
+    axis: str,
+    recompute_r_every: int,
+):
+    """Residual-replacement full restart for the per-shard loop: true
+    residual AND direction reset — same semantics as solver/cg.py's
+    single-device restart (a replaced r with the drifted p diverges; see
+    cg.py).  The extra SpMV's all_gather/ring halo and the psum dot ride
+    the same collectives as a normal iteration.  Applied at while-loop
+    boundaries by solver/restart.py (a lax.cond in the hot body cost ~40%
+    of the iteration on TPU even when never taken) and masked so chunk
+    boundaries off the restart cadence are bit-identical no-ops."""
+
+    def pdot(u, v):
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
+
+    def precond(r):
+        return r if inv_diag_s is None else inv_diag_s * r
+
+    def replace(c):
+        k, done, x, r, p, rho, rnorm, hist = c
+        # no `k < maxiter` term — capping on a boundary still replaces
+        # the reported residual with the true one (solver/cg.py)
+        mask = (~done) & (k % recompute_r_every == 0)
+        r_true = b_s - local_matvec(x)
+        rnorm_t = pdot(r_true, r_true)
+        z_t = precond(r_true)
+        rho_t = rnorm_t if inv_diag_s is None else pdot(r_true, z_t)
+        hist = hist.at[k].set(jnp.where(mask, rnorm_t, hist[k]))
+        return (
+            k, done, x,
+            jnp.where(mask, r_true, r),
+            jnp.where(mask, z_t, p),
+            jnp.where(mask, rho_t, rho),
+            jnp.where(mask, rnorm_t, rnorm),
+            hist,
+        )
+
+    return replace
+
+
+def _sharded_deflated_pcg(
+    local_matvec, b_s, x0_s, inv_diag_s, W_s, AW_s, E_chol,
+    tol_arr, maxiter: int, axis: str,
+):
+    """Deflated (P)CG per shard — solver/deflated._deflated_core with the
+    dots and the tall-skinny projector products psum'd over the mesh.
+
+    Per iteration the deflation adds ONE extra (k,)-payload psum (the
+    (AW)ᵀz product) on top of standard CG's two scalar rounds; the k×k
+    triangular solve replicates.  Carries the same divergence guard and
+    best-iterate return as the single-device loop (the projector's E⁻¹
+    amplifies post-stagnation rounding noise exponentially).
+    """
+    from jax.scipy.linalg import cho_solve
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def pdot(u, v):
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
+
+    def psum_vec(v):
+        return jax.lax.psum(v, axis)
+
+    def precond(r):
+        return r if inv_diag_s is None else inv_diag_s * r
+
+    def solve_E(y):
+        return cho_solve((E_chol, True), y)
+
+    def project(z):
+        mu = solve_E(psum_vec(jnp.matmul(AW_s.T, z, precision=hi)))
+        return z - jnp.matmul(W_s, mu, precision=hi)
+
+    # Galerkin initial correction (Wᵀ r₀ = 0)
+    r = b_s - local_matvec(x0_s)
+    mu = solve_E(psum_vec(jnp.matmul(W_s.T, r, precision=hi)))
+    x = x0_s + jnp.matmul(W_s, mu, precision=hi)
+    r = r - jnp.matmul(AW_s, mu, precision=hi)
+
+    z = precond(r)
+    p = project(z)
+    rnorm0 = pdot(r, r)
+    rho0 = rnorm0 if inv_diag_s is None else pdot(r, z)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=rnorm0.dtype)
+    hist = hist.at[0].set(rnorm0)
+    carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             x, r, p, rho0, rnorm0, hist, x, rnorm0, jnp.asarray(False))
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1]) & (~c[10])
+
+    def body(c):
+        k, done, x, r, p, rho, rnorm, hist, x_best, rnorm_min, divg = c
+        q = local_matvec(p)
+        pap = pdot(p, q)
+        exact = rho == 0
+        alpha = jnp.where(exact, 0, rho / jnp.where(exact, 1, pap))
+        x = x + alpha * p
+        r = r - alpha * q
+        tol_met = jnp.sqrt(rnorm) <= tol_arr
+        diverged = (rnorm > 1e6 * rnorm_min) & ~tol_met
+        done = jnp.isnan(rnorm) | tol_met
+        z = precond(r)
+        rnorm_next = pdot(r, r)
+        rho_next = rnorm_next if inv_diag_s is None else pdot(r, z)
+        beta = jnp.where(exact, 0, rho_next / jnp.where(exact, 1, rho))
+        p = project(z) + beta * p
+        k = k + 1
+        hist = hist.at[k].set(rnorm_next)
+        better = rnorm_next < rnorm_min
+        x_best = jnp.where(better, x, x_best)
+        rnorm_min = jnp.where(better, rnorm_next, rnorm_min)
+        return (k, done, x, r, p, rho_next, rnorm_next, hist,
+                x_best, rnorm_min, divg | diverged)
+
+    (k, done, x, r, p, rho, rnorm, hist, x_best, rnorm_min,
+     divg) = jax.lax.while_loop(cond, body, carry)
+    use_best = rnorm_min < rnorm
+    x = jnp.where(use_best, x_best, x)
+    rnorm_out = jnp.where(use_best, rnorm_min, rnorm)
+    # diverged exits report done=False downstream (converged=False)
+    return x, k, done & ~divg, rho, rnorm_out, hist
+
+
+def _sharded_pcg(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    inv_diag_s: Optional[jax.Array],
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+    recompute_r_every: int = 0,
+):
+    """PCG body executed per shard; semantics mirror solver/cg.py exactly
+    (including the optional residual-replacement full restart — the f32
+    recurrence-drift fix matters MOST at the mesh scales this loop targets)."""
+    carry = _pcg_init_carry(local_matvec, b_s, x0_s, inv_diag_s, maxiter, axis)
+    body = _pcg_body_fn(local_matvec, b_s, inv_diag_s, tol_arr, axis)
+    replace = _pcg_replace_fn(local_matvec, b_s, inv_diag_s, maxiter, axis,
+                              recompute_r_every)
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    k, done, x, r, p, rho, rnorm, hist = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda c: c[0], carry
+    )
+    return x, k, done, rho, rnorm, hist
+
+
+def _sharded_fused_cg(
+    blocks_s: jax.Array,
+    cols_s: jax.Array,
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+    bn: int,
+    interpret: bool,
+    inv_diag_s: Optional[jax.Array] = None,
+):
+    """Per-shard (P)CG loop built from the fused Pallas kernels: the local
+    SpMV and the p·q partial run as one kernel
+    (ops/pallas/fused_cg.bell_spmv_dot on the all-gathered operand), the x/r
+    updates and the ‖r‖² (+ρ = r·M⁻¹r with Jacobi) partials as another
+    (fused_update_dot / fused_update_dot_pcg); the partials psum over ICI.
+    Same semantics as _sharded_pcg, f32.
+
+    The direction update stays a fused XLA elementwise op: it must complete
+    BEFORE the all_gather, so it cannot be folded into the SpMV kernel the
+    way the single-chip path does (solver/fused.py)."""
+    from ..ops.pallas.fused_cg import (
+        bell_spmv_dot,
+        fused_update_dot,
+        fused_update_dot_pcg,
+    )
+
+    m = b_s.shape[0]
+    offset = (jax.lax.axis_index(axis) * m).astype(jnp.int32).reshape(1)
+    precond = inv_diag_s is not None
+    d2 = (
+        inv_diag_s.astype(jnp.float32).reshape(m // 128, 128)
+        if precond
+        else None
+    )
+
+    def matvec_dot(v_local2):
+        v_full = jax.lax.all_gather(v_local2.reshape(-1), axis, tiled=True)
+        q, pap_l = bell_spmv_dot(
+            blocks_s, cols_s, v_full.reshape(-1, bn), offset,
+            interpret=interpret,
+        )
+        return q.reshape(v_local2.shape), jax.lax.psum(pap_l[0, 0], axis)
+
+    b2 = b_s.astype(jnp.float32).reshape(m // 128, 128)
+    x2 = x0_s.astype(jnp.float32).reshape(m // 128, 128)
+    ax0, _ = matvec_dot(x2)
+    r2 = b2 - ax0
+    rnorm0 = jax.lax.psum(jnp.sum(r2 * r2), axis)
+    if precond:
+        p0 = d2 * r2
+        rho0 = jax.lax.psum(jnp.sum(r2 * p0), axis)
+    else:
+        p0, rho0 = r2, rnorm0
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=jnp.float32)
+    hist = hist.at[0].set(rnorm0)
+    carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             x2, r2, p0, rho0, rnorm0, hist)
+
+    def body(c):
+        k, done, x, r, p, rho, rnorm, hist = c
+        q, pap = matvec_dot(p)
+        exact = rho == 0
+        alpha = jnp.where(exact, 0.0, rho / jnp.where(exact, 1.0, pap))
+        a11 = alpha.reshape(1, 1).astype(jnp.float32)
+        if precond:
+            x, r, rnorm_l, rho_l = fused_update_dot_pcg(
+                x, p, r, q, d2, a11, interpret=interpret,
+            )
+            rnorm_next = jax.lax.psum(rnorm_l[0, 0], axis)
+            rho_next = jax.lax.psum(rho_l[0, 0], axis)
+        else:
+            x, r, rnorm_l = fused_update_dot(x, p, r, q, a11,
+                                             interpret=interpret)
+            rnorm_next = jax.lax.psum(rnorm_l[0, 0], axis)
+            rho_next = rnorm_next
+        # pre-update termination on ‖r_k‖² (CG.hpp:401-402)
+        done = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr)
+        beta = jnp.where(exact, 0.0, rho_next / jnp.where(exact, 1.0, rho))
+        z = d2 * r if precond else r
+        p = z + beta * p
+        k = k + 1
+        hist = hist.at[k].set(rnorm_next)
+        return (k, done, x, r, p, rho_next, rnorm_next, hist)
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    k, done, x, r, p, rho, rnorm, hist = jax.lax.while_loop(cond, body, carry)
+    return x.reshape(-1), k, done, rho, rnorm, hist
+
+
+def _sharded_pipelined_cg(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+):
+    """Chronopoulos–Gear single-sync CG per shard: ONE psum (of the stacked
+    [γ, δ] pair) per iteration instead of standard CG's two sequential
+    reduction rounds — halves the collective latency on real meshes
+    (solver/pipelined.py documents the recurrences and the rounding trade)."""
+    acc = jnp.promote_types(b_s.dtype, jnp.float32)
+
+    def local_pair(r, s):
+        part = jnp.stack([
+            jnp.sum(r.astype(acc) * r.astype(acc)),
+            jnp.sum(r.astype(acc) * s.astype(acc)),
+        ])
+        return jax.lax.psum(part, axis)  # the iteration's ONLY collective sum
+
+    r0 = b_s - local_matvec(x0_s)
+    gamma0 = jax.lax.psum(jnp.sum(r0.astype(acc) * r0.astype(acc)), axis)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=gamma0.dtype)
+    hist = hist.at[0].set(gamma0)
+    zerov = jnp.zeros_like(r0)
+    one = jnp.ones_like(gamma0)
+    carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             x0_s, r0, zerov, zerov, gamma0, one, gamma0, hist)
+
+    def body(c):
+        k, done, x, r, p, q, gamma_old, alpha_old, rnorm, hist = c
+        s = local_matvec(r)
+        pair = local_pair(r, s)
+        gamma, delta = pair[0], pair[1]
+        # γ IS the pre-update ‖r_k‖² — the same quantity the standard path
+        # tests (SURVEY §2.3(5)); it falls out of the single reduction, so
+        # termination and history need NO extra collective.
+        hist = hist.at[k].set(gamma)
+        done = jnp.isnan(gamma) | (jnp.sqrt(gamma) <= tol_arr)
+        first = k == 0
+        exact = gamma == 0
+        beta = jnp.where(first | exact, 0.0, gamma / gamma_old)
+        denom = jnp.where(first, delta, delta - beta * gamma / alpha_old)
+        safe = jnp.where(denom == 0, 1.0, denom)
+        alpha = jnp.where(exact, 0.0, gamma / safe)
+        alpha = jnp.where(denom == 0, jnp.nan * one, alpha)
+        alpha = jnp.where(exact, 0.0, alpha)
+        p = r + (beta * p).astype(r.dtype)
+        q = s + (beta * q).astype(s.dtype)
+        x = (x + alpha * p).astype(x.dtype)
+        r = (r - alpha * q).astype(r.dtype)
+        return (k + 1, done, x, r, p, q, gamma, alpha, gamma, hist)
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    k, done, x, r, p, q, gamma, alpha, rnorm, hist = jax.lax.while_loop(
+        cond, body, carry
+    )
+    # one post-loop reduction records the final residual
+    rnorm_final = jax.lax.psum(jnp.sum(r.astype(acc) * r.astype(acc)), axis)
+    hist = hist.at[k].set(rnorm_final)
+    return x, k, done, rnorm_final, rnorm_final, hist
+
+
+def _sharded_sstep_cg(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+    s: int,
+    rcond: float,
+    basis_fn=None,
+):
+    """s-step (communication-avoiding) CG per shard: ONE psum — of the
+    (3s+1)² stacked Gram — per s iterations, versus standard CG's 2s
+    sequential reduction rounds.  The SpMV/halo count per iteration is
+    unchanged (s matvecs per block) unless ``basis_fn`` fuses it (the DIA
+    matrix-powers kernel drops the halos to 2 ppermutes per block too);
+    what drops is collective LATENCY, the binding constraint for
+    small-per-shard solves on large meshes.  Algebra and rounding trade
+    documented in solver/sstep.py."""
+    x, k, done, rnorm, hist = make_sstep_loop(
+        local_matvec,
+        lambda G: jax.lax.psum(G, axis),
+        b_s,
+        x0_s,
+        s=s,
+        tol_arr=tol_arr,
+        maxiter=maxiter,
+        rcond=rcond,
+        basis_fn=basis_fn,
+    )
+    return x, k, done, rnorm, rnorm, hist
+
+
+def _fused_shards_supported(blocks, b, with_m: bool, interpret: bool) -> bool:
+    # with_m no longer disqualifies: Jacobi-PCG rides fused_update_dot_pcg
+    # (round-3; the kernels existed since round 2 but were never wired)
+    del with_m
+    n_shards, nrb, kmax, bm, bn = blocks.shape
+    m = b.shape[0] // n_shards  # rows per shard
+    ok = (
+        bm == bn
+        and bn % 128 == 0
+        and m % 128 == 0
+        and jnp.dtype(b.dtype) == jnp.dtype(jnp.float32)
+        and kmax <= 64
+        # the all-gathered operand must sit in VMEM next to the tile pipeline
+        and b.shape[0] * 4 + 2 * 8 * kmax * bm * bn * 4 <= 64 * 1024 * 1024
+    )
+    if not ok:
+        return False
+    if interpret:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
