@@ -32,6 +32,10 @@ detail (bytes_streamed / stored_gbps).  Measured v5e: ~900 GB/s effective
   --config symdia    full vs SYMMETRIC DIA CG iteration, both as jit
                      constants (half the constant footprint; headline
                      byte convention)
+  --config symdia-big  the same A/B PAST the 320 MB constant-closure
+                     gate: both operators as pre-blocked jit ARGUMENTS
+                     (full windowed vs round-4 halo'd symmetric Pallas
+                     kernel).  ~1 GB of uploads — last chip work only.
 """
 
 from __future__ import annotations
@@ -671,6 +675,104 @@ def bench_large(n: int = 1572864, iters: int = 64):
             "cg_iteration_effective_bandwidth_1p5M"}
 
 
+def bench_symdia_big(n: int = 1 << 21, half_band: int = 20,
+                     stride: int = 1024, iters: int = 48):
+    """Full vs SYMMETRIC DIA CG iteration PAST the 320 MB constant-closure
+    gate — both operators as jit ARGUMENTS in their pre-blocked Pallas
+    layouts (full: DIAMatrix.with_blocked; sym: the round-4 halo'd
+    SymDIAMatrix.with_blocked), which is exactly what cg_solve's dispatch
+    does automatically there (solver/cg.py).  Offsets are stencil-scale
+    (k·stride, stride ≥ 1024: the Pallas-kernel regime — XLA's shift
+    formulation collapses at these offsets).
+
+    Default sizes: sym stores 21 diagonals × 8 MB = 344 MB (> the gate),
+    full stores 41 × 8 MB = 688 MB.  ~1 GB of uploads total — run this as
+    the LAST chip work of a session (CLAUDE.md relay rules).
+
+    value = the symmetric solve's effective bandwidth with FULL-layout
+    useful bytes (headline convention); detail carries both per-iteration
+    times and the speedup.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solver.cg import cg_init, cg_step
+    from conjugategradient_tpu.types import DIAMatrix, SymDIAMatrix
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s
+
+    rng = np.random.default_rng(0)
+    w = half_band
+    offs_pos = tuple(k * stride for k in range(w + 1))
+    diags_pos = np.zeros((w + 1, n), np.float32)
+    for j, k in enumerate(offs_pos[1:], start=1):
+        d = (0.05 * rng.standard_normal(n)).astype(np.float32)
+        d[n - k:] = 0.0
+        diags_pos[j] = d
+    diags_pos[0] = 1.0 + 2.0 * np.abs(diags_pos[1:]).sum(axis=0).max()
+    offs_full = tuple(k * stride for k in range(-w, w + 1))
+    diags_full = np.zeros((2 * w + 1, n), np.float32)
+    for j, off in enumerate(offs_full):
+        if off >= 0:
+            diags_full[j] = diags_pos[off // stride]
+        else:
+            k = -off
+            diags_full[j, k:] = diags_pos[k // stride][: n - k]
+    nnz = int((np.abs(diags_full) > 0).sum())
+
+    full = DIAMatrix(
+        jnp.asarray(diags_full), offs_full, (n, n), nnz
+    ).with_blocked()
+    sym = SymDIAMatrix(
+        jnp.asarray(diags_pos), offs_pos, (n, n), nnz
+    ).with_blocked()
+
+    b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+    tol_arr = jnp.asarray(0.0, jnp.float32)
+    ovh = rpc_overhead_s()
+
+    def time_solve(op):
+        # operator as ARGUMENT (the >320 MB pattern): thread the pytree
+        # through jit so the pre-blocked arrays stream, not relayout
+        def chain(op_, b_):
+            s = jax.lax.fori_loop(
+                0, iters, lambda i, s: cg_step(op_, s, tol_arr),
+                cg_init(op_, b_, maxiter=iters),
+            )
+            return s.rnorm_sq.reshape(1)
+
+        f = jax.jit(chain)
+        float(f(op, b)[0])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(op, b)[0])
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return (ts[1] - ovh) / iters  # median of 3
+
+    t_sym = time_solve(sym)
+    t_full = time_solve(full)
+    full_bytes = diags_full.size * 4 + 7 * n * 4
+    gbps = full_bytes / t_sym / 1e9
+    peak = _hbm_peak_gbps()
+    return {
+        "metric": "symdia_blocked_cg_iteration_effective_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / peak, 4),
+        "detail": {"n": n, "half_band": w, "stride": stride,
+                   "sym_stored_MB": round(diags_pos.size * 4 / 1e6, 1),
+                   "full_stored_MB": round(diags_full.size * 4 / 1e6, 1),
+                   "time_per_iter_us_sym": round(t_sym * 1e6, 2),
+                   "time_per_iter_us_full": round(t_full * 1e6, 2),
+                   "speedup_vs_full": round(t_full / t_sym, 3),
+                   "bytes_effective": full_bytes,
+                   "bytes_streamed": diags_pos.size * 4 + 7 * n * 4},
+    }
+
+
 def bench_cg_headline(n: int = 262144, iters: int = 256):
     """The driver's default record: symmetric-storage CG iteration PLUS the
     round-1/2 full-storage configuration in one run, so the longitudinal
@@ -734,6 +836,7 @@ _CONFIGS = {
     "large": bench_large,
     "irregular": bench_irregular,
     "symdia": bench_symdia,
+    "symdia-big": bench_symdia_big,
 }
 
 

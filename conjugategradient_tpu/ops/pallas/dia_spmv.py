@@ -231,6 +231,129 @@ def dia_spmv_pallas(
     return y[:n]
 
 
+def _make_kernel_sym_blocked(offsets, hw: int, bl: int, acc_dtype):
+    """Windowed SYMMETRIC-DIA kernel over the halo'd pre-blocked layout.
+
+    Each stored (≥0-offset) diagonal applies BOTH ways inside one block:
+
+        y[i] += d_k[i]   · x[i+k]      (forward, the stored direction)
+        y[i] += d_k[i−k] · x[i−k]      (mirror)
+
+    The mirror term needs d_k values from up to ``w`` rows BEFORE the
+    block, so the pre-blocked rows carry a left halo of width ``hw``
+    (types.SymDIAMatrix.with_blocked): ``dref[d, j] = d_k[g·bl − hw + j]``,
+    zeros outside [0, n).  The x window spans both sides
+    ([g·bl − w, g·bl + bl + w)) — the same double-buffered manual DMA as
+    the full kernel, with lpad = w.  Per point this streams the stored
+    half-band once and applies it twice: (ndiag + 2) reads + 1 write for
+    the FULL band's math — the full layout's kernel pays
+    (2·ndiag − 1 + 2).
+    """
+    w = max(offsets) if offsets else 0
+    lpad = w
+    window = bl + lpad + w
+    window = -(-window // 1024) * 1024
+
+    def _window_dma(xp_hbm, x_vmem, sems, g, slot):
+        dst = pl.multiple_of(slot * window, 1024)
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(g * bl, window)],
+            x_vmem.at[pl.ds(dst, window)],
+            sems.at[slot],
+        )
+
+    def _kernel(diags_ref, xp_hbm, y_ref, x_vmem, sems):
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
+        two = jnp.asarray(2, g.dtype)
+        slot = jax.lax.rem(g, two)
+        nslot = jax.lax.rem(g + 1, two)
+
+        @pl.when(g == 0)
+        def _():
+            _window_dma(xp_hbm, x_vmem, sems, 0, 0).start()
+
+        @pl.when(g + 1 < ng)
+        def _():
+            _window_dma(xp_hbm, x_vmem, sems, g + 1, nslot).start()
+
+        _window_dma(xp_hbm, x_vmem, sems, g, slot).wait()
+
+        src = pl.multiple_of(slot * window, 1024)
+        xw = x_vmem[pl.ds(src, window)].astype(acc_dtype)  # (window,)
+        acc = jnp.zeros((bl,), acc_dtype)
+        for d, off in enumerate(offsets):
+            drow = diags_ref[0, d, :].astype(acc_dtype)  # (hw + bl,)
+            dv = jax.lax.slice(drow, (hw,), (hw + bl,))
+            xs = jax.lax.slice(xw, (lpad + off,), (lpad + off + bl,))
+            acc = acc + dv * xs
+            if off > 0:
+                # mirror: d and x both shift LEFT by off; the d values
+                # before the block edge come from the baked-in halo
+                dm = jax.lax.slice(drow, (hw - off,), (hw - off + bl,))
+                xm = jax.lax.slice(xw, (lpad - off,), (lpad - off + bl,))
+                acc = acc + dm * xm
+        y_ref[...] = acc.astype(y_ref.dtype)
+
+    return _kernel, window
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "n", "hw", "interpret")
+)
+def sym_dia_spmv_pallas_blocked(
+    diags_blocked: jax.Array,
+    offsets: tuple,
+    x: jax.Array,
+    n: int,
+    hw: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """y (n,) = SymDIA @ x with the operator in the halo'd pre-blocked
+    (ng, ndiag, hw + bl) layout from :meth:`SymDIAMatrix.with_blocked` —
+    the >320 MB escape hatch where the constant-closure path dies at the
+    relay limit and full pre-blocked DIA would forfeit the symmetric
+    layout's halved operator stream."""
+    ng, ndiag, row_len = diags_blocked.shape
+    bl = row_len - hw
+    n_pad = ng * bl
+    ncols = x.shape[0]
+    w = max(offsets) if offsets else 0
+    lpad = w
+    acc_dtype = jnp.promote_types(
+        jnp.promote_types(diags_blocked.dtype, x.dtype), jnp.float32
+    )
+    kernel, window = _make_kernel_sym_blocked(
+        tuple(offsets), hw, bl, acc_dtype
+    )
+    xp = jnp.pad(x, (lpad, max(0, n_pad - bl + window - lpad - ncols)))
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, ndiag, row_len), lambda g: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((bl,), lambda g: (g,)),
+        # promoted output / x-dtype scratch (see dia_spmv_pallas_2d)
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad,), jnp.promote_types(diags_blocked.dtype, x.dtype)
+        ),
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((2 * window,), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (2 * ndiag - 1) * n,
+            bytes_accessed=(ndiag + 2) * n * diags_blocked.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(diags_blocked, xp)
+    return y[:n]
+
+
 def _make_kernel_blocked(offsets, lpad: int, bl: int, acc_dtype):
     """Same windowed kernel as :func:`_make_kernel` but reading its
     diagonals from a (1, ndiag, bl) block of the PRE-BLOCKED (ng, ndiag,

@@ -332,7 +332,7 @@ def dia_spmv(a, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
     return y.astype(jnp.promote_types(a.dtype, x.dtype))
 
 
-def sym_dia_spmv(a, x: jax.Array) -> jax.Array:
+def sym_dia_spmv(a, x: jax.Array, use_pallas: str = "auto") -> jax.Array:
     """Symmetric DIA SpMV: each stored (≥0-offset) diagonal applied twice.
 
     ``y += diags[d] * shift(x, +k)`` along the stored direction and
@@ -341,7 +341,33 @@ def sym_dia_spmv(a, x: jax.Array) -> jax.Array:
     operator stream is the stored half only (types.SymDIAMatrix).  Like
     :func:`dia_spmv`'s XLA path this is pure shifted multiply-adds: no
     index arrays, no gathers, one fused streaming pass.
+
+    When the operator carries the halo'd pre-blocked layout
+    (``SymDIAMatrix.with_blocked``) the same auto policy as
+    :func:`dia_spmv` applies: on TPU at stencil-scale offsets
+    (max ≥ 1024, where XLA's padded-slice formulation collapses) the
+    Pallas windowed symmetric kernel streams each contiguous block once
+    and applies the half-band both ways
+    (ops/pallas/dia_spmv.sym_dia_spmv_pallas_blocked).
     """
+    blocked = getattr(a, "diags_blocked", None)
+    pick_pallas = use_pallas == "always" and blocked is not None
+    if use_pallas == "auto" and a.offsets and blocked is not None:
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover
+            backend = "cpu"
+        pick_pallas = (
+            backend == "tpu"
+            and max(a.offsets) >= 1024
+            and a.dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        )
+    if pick_pallas:
+        from .pallas.dia_spmv import sym_dia_spmv_pallas_blocked
+
+        return sym_dia_spmv_pallas_blocked(
+            a.diags_blocked, a.offsets, x, n=a.shape[0], hw=a.blocked_halo
+        )
     n = a.shape[0]
     offsets = a.offsets
     w = max(offsets) if offsets else 0

@@ -271,9 +271,14 @@ def circuit_spd_coo(
     return rows.astype(np.int64), cols.astype(np.int64), vals, (n, n)
 
 
-def elasticity3d_coo(nx: int, ny: int = None, nz: int = None, seed: int = 0):
+def elasticity3d_coo(nx: int, ny: int = None, nz: int = None, seed: int = 0,
+                     edge_keep: float = 1.0):
     """Block-structured SPD stiffness matrix — synthetic stand-in for
     structural-mechanics SuiteSparse problems (bcsstk17-class).
+
+    ``edge_keep`` < 1 drops that fraction of members at random (real
+    trusses are not fully 27-connected) — the calibration knob
+    :func:`bcsstk17_profile_coo` uses to hit a published nnz exactly.
 
     The reference's other named workload class (BASELINE configs: bcsstk17,
     a steam-turbine stiffness matrix: 3 dof/node, dense coupling blocks,
@@ -333,6 +338,9 @@ def elasticity3d_coo(nx: int, ny: int = None, nz: int = None, seed: int = 0):
             max(0, dy) : ny - max(0, -dy),
             max(0, dz) : nz - max(0, -dz),
         ].ravel()
+        if edge_keep < 1.0:
+            keep = rng.random(len(sp)) < edge_keep
+            sp, sq = sp[keep], sq[keep]
         d = np.array([dx, dy, dz], dtype=np.float64)
         dhat = d / np.linalg.norm(d)
         w = 1.0 / np.dot(d, d)  # farther members are softer
@@ -361,6 +369,25 @@ def elasticity3d_coo(nx: int, ny: int = None, nz: int = None, seed: int = 0):
         np.concatenate(vals_l),
         (n, n),
     )
+
+
+def bcsstk17_profile_coo(seed: int = 0):
+    """Elasticity stand-in calibrated to bcsstk17's PUBLISHED profile
+    (test/Tester.cpp:16-21's steam-turbine stiffness matrix): n = 10,974
+    exactly (3 dof × 3,658 nodes on a thin 59×31×2 shell — turbines are
+    shells, not cubes) and nnz ≈ 428,650 (~39/row) via member
+    sparsification (``edge_keep`` tuned so the expected stored-edge count
+    matches; the realized nnz lands within ~1%).
+
+    Until the sandbox gains egress (tools/fetch_suitesparse.py is attempted
+    each round), this is config 2's bcsstk17 row; the skip-gated
+    tests/test_suitesparse_real.py take over the moment the real file
+    exists.
+    """
+    # target edges = (nnz_published − diag 3658·9) / (2·9)
+    # full 27-neighborhood on 59×31×2 has 30,021 edges (counted once)
+    return elasticity3d_coo(59, 31, 2, seed=seed,
+                            edge_keep=(428650 - 3658 * 9) / 18 / 30021)
 
 
 def reference_rhs(n: int, dtype=np.float64) -> np.ndarray:

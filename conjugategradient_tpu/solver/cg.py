@@ -357,8 +357,9 @@ def cg_solve(
     # SymDIAMatrix rides the same constant-closure cache (the compiled
     # solve is matvec-generic and keys on diags identity + offsets); its
     # halved constant footprint doubles the reach of the 320 MB gate.
-    # The >320MB pre-blocked upgrade below stays full-DIA only (the
-    # Pallas windowed kernel has no symmetric variant).
+    # Past the gate BOTH layouts upgrade to their pre-blocked Pallas
+    # argument form — SymDIA keeps its halved operator stream there via
+    # the halo'd blocked layout (sym_dia_spmv_pallas_blocked, round 4).
     if isinstance(op, (DIAMatrix, SymDIAMatrix)) and _concrete(op.diags):
         try:
             backend = jax.default_backend()
@@ -383,7 +384,6 @@ def cg_solve(
             )
         if (
             backend == "tpu"
-            and isinstance(op, DIAMatrix)
             and nbytes > (320 << 20)
             and op.offsets
             and max(abs(o) for o in op.offsets) >= 1024

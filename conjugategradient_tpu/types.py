@@ -1018,23 +1018,67 @@ class SymDIAMatrix(LinearOperator):
     320 MB relay-limit gate (a Flan-class 608 MB full-DIA operator that
     dies at the relay limit packs to ~304 MB symmetric).
 
-    Scope note: the Pallas windowed DIA kernel (the ≥1024-offset escape
-    hatch) has no symmetric variant yet — at stencil-scale offsets the
-    shift formulation may collapse on TPU like full DIA's XLA path does;
-    prefer full :class:`DIAMatrix` (or the matrix-free stencil) there.
+    At stencil-scale offsets (max ≥ 1024, where XLA's shift formulation
+    collapses) the Pallas windowed SYMMETRIC kernel takes over when the
+    operator carries the halo'd pre-blocked layout (:meth:`with_blocked`;
+    ``ops/pallas/dia_spmv.sym_dia_spmv_pallas_blocked``) — past the
+    320 MB constant-closure gate ``cg_solve`` performs that upgrade
+    automatically, so the half-band saving survives at Flan-class sizes.
     """
 
     diags: jax.Array  # (ndiag_nonneg, n)
     offsets: Tuple[int, ...]  # static, all >= 0, ascending
     shape: Tuple[int, int]
     nnz: int  # true nnz of the FULL (expanded) matrix, static metadata
+    # Optional halo'd pre-blocked copy (ng, ndiag, hw + bl) for the Pallas
+    # windowed symmetric kernel: block g's row carries
+    # ``d_k[g·bl − hw + j]`` (zeros outside [0, n)) so the MIRROR term's
+    # left-of-block diagonal values ship inside the block — one contiguous
+    # tiled region per grid step, no per-iteration relayout when the
+    # operator is a jit argument (the same reason DIAMatrix.with_blocked
+    # exists).  Built once by :meth:`with_blocked`; ``ops/spmv.sym_dia_spmv``
+    # prefers it on TPU at stencil-scale offsets.
+    diags_blocked: Optional[jax.Array] = None
+    blocked_halo: int = 0  # hw (static; 1024-aligned)
 
     def tree_flatten(self):
-        return (self.diags,), (self.offsets, self.shape, self.nnz)
+        if self.diags_blocked is None:
+            return (self.diags,), (self.offsets, self.shape, self.nnz,
+                                   False, 0)
+        return (self.diags, self.diags_blocked), (
+            self.offsets, self.shape, self.nnz, True, self.blocked_halo,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        blocked = children[1] if aux[3] else None
+        return cls(children[0], aux[0], aux[1], aux[2], blocked, aux[4])
+
+    def with_blocked(self, block_len: int = 16384) -> "SymDIAMatrix":
+        """Return a copy carrying the halo'd Pallas-blocked layout (one
+        device pass; do this ONCE per operator, outside jit)."""
+        if self.diags_blocked is not None:
+            return self
+        ndiag, n_stored = self.diags.shape
+        w = max(self.offsets) if self.offsets else 0
+        # halo and block length both 1024-aligned (Mosaic 1-D memref rule;
+        # also keeps every block row lane-aligned)
+        hw = -(-w // 1024) * 1024 if w else 0
+        bl = -(-min(block_len, max(n_stored, 1)) // 1024) * 1024
+        n_pad = -(-n_stored // bl) * bl
+        ng = n_pad // bl
+        dp = self.diags
+        if n_pad != n_stored:
+            dp = jnp.pad(dp, ((0, 0), (0, n_pad - n_stored)))
+        dpe = jnp.pad(dp, ((0, 0), (hw, 0)))  # zeros left of row 0
+        idx = (
+            jnp.arange(ng, dtype=jnp.int32)[:, None] * bl
+            + jnp.arange(hw + bl, dtype=jnp.int32)[None, :]
+        )
+        blocked = dpe[:, idx].transpose(1, 0, 2)  # (ng, ndiag, hw + bl)
+        return SymDIAMatrix(
+            self.diags, self.offsets, self.shape, self.nnz, blocked, hw
+        )
 
     @staticmethod
     def from_dia(dia: "DIAMatrix", check: bool = True) -> "SymDIAMatrix":
@@ -1138,7 +1182,14 @@ class SymDIAMatrix(LinearOperator):
         return ndiag_full * self.shape[0] * self.dtype.itemsize
 
     def astype(self, dtype) -> "SymDIAMatrix":
-        return dataclasses.replace(self, diags=self.diags.astype(dtype))
+        return dataclasses.replace(
+            self,
+            diags=self.diags.astype(dtype),
+            diags_blocked=(
+                None if self.diags_blocked is None
+                else self.diags_blocked.astype(dtype)
+            ),
+        )
 
 
 @jax.tree_util.register_pytree_node_class

@@ -105,3 +105,26 @@ def test_circuit_standin_matches_g3_profile():
     assert bool(info.converged)
     r = np.asarray(b) - np.asarray(A.matvec(x))
     assert np.linalg.norm(r) <= 1e-7 * float(jnp.linalg.norm(b))
+
+
+def test_bcsstk17_standin_matches_published_profile():
+    """The always-on counterpart for bcsstk17 (round-4 VERDICT item 5):
+    the calibrated elasticity shell hits the PUBLISHED n exactly and nnz
+    within 1%, and solves as a real stiffness matrix would."""
+    from conjugategradient_tpu import CSRMatrix, cg_solve
+    from conjugategradient_tpu.problems import bcsstk17_profile_coo
+
+    rows, cols, vals, shape = bcsstk17_profile_coo()
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    n_pub, nnz_pub = PUBLISHED["bcsstk17"]
+    assert A.shape[0] == n_pub
+    assert abs(A.nnz - nnz_pub) / nnz_pub < 0.01
+    # ~39 nnz/row, the stiffness-matrix regime (vs poisson3d's 7)
+    assert 35 <= A.nnz / A.shape[0] <= 43
+    n = A.shape[0]
+    b = jnp.arange(1, n + 1, dtype=jnp.float64)
+    x, info = cg_solve(A, b, tol=1e-6 * float(jnp.linalg.norm(b)),
+                       maxiter=4 * n)
+    assert bool(info.converged)
+    r = np.asarray(b) - np.asarray(A.matvec(x))
+    assert np.linalg.norm(r) <= 1e-5 * float(jnp.linalg.norm(b))

@@ -247,3 +247,123 @@ class TestSharded:
                                     method="sstep")
         with pytest.raises(ValueError, match="offsets >= 0"):
             sharded_symdia_cg_solve(diags_sh, (-1, 0, 1), b_pad)
+
+
+class TestBlockedKernel:
+    """The halo'd pre-blocked layout + Pallas windowed symmetric kernel
+    (round 4): past cg_solve's 320 MB constant-closure gate the symmetric
+    layout upgrades to this instead of forfeiting its half-band saving to
+    full pre-blocked DIA."""
+
+    def test_with_blocked_layout_and_halo_contents(self, banded):
+        _, dia, _ = banded
+        sym = SymDIAMatrix.from_dia(dia)
+        blk = sym.with_blocked(block_len=128)
+        assert blk.diags_blocked is not None
+        assert blk.with_blocked() is blk  # idempotent
+        ng, ndiag, row_len = blk.diags_blocked.shape
+        hw = blk.blocked_halo
+        bl = row_len - hw
+        assert hw % 1024 == 0 and bl % 1024 == 0
+        assert hw >= max(sym.offsets)
+        # block g row j holds d[g*bl - hw + j] with zeros outside [0, n)
+        d = np.asarray(sym.diags)
+        dpe = np.pad(d, ((0, 0), (hw, ng * bl - d.shape[1])))
+        for g in range(ng):
+            np.testing.assert_array_equal(
+                np.asarray(blk.diags_blocked)[g],
+                dpe[:, g * bl : g * bl + hw + bl],
+            )
+
+    def test_kernel_parity_multi_block(self, rng):
+        """Interpret-mode parity across BLOCK BOUNDARIES: n spans several
+        1024-blocks so the mirror term reads the baked-in left halo."""
+        from conjugategradient_tpu.ops.pallas.dia_spmv import (
+            sym_dia_spmv_pallas_blocked,
+        )
+
+        rows, cols, vals, shape = banded_spd_coo(3000, bandwidth=9, seed=5)
+        csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+        dia = DIAMatrix.from_csr(csr)
+        sym = SymDIAMatrix.from_dia(dia)
+        blk = sym.with_blocked(block_len=1024)
+        assert blk.diags_blocked.shape[0] > 1  # multi-block
+        x = jnp.asarray(rng.standard_normal(shape[0]).astype(np.float32))
+        y_ref = np.asarray(dia.matvec(x))
+        y_blk = sym_dia_spmv_pallas_blocked(
+            blk.diags_blocked, blk.offsets, x, n=shape[0],
+            hw=blk.blocked_halo, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_blk), y_ref, rtol=1e-5, atol=1e-5
+        )
+
+    def test_kernel_parity_stencil_scale_offsets(self, rng):
+        """Offsets past 1024 (the regime the Pallas kernel exists for):
+        the halo exceeds one block, mirror values come from TWO blocks
+        back."""
+        from conjugategradient_tpu.ops.pallas.dia_spmv import (
+            sym_dia_spmv_pallas_blocked,
+        )
+
+        n, k = 4096, 1100
+        d0 = 4.0 + rng.random(n).astype(np.float32)
+        d1 = (0.1 * rng.standard_normal(n)).astype(np.float32)
+        d1[n - k:] = 0.0  # out-of-range slots zero by convention
+        sym = SymDIAMatrix(
+            jnp.asarray(np.stack([d0, d1])), (0, k), (n, n),
+            int(n + 2 * (n - k)),
+        )
+        blk = sym.with_blocked(block_len=1024)
+        assert blk.blocked_halo >= k
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        y_ref = np.asarray(sym.matvec(x))  # XLA symmetric path
+        y_blk = sym_dia_spmv_pallas_blocked(
+            blk.diags_blocked, blk.offsets, x, n=n,
+            hw=blk.blocked_halo, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_blk), y_ref, rtol=1e-5, atol=1e-5
+        )
+
+    def test_pytree_astype_and_solve_parity(self, banded, rng):
+        _, dia, _ = banded
+        sym = SymDIAMatrix.from_dia(dia)
+        blk = sym.with_blocked(block_len=128)
+        # pytree round-trip keeps the blocked leaf + static halo
+        leaves, treedef = jax.tree_util.tree_flatten(blk)
+        assert len(leaves) == 2
+        back = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert back.diags_blocked is not None
+        assert back.blocked_halo == blk.blocked_halo
+        # astype casts both copies
+        low = blk.astype(jnp.bfloat16)
+        assert low.diags_blocked.dtype == jnp.bfloat16
+        # solving with the upgraded operator matches the plain one (CPU:
+        # the XLA path runs either way, exercising the pytree through jit)
+        n = sym.shape[0]
+        b = jnp.asarray(rng.standard_normal(n).astype(np.float64))
+        x1, i1 = cg_solve(sym, b, tol=1e-10)
+        x2, i2 = cg_solve(blk, b, tol=1e-10)
+        assert int(i1.iterations) == int(i2.iterations)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-9)
+
+    def test_mixed_bf16_op_f32_x(self, rng):
+        """bf16 half-band + f32 vector: x-dtype scratch, promoted output
+        (the same contract as the full DIA Pallas kernels)."""
+        from conjugategradient_tpu.ops.pallas.dia_spmv import (
+            sym_dia_spmv_pallas_blocked,
+        )
+
+        rows, cols, vals, shape = banded_spd_coo(2500, bandwidth=7, seed=8)
+        csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+        sym32 = SymDIAMatrix.from_dia(DIAMatrix.from_csr(csr))
+        blk16 = sym32.astype(jnp.bfloat16).with_blocked(block_len=1024)
+        x = jnp.asarray(rng.standard_normal(shape[0]).astype(np.float32))
+        y_ref = np.asarray(sym32.matvec(x))
+        y = sym_dia_spmv_pallas_blocked(
+            blk16.diags_blocked, blk16.offsets, x, n=shape[0],
+            hw=blk16.blocked_halo, interpret=True,
+        )
+        assert y.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-2, atol=2e-2)

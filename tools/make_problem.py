@@ -37,6 +37,7 @@ def main(argv=None) -> int:
             "dense",
             "powerlaw",
             "elasticity3d",
+            "bcsstk17",
             "circuit",
         ),
     )
@@ -108,6 +109,15 @@ def main(argv=None) -> int:
         comment = (
             f"3-D block stiffness (bcsstk-class, 3 dof/node, 27-pt), "
             f"{args.nx}x{args.ny or args.nx}x{args.nz or args.nx} seed={args.seed}"
+        )
+    elif args.kind == "bcsstk17":
+        from conjugategradient_tpu.problems import bcsstk17_profile_coo
+
+        rows, cols, vals, shape = bcsstk17_profile_coo(seed=args.seed)
+        comment = (
+            "elasticity stand-in calibrated to bcsstk17's published "
+            "profile: n=10974 (3 dof x 59x31x2 shell), nnz~428650 "
+            f"seed={args.seed}"
         )
     else:  # dense
         a = random_spd_dense(args.n, seed=args.seed)

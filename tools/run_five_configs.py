@@ -8,7 +8,9 @@ The five configs (BASELINE.json "configs") run on their sandbox stand-ins
 
 1. unpreconditioned dense CG .......... problems/dense_256.mtx
 2. CSR SpMV CG on SuiteSparse SPD ..... powerlaw_1138.mtx (1138_bus-class),
-                                        elasticity3d_16.mtx (bcsstk17-class)
+                                        elasticity3d_16.mtx (bcsstk17-class),
+                                        bcsstk17_profile.mtx (published
+                                        n=10974 / nnz~428650 exactly)
 3. Jacobi-PCG, fused apply ............ poisson3d_48.mtx --precond jacobi
 4. matrix-free 256^3 Poisson stencil .. stencil:256
 5. G3_circuit-scale (row-sharded in
@@ -52,6 +54,8 @@ CONFIGS = [
      ["problems/powerlaw_1138.mtx", "--layout", "auto"]),
     ("config2_elasticity3d_16", 3 * 16 ** 3,
      ["problems/elasticity3d_16.mtx", "--layout", "auto"]),
+    ("config2_bcsstk17_profile", 10974,
+     ["problems/bcsstk17_profile.mtx", "--layout", "auto"]),
     ("config3_jacobi_poisson3d", 48 ** 3,
      ["problems/poisson3d_48.mtx", "--layout", "auto",
       "--precond", "jacobi"]),
