@@ -23,14 +23,23 @@ b[i] = i+1.  Everything runs f32 (TPU float64 is emulated; parity is the
 CPU test suite's job — this table is the performance protocol).
 
 Usage: timeout 3600 python tools/run_five_configs.py [--only NAME ...]
-Prints one `### name` header + tester.py's stdout per config.
+                                                     [--reps N]
+Prints one `### name` header + tester.py's stdout per config.  With
+--reps N each config's solve is repeated N times in-process (jit caches
+warm after rep 1) and a `### name summary` JSON line quotes the median
+and min-max range of time_ms — chip run-to-run variance is ~20%
+(CLAUDE.md), so single-run rows are not comparable across rounds.
 """
 
 from __future__ import annotations
 
 import argparse
+import contextlib
+import io
+import json
 import math
 import os
+import statistics
 import sys
 import time
 
@@ -79,6 +88,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", nargs="*", default=None,
                     help="run only these config names")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="repeat each config's solve N times and quote "
+                         "median + range of time_ms (chip variance ~20%%)")
     args = ap.parse_args()
 
     import jax
@@ -100,12 +112,42 @@ def main() -> int:
                        "--summary"]
         print(f"\n### {name}: tester.py {' '.join(full)}", flush=True)
         t0 = time.time()
-        try:
-            code = tester.main(full)
-        except Exception as e:  # keep going — later configs still run
-            print(f"### {name} FAILED: {type(e).__name__}: {e}", flush=True)
-            rc = 1
+        times_ms = []
+        code = 0
+        for rep in range(max(1, args.reps)):
+            buf = io.StringIO()
+            try:
+                with contextlib.redirect_stdout(buf):
+                    code = tester.main(full)
+            except Exception as e:  # keep going — later configs still run
+                sys.stdout.write(buf.getvalue())
+                print(f"### {name} FAILED (rep {rep}): "
+                      f"{type(e).__name__}: {e}", flush=True)
+                rc = 1
+                code = None
+                break
+            out = buf.getvalue()
+            sys.stdout.write(out)
+            sys.stdout.flush()
+            # the 4-column protocol line: dim NNZ time_ms rel_error
+            for line in out.splitlines():
+                parts = line.split()
+                if len(parts) == 4 and not line.lstrip().startswith("{"):
+                    try:
+                        times_ms.append(float(parts[2]))
+                    except ValueError:
+                        pass
+                    break
+        if code is None:
             continue
+        if args.reps > 1 and times_ms:
+            print(f"### {name} summary " + json.dumps({
+                "reps": len(times_ms),
+                "time_ms_median": statistics.median(times_ms),
+                "time_ms_min": min(times_ms),
+                "time_ms_max": max(times_ms),
+                "time_ms_all": times_ms,
+            }), flush=True)
         print(f"### {name} rc={code} wall={time.time() - t0:.1f}s",
               flush=True)
         rc = rc or code
