@@ -76,10 +76,11 @@ def bell_spmv_pallas(
         )
     nrb, kmax, bm, bn = blocks.shape
     ncb = x2d.shape[0]
-    R = row_group
-    while nrb % R:
-        R //= 2
-    R = max(R, 1)
+    # y streams as (R, bm) blocks: Mosaic needs R % 8 == 0 or R == nrb
+    # (caught live on poisson2d_34's nrb=10 — see fused_cg)
+    from .fused_cg import _row_group_for_blocked_q
+
+    R = _row_group_for_blocked_q(nrb, row_group)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -44,6 +44,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _row_group_for_blocked_q(nrb: int, row_group: int = 8) -> int:
+    """Row-group size for kernels whose q streams as (R, bm) output blocks.
+
+    Mosaic requires a block's second-to-last dim to be divisible by 8 or
+    equal to the array dim (caught live on poisson2d_34: nrb=10 picked R=2
+    and the TPU lowering rejected the (2, 128) q block).  Prefer the largest
+    multiple of 8 ≤ ``row_group`` dividing nrb; fall back to one whole-array
+    grid step (R == nrb) — :func:`solver.fused.fused_supported` caps the
+    tile bytes that single step would hold in VMEM.
+    """
+    R = max(row_group - row_group % 8, 8)
+    while R >= 8:
+        if nrb % R == 0:
+            return R
+        R -= 8
+    return nrb
+
+
 def _dir_spmv_kernel(R: int, kmax: int, bm: int, bn: int,
                      precond: bool = False):
     rows_per_g = (R * bm) // bn  # rows of the (ncb, bn) operand per grid step
@@ -108,10 +126,7 @@ def fused_dir_spmv_dot(
     ncb = r2d.shape[0]
     if bm != bn:
         raise ValueError(f"fused kernel needs square tiles, got {bm}x{bn}")
-    R = row_group
-    while nrb % R:
-        R //= 2
-    R = max(R, 1)
+    R = _row_group_for_blocked_q(nrb, row_group)
     precond = inv_diag2d is not None
 
     in_specs = [
@@ -161,7 +176,7 @@ def fused_dir_spmv_dot(
 
 
 def _sym_dir_spmv_kernel(R: int, ku: int, bm: int, bn: int,
-                         precond: bool = False):
+                         precond: bool = False, mirror: str = "scatter"):
     """Symmetric twin of :func:`_dir_spmv_kernel`: the operator arrives as
     diagonal tiles + strictly-UPPER tiles only (types.SymBellMatrix), and
     each upper tile is applied twice — ``q[row] += B @ p[c]`` along the
@@ -174,14 +189,41 @@ def _sym_dir_spmv_kernel(R: int, ku: int, bm: int, bn: int,
     block-row ``row`` come only from rows < ``row`` (upper tiles point
     forward), so after step g finishes, q rows [gR, (g+1)R) are final and
     can be dotted against the matching p rows immediately.
+
+    ``mirror`` selects how the Bᵀ contributions land in q (same math, same
+    streamed bytes — the A/B closes the measured ~100 µs gap between the
+    scatter kernel and the 279 MB engine bound, docs/performance.md):
+
+    * ``"scatter"`` — per-tile read-modify-write ``q[c] += tpart`` inline
+      with the forward products (the round-3 kernel).
+    * ``"split"`` — per-row products write to (R, ·) VMEM scratch only
+      (no dynamic q access inside the compute loop, so Mosaic can pipeline
+      it against the tile DMAs); the dynamic q updates happen in a short
+      dedicated phase at step end.
+    * ``"banded"`` — block-tridiagonal specialization (SymBellMatrix.banded):
+      every real upper tile targets the NEXT block-row, so the step's
+      window q[gR : gR+R] receives ALL its contributions within step g —
+      the forward products, the mirrors of its own first R−1 rows, and the
+      previous step's last mirror via a (1, bn) carry scratch.  q becomes a
+      PURE ALIGNED WRITE assembled in registers: no dynamic addressing, no
+      read-modify-write, no zero-init pass.  (Distinct from the round-3
+      per-ROW register carry that serialized rows and lost — this carry
+      crosses STEP boundaries only, which the sequential grid serializes
+      anyway; docs/performance.md "Negative results".)
     """
+    if mirror not in ("scatter", "split", "banded"):
+        raise ValueError(f"unknown mirror scheme {mirror!r}")
+    if mirror == "banded" and ku != 1:
+        raise ValueError("mirror='banded' requires ku == 1 storage")
 
     def kernel(cols_ref, beta_ref, dblk_ref, oblk_ref, r_ref, pold_ref,
                *rest):
         if precond:
-            d_ref, pnew_ref, q_ref, pap_ref, pv = rest
+            d_ref, pnew_ref, q_ref, pap_ref, pv = rest[:5]
+            scratch = rest[5:]
         else:
-            pnew_ref, q_ref, pap_ref, pv = rest
+            pnew_ref, q_ref, pap_ref, pv = rest[:4]
+            scratch = rest[4:]
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -189,24 +231,85 @@ def _sym_dir_spmv_kernel(R: int, ku: int, bm: int, bn: int,
             z = d_ref[:] * r_ref[:] if precond else r_ref[:]
             pv[:] = z + beta_ref[0, 0] * pold_ref[:]
             pnew_ref[:] = pv[:]
-            q_ref[:] = jnp.zeros_like(q_ref)
+            if mirror == "banded":
+                scratch[0][:] = jnp.zeros_like(scratch[0])  # mirror carry
+            else:
+                q_ref[:] = jnp.zeros_like(q_ref)
             pap_ref[0, 0] = 0.0
 
-        for rr in range(R):
-            row = g * R + rr
-            xr = pv[row, :]  # (bn,)
-            acc = jnp.sum(
-                dblk_ref[rr].astype(jnp.float32) * xr[None, :], axis=1
-            )  # (bm,)
-            for k in range(ku):
-                c = cols_ref[row * ku + k]
-                blk = oblk_ref[rr, k].astype(jnp.float32)  # (bm, bn)
-                xb = pv[c, :]  # (bn,)
-                acc = acc + jnp.sum(blk * xb[None, :], axis=1)
-                # mirror: q[c] += Bᵀ p[row] — reduce the OTHER axis
-                tpart = jnp.sum(blk * xr[:, None], axis=0)  # (bn,)
-                q_ref[c, :] = q_ref[c, :] + tpart
-            q_ref[row, :] = q_ref[row, :] + acc
+        if mirror == "scatter":
+            for rr in range(R):
+                row = g * R + rr
+                xr = pv[row, :]  # (bn,)
+                acc = jnp.sum(
+                    dblk_ref[rr].astype(jnp.float32) * xr[None, :], axis=1
+                )  # (bm,)
+                for k in range(ku):
+                    c = cols_ref[row * ku + k]
+                    blk = oblk_ref[rr, k].astype(jnp.float32)  # (bm, bn)
+                    xb = pv[c, :]  # (bn,)
+                    acc = acc + jnp.sum(blk * xb[None, :], axis=1)
+                    # mirror: q[c] += Bᵀ p[row] — reduce the OTHER axis
+                    tpart = jnp.sum(blk * xr[:, None], axis=0)  # (bn,)
+                    q_ref[c, :] = q_ref[c, :] + tpart
+                q_ref[row, :] = q_ref[row, :] + acc
+        elif mirror == "banded":
+            carry = scratch[0]
+            base = pl.multiple_of(g * R, R)
+            carry_in = carry[0, :]  # previous step's last mirror (or zeros)
+            accs = []
+            tps = []
+            for rr in range(R):
+                row = base + rr
+                xr = pv[row, :]
+                acc = jnp.sum(
+                    dblk_ref[rr].astype(jnp.float32) * xr[None, :], axis=1
+                )
+                # the single upper tile; the last global row carries an
+                # inert zero tile pointing at itself (SymBellMatrix._pack_np)
+                c = cols_ref[row]
+                blk = oblk_ref[rr, 0].astype(jnp.float32)
+                acc = acc + jnp.sum(blk * pv[c, :][None, :], axis=1)
+                accs.append(acc)
+                tps.append(jnp.sum(blk * xr[:, None], axis=0))
+            carry[0, :] = tps[R - 1]
+            # window rows gR..gR+R-1: forward accs + mirrors of rows
+            # gR-1..gR+R-2 — everything lands here IN this step, so q is a
+            # pure aligned write (banded ⇒ mirror of row j targets j+1)
+            mirrors = [carry_in] + tps[: R - 1]
+            qwin = jnp.stack(accs, axis=0) + jnp.stack(mirrors, axis=0)
+            q_ref[pl.ds(base, R), :] = qwin
+            prows = pv[pl.ds(base, R), :]
+            pap_ref[0, 0] += jnp.sum(qwin * prows.reshape(R, bm))
+            return  # pap handled with the in-register window above
+
+        else:  # split: products into scratch, dedicated dynamic-RMW phase
+            accs, tparts = scratch
+            # phase 1 — all tile products, only static scratch-row writes
+            for rr in range(R):
+                row = g * R + rr
+                xr = pv[row, :]
+                acc = jnp.sum(
+                    dblk_ref[rr].astype(jnp.float32) * xr[None, :], axis=1
+                )
+                for k in range(ku):
+                    c = cols_ref[row * ku + k]
+                    blk = oblk_ref[rr, k].astype(jnp.float32)
+                    acc = acc + jnp.sum(blk * pv[c, :][None, :], axis=1)
+                    tpart = jnp.sum(blk * xr[:, None], axis=0)
+                    if ku == 1:
+                        tparts[rr, :] = tpart
+                    else:
+                        tparts[rr, k, :] = tpart
+                accs[rr, :] = acc
+            # phase 2 — land the step's contributions in q
+            for rr in range(R):
+                row = g * R + rr
+                q_ref[row, :] = q_ref[row, :] + accs[rr, :]
+                for k in range(ku):
+                    c = cols_ref[row * ku + k]
+                    t = tparts[rr, :] if ku == 1 else tparts[rr, k, :]
+                    q_ref[c, :] = q_ref[c, :] + t
 
         # rows [gR, (g+1)R) received every mirror contribution by now
         qrows = q_ref[pl.ds(g * R, R), :]
@@ -216,7 +319,9 @@ def _sym_dir_spmv_kernel(R: int, ku: int, bm: int, bn: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "row_group"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "row_group", "mirror")
+)
 def sym_fused_dir_spmv_dot(
     diag_blocks: jax.Array,
     off_blocks: jax.Array,
@@ -227,20 +332,24 @@ def sym_fused_dir_spmv_dot(
     inv_diag2d: jax.Array = None,
     interpret: bool = False,
     row_group: int = 8,
+    mirror: str = "scatter",
 ):
     """(p_new, q, pap) on symmetric blocked-ELL storage — same contract as
     :func:`fused_dir_spmv_dot` with the operator tile stream cut to the
     upper triangle (up to 2× fewer HBM bytes per CG iteration; exactly
-    1.5× on a block-tridiagonal band)."""
+    1.5× on a block-tridiagonal band).  ``mirror`` selects the Bᵀ landing
+    scheme (see :func:`_sym_dir_spmv_kernel`); callers must only pass
+    ``"banded"`` for operators with ``SymBellMatrix.banded`` set."""
     nrb, bm, bn = diag_blocks.shape
     ku = off_blocks.shape[1]
     ncb = r2d.shape[0]
     if bm != bn:
         raise ValueError(f"fused kernel needs square tiles, got {bm}x{bn}")
-    R = row_group
-    while nrb % R:
-        R //= 2
-    R = max(R, 1)
+    # same grouping rule as the full kernel: q here is whole-VMEM (no block
+    # rule to satisfy), but keeping the per-step pap accumulation groups
+    # IDENTICAL across storages preserves the iteration-for-iteration
+    # full-vs-symmetric solver parity the tests pin down
+    R = _row_group_for_blocked_q(nrb, row_group)
     precond = inv_diag2d is not None
 
     in_specs = [
@@ -257,6 +366,14 @@ def sym_fused_dir_spmv_dot(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(inv_diag2d)
 
+    scratch_shapes = [pltpu.VMEM((ncb, bn), jnp.float32)]
+    if mirror == "banded":
+        scratch_shapes.append(pltpu.VMEM((1, bn), jnp.float32))  # carry
+    elif mirror == "split":
+        # per-step product staging: forward rows + mirror rows
+        scratch_shapes.append(pltpu.VMEM((R, bm), jnp.float32))
+        tshape = (R, bn) if ku == 1 else (R, ku, bn)
+        scratch_shapes.append(pltpu.VMEM(tshape, jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nrb // R,),
@@ -267,13 +384,13 @@ def sym_fused_dir_spmv_dot(
             pl.BlockSpec((1, 1), lambda g, cols: (0, 0),
                          memory_space=pltpu.SMEM),  # pap
         ],
-        scratch_shapes=[pltpu.VMEM((ncb, bn), jnp.float32)],
+        scratch_shapes=scratch_shapes,
     )
 
     vec_bytes = ncb * bn * 4
     tile_bytes = (diag_blocks.size + off_blocks.size) * diag_blocks.dtype.itemsize
     p_new, q, pap = pl.pallas_call(
-        _sym_dir_spmv_kernel(R, ku, bm, bn, precond=precond),
+        _sym_dir_spmv_kernel(R, ku, bm, bn, precond=precond, mirror=mirror),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((ncb, bn), jnp.float32),
@@ -342,10 +459,7 @@ def bell_spmv_dot(
     nrb, kmax, bm, bn = blocks.shape
     if bm != bn:
         raise ValueError(f"fused kernel needs square tiles, got {bm}x{bn}")
-    R = row_group
-    while nrb % R:
-        R //= 2
-    R = max(R, 1)
+    R = _row_group_for_blocked_q(nrb, row_group)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -454,10 +568,17 @@ def fused_update_dot_pcg(
 
 
 def _largest_divisor_leq(n: int, cap: int) -> int:
-    for c in range(min(n, cap), 0, -1):
+    """Largest chunk C ≤ cap with C | n and C ≡ 0 (mod 8) — the Mosaic
+    block-shape rule for the (C, lanes) update blocks (divisible by 8 or
+    equal to the array dim).  Falls back to one whole-array step (C == n)
+    when no such divisor exists; fused_supported bounds n there."""
+    c = min(n, cap)
+    c -= c % 8
+    while c >= 8:
         if n % c == 0:
             return c
-    return 1
+        c -= 8
+    return n
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -75,6 +75,8 @@ def fused_supported(a: Any, dtype=None, interpret: bool = False) -> bool:
     else:
         return False
     vec_bytes = mp * 4
+    nrb = np_ // bm
+    itemsize = jnp.dtype(a.dtype).itemsize
     ok = (
         bm == bn
         and bn % 128 == 0
@@ -88,6 +90,16 @@ def fused_supported(a: Any, dtype=None, interpret: bool = False) -> bool:
         # docs/performance.md); leave headroom for Mosaic's own buffers.
         and 5 * vec_bytes + 2 * 8 * tiles_per_row * bm * bn * 4
         <= 96 * 1024 * 1024
+        # Mosaic block rule (dims divisible by 8 / equal to the array):
+        # odd-sized operators fall back to ONE whole-array grid step,
+        # viable only while that step stays VMEM-small (caught live on
+        # poisson2d_34, nrb=10 — ops/pallas/fused_cg._row_group_for_blocked_q;
+        # both storages share the selection so their per-step pap groupings,
+        # and hence solve trajectories, stay identical).  The update kernels
+        # chunk all vectors (C, bn)-blocked under the same rule.
+        and (nrb % 8 == 0
+             or nrb * tiles_per_row * bm * bn * itemsize <= 16 * 1024 * 1024)
+        and ((mp // bn) % 8 == 0 or mp // bn <= 8192)
     )
     if not ok:
         return False
@@ -135,14 +147,32 @@ def fused_cg_init(
     )
 
 
+def _auto_mirror(a: SymBellMatrix) -> str:
+    """Measured-best Bᵀ landing scheme for a symmetric operator's pattern.
+
+    v5e at the n=256K headline (tools/symbell_mirror_ab.py, K=128 chains,
+    3 reps x 2 interleaved rounds): banded 397.9 us/iter (1038 GB/s eff)
+    vs scatter 429.0 (963) vs split 439.6 (940) vs full-storage 501.1
+    (824.5) — the pure aligned-write q assembly wins whenever the
+    block-tridiagonal pattern allows it; the general pattern keeps the
+    per-tile scatter (split's dedicated RMW phase measured slower).
+    """
+    return "banded" if a.banded and a.off_blocks.shape[1] == 1 else "scatter"
+
+
 def fused_cg_step(
     a: BlockedEllMatrix,
     state: FusedCGState,
     tol: jax.Array,
     interpret: bool = False,
+    mirror: str = "auto",
 ) -> FusedCGState:
     """One CG iteration in two fused kernels.  Semantics == solver/cg.cg_step
-    (same update order, same pre-update termination test, same ρ==0 guard)."""
+    (same update order, same pre-update termination test, same ρ==0 guard).
+
+    ``mirror`` (symmetric storage only) picks the Bᵀ landing scheme of the
+    K1 kernel; ``"auto"`` uses the measured-best default per pattern (see
+    ops/pallas/fused_cg._sym_dir_spmv_kernel and docs/performance.md)."""
     from ..ops.pallas.fused_cg import (
         fused_dir_spmv_dot,
         fused_update_dot,
@@ -150,9 +180,12 @@ def fused_cg_step(
     )
 
     if isinstance(a, SymBellMatrix):
+        if mirror == "auto":
+            mirror = _auto_mirror(a)
         p_new, q, pap = sym_fused_dir_spmv_dot(
             a.diag_blocks, a.off_blocks, a.off_cols,
             state.r, state.p, state.beta, interpret=interpret,
+            mirror=mirror,
         )
     else:
         p_new, q, pap = fused_dir_spmv_dot(
@@ -284,6 +317,7 @@ def _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret):
             p_new, q, pap = sym_fused_dir_spmv_dot(
                 a.diag_blocks, a.off_blocks, a.off_cols,
                 s.r, s.p, s.beta, inv_diag2d=d2d, interpret=interpret,
+                mirror=_auto_mirror(a),
             )
         else:
             p_new, q, pap = fused_dir_spmv_dot(

@@ -163,6 +163,54 @@ class TestGating:
         assert bool(info.converged)
 
 
+class TestMosaicBlockRule:
+    """Row-group / chunk selection must satisfy Mosaic's block-shape rule
+    (second-to-last dim divisible by 8 OR equal to the array dim) for every
+    operator size — caught live on the chip with poisson2d_34 (nrb=10 chose
+    R=2 and the TPU lowering rejected the (2, 128) q block)."""
+
+    def test_row_group_invariant(self):
+        from conjugategradient_tpu.ops.pallas.fused_cg import (
+            _row_group_for_blocked_q,
+        )
+
+        for nrb in (1, 2, 5, 8, 10, 16, 24, 95, 1000, 1001, 2048):
+            R = _row_group_for_blocked_q(nrb, 8)
+            assert nrb % R == 0
+            assert R % 8 == 0 or R == nrb
+
+    def test_update_chunk_invariant(self):
+        from conjugategradient_tpu.ops.pallas.fused_cg import (
+            _largest_divisor_leq,
+        )
+
+        for rows in (8, 10, 16, 410, 1024, 2048, 2050, 12288):
+            C = _largest_divisor_leq(rows, 1024)
+            assert rows % C == 0
+            assert C % 8 == 0 or C == rows
+
+    def test_supported_gates_odd_giant_full_storage(self):
+        """A full-storage operator whose nrb has no multiple-of-8 divisor
+        AND whose whole tile array exceeds the single-step VMEM cap must be
+        rejected (it would need a one-step grid that cannot fit)."""
+        nrb, kmax, bm = 1001, 3, 128  # 1001*3*128*128*4 ≈ 197 MB > 16 MB cap
+        blocks = jax.ShapeDtypeStruct((nrb, kmax, bm, bm), jnp.float32)
+        cols = jax.ShapeDtypeStruct((nrb, kmax), jnp.int32)
+        a = BlockedEllMatrix(blocks, cols, (nrb * bm, nrb * bm), 1)
+        assert not fused_supported(a, dtype=jnp.float32, interpret=True)
+
+    def test_small_odd_operator_supported_and_solves(self):
+        """poisson2d_34's shape (nrb=10) must stay fused-supported and solve
+        (interpret mode on CPU; the chip run is the live verification)."""
+        bell, n = _bell_poisson(nx=34)
+        assert bell.blocks.shape[0] % 8 != 0  # the shape class under test
+        assert fused_supported(bell, dtype=jnp.float32, interpret=True)
+        b = jnp.asarray(reference_rhs(n, dtype=np.float32))
+        x, info = fused_bell_cg_solve(bell, b, tol=1e-4 * float(
+            jnp.linalg.norm(b)), maxiter=3 * n, interpret=True)
+        assert bool(info.converged)
+
+
 class TestFusedStencil:
     """Matrix-free fused CG (solver/fused_stencil.py) — config 4's fast path."""
 
