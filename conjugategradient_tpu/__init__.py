@@ -46,6 +46,9 @@ from .solver import (
     deflated_cg_solve,
     make_deflation_basis,
     harvest_deflation_basis,
+    EigsResult,
+    lanczos_eigs,
+    condition_estimate,
     block_jacobi_preconditioner,
     jacobi_preconditioner,
     memory_footprint,
@@ -85,6 +88,9 @@ __all__ = [
     "deflated_cg_solve",
     "make_deflation_basis",
     "harvest_deflation_basis",
+    "EigsResult",
+    "lanczos_eigs",
+    "condition_estimate",
     "block_jacobi_preconditioner",
     "jacobi_preconditioner",
     "memory_footprint",

@@ -26,6 +26,7 @@ from .deflated import (
     harvest_deflation_basis,
     make_deflation_basis,
 )
+from .eigs import EigsResult, condition_estimate, lanczos_eigs
 from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
 from .pipelined import pipelined_cg_solve
@@ -54,6 +55,9 @@ __all__ = [
     "make_deflation_basis",
     "harvest_deflation_basis",
     "basis_quality",
+    "EigsResult",
+    "lanczos_eigs",
+    "condition_estimate",
     "load_state",
     "run_cg",
     "save_state",

@@ -117,42 +117,23 @@ def make_deflation_basis(
     """Harvest the k LOWEST Ritz vectors of A into a deflation basis.
 
     Runs ``lanczos_iters`` (default ``max(2k, k+10)``) reorthogonalized
-    Lanczos steps as one device dispatch (precond._lanczos_tridiag_device),
-    eigendecomposes the small tridiagonal on the host, and assembles the
-    Ritz vectors W = Vᵀ Y for the k smallest Ritz values.  Cost: one
-    Lanczos pass (m SpMVs) amortized over every subsequent solve — the
-    recycling pattern for solve sequences.
+    Lanczos steps through the public eigensolver (:func:`solver.eigs.
+    lanczos_eigs`, one jitted device dispatch) and wraps the k smallest
+    Ritz vectors.  Cost: one Lanczos pass (m SpMVs) amortized over every
+    subsequent solve — the recycling pattern for solve sequences.
     """
-    import numpy as np
-
-    from .precond import _lanczos_tridiag_device
+    from .eigs import lanczos_eigs
 
     op = as_linear_operator(A, n=n)
     m_rows = op.shape[0]
     m = int(min(lanczos_iters or max(2 * k, k + 10), m_rows))
     if not 0 < k <= m:
         raise ValueError(f"need 0 < k <= lanczos_iters, got k={k}, m={m}")
-    if v0 is None:
-        v0 = jnp.asarray(
-            np.random.default_rng(seed).standard_normal(m_rows),
-            dtype=op.dtype,
-        )
-    op_arrays, op_static = jax.tree_util.tree_flatten(op)
-    V, alphas, betas = _lanczos_tridiag_device(
-        tuple(op_arrays), op_static, v0, m
+    res = lanczos_eigs(
+        op, k=k, which="smallest", iters=m, seed=seed, v0=v0,
+        return_vectors=True,
     )
-    alphas = np.asarray(alphas, np.float64)
-    betas = np.asarray(betas, np.float64)
-    stop = np.flatnonzero(betas < 1e-12)
-    mm = int(stop[0]) + 1 if len(stop) else m
-    kk = min(k, mm)
-    T = np.diag(alphas[:mm])
-    if mm > 1:
-        T = T + np.diag(betas[: mm - 1], 1) + np.diag(betas[: mm - 1], -1)
-    vals, Y = np.linalg.eigh(T)
-    Yk = jnp.asarray(Y[:, :kk], dtype=V.dtype)  # k smallest Ritz pairs
-    W = jnp.matmul(V[:mm].T, Yk, precision=_HI).astype(op.dtype)
-    return deflation_basis_from_vectors(op, W)
+    return deflation_basis_from_vectors(op, res.vectors)
 
 
 def basis_quality(A: Any, basis: DeflationBasis,
