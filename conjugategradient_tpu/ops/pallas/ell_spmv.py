@@ -76,11 +76,16 @@ def bell_spmv_pallas(
         )
     nrb, kmax, bm, bn = blocks.shape
     ncb = x2d.shape[0]
-    # y streams as (R, bm) blocks: Mosaic needs R % 8 == 0 or R == nrb
-    # (caught live on poisson2d_34's nrb=10 — see fused_cg)
+    # y streams as (R, bm) blocks: Mosaic needs R % 8 == 0, R == nrb, or
+    # R == 1 (caught live on poisson2d_34's nrb=10 — see fused_cg).  This
+    # path has no fused_supported-style size gate, so an odd-nrb giant must
+    # NOT take the one-step R=nrb fallback (the whole tile array in one
+    # grid step blows VMEM); R=1 is always legal, just smaller DMAs.
     from .fused_cg import _row_group_for_blocked_q
 
     R = _row_group_for_blocked_q(nrb, row_group)
+    if R == nrb and nrb % 8 != 0 and blocks.nbytes > 16 * 1024 * 1024:
+        R = 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -47,12 +47,15 @@ from jax.experimental.pallas import tpu as pltpu
 def _row_group_for_blocked_q(nrb: int, row_group: int = 8) -> int:
     """Row-group size for kernels whose q streams as (R, bm) output blocks.
 
-    Mosaic requires a block's second-to-last dim to be divisible by 8 or
-    equal to the array dim (caught live on poisson2d_34: nrb=10 picked R=2
-    and the TPU lowering rejected the (2, 128) q block).  Prefer the largest
-    multiple of 8 ≤ ``row_group`` dividing nrb; fall back to one whole-array
-    grid step (R == nrb) — :func:`solver.fused.fused_supported` caps the
-    tile bytes that single step would hold in VMEM.
+    Mosaic requires a block's second-to-last dim to be divisible by 8,
+    equal to the array dim, or 1 (caught live on poisson2d_34: nrb=10
+    picked R=2 and the TPU lowering rejected the (2, 128) q block).
+    ``row_group`` is a hint, not a cap: prefer the largest multiple of 8
+    ≤ max(row_group, 8) dividing nrb; fall back to one whole-array grid
+    step (R == nrb) — :func:`solver.fused.fused_supported` caps the tile
+    bytes that single step would hold in VMEM, and the ungated unfused
+    SpMV path (ops/pallas/ell_spmv.py) drops to the always-legal R=1
+    instead when the one-step grid would blow VMEM.
     """
     R = max(row_group - row_group % 8, 8)
     while R >= 8:
@@ -345,11 +348,17 @@ def sym_fused_dir_spmv_dot(
     ncb = r2d.shape[0]
     if bm != bn:
         raise ValueError(f"fused kernel needs square tiles, got {bm}x{bn}")
-    # same grouping rule as the full kernel: q here is whole-VMEM (no block
-    # rule to satisfy), but keeping the per-step pap accumulation groups
-    # IDENTICAL across storages preserves the iteration-for-iteration
-    # full-vs-symmetric solver parity the tests pin down
-    R = _row_group_for_blocked_q(nrb, row_group)
+    # q here is whole-VMEM scratch and the operand blocks are ≥3-D
+    # (singleton-safe leading dims), so ANY divisor of nrb is Mosaic-legal
+    # — honor an explicit small row_group exactly (the unit tests use
+    # R=1/4 to force the banded carry across step boundaries).  At the
+    # default hint the selection matches the full kernel's, keeping the
+    # per-step pap association aligned across storages (trajectory parity,
+    # tests/test_symbell._assert_storage_parity).
+    if nrb % row_group == 0:
+        R = row_group
+    else:
+        R = _row_group_for_blocked_q(nrb, row_group)
     precond = inv_diag2d is not None
 
     in_specs = [

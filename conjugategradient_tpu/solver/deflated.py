@@ -126,7 +126,10 @@ def make_deflation_basis(
 
     op = as_linear_operator(A, n=n)
     m_rows = op.shape[0]
-    m = int(min(lanczos_iters or max(2 * k, k + 10), m_rows))
+    m = int(min(
+        lanczos_iters if lanczos_iters is not None else max(2 * k, k + 10),
+        m_rows,
+    ))
     if not 0 < k <= m:
         raise ValueError(f"need 0 < k <= lanczos_iters, got k={k}, m={m}")
     res = lanczos_eigs(

@@ -129,7 +129,7 @@ def lanczos_eigs(
         )
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
-    m_req = int(iters or max(2 * k, k + 10))
+    m_req = int(iters if iters is not None else max(2 * k, k + 10))
     if k > m_req:
         raise ValueError(f"need k <= iters, got k={k}, iters={m_req}")
     op, V, vals, Y, betas, mm = _lanczos_ritz(A, m_req, n, seed, v0)

@@ -182,6 +182,13 @@ def fused_cg_step(
     if isinstance(a, SymBellMatrix):
         if mirror == "auto":
             mirror = _auto_mirror(a)
+        elif mirror == "banded" and not a.banded:
+            # the kernel would silently land every mirror at row+1; ku==1
+            # alone does not guarantee that pattern — only the static flag
+            raise ValueError(
+                "mirror='banded' requires a block-tridiagonal operator "
+                "(SymBellMatrix.banded); this pattern has off-band tiles"
+            )
         p_new, q, pap = sym_fused_dir_spmv_dot(
             a.diag_blocks, a.off_blocks, a.off_cols,
             state.r, state.p, state.beta, interpret=interpret,

@@ -290,29 +290,15 @@ def estimate_spectral_bounds(
     low on λ_min.)  Supply exact bounds when known — tighter intervals
     precondition better.
     """
-    import numpy as np
+    from .eigs import _lanczos_ritz
 
     op = as_linear_operator(A, n=n)
     m = op.shape[0]
     # cap the reorthogonalization basis at ~1 GB of device memory; the
     # result is only a padded interval estimate, so a shorter basis is fine
     itemsize = jnp.dtype(op.dtype).itemsize
-    k = int(min(iters, m, max(3, (1 << 30) // (itemsize * m))))
-    v0 = jnp.asarray(
-        np.random.default_rng(seed).standard_normal(m), dtype=op.dtype
-    )
-    op_arrays, op_static = jax.tree_util.tree_flatten(op)
-    _, alphas, betas = _lanczos_tridiag_device(tuple(op_arrays), op_static, v0, k)
-    alphas = np.asarray(alphas, dtype=np.float64)
-    betas = np.asarray(betas, dtype=np.float64)
-    # truncate at the first breakdown: Ritz values are exact from there on
-    stop = np.flatnonzero(betas < 1e-12)
-    kk = int(stop[0]) + 1 if len(stop) else k
-    T = np.diag(alphas[:kk])
-    if kk > 1:
-        off = betas[: kk - 1]
-        T = T + np.diag(off, 1) + np.diag(off, -1)
-    ritz = np.linalg.eigvalsh(T)
+    k = int(min(iters, max(3, (1 << 30) // (itemsize * m))))
+    _, _, ritz, _, _, _ = _lanczos_ritz(op, k, n, seed, None)
     lam_max = float(ritz[-1]) * safety
     lam_min = max(float(ritz[0]) / min_margin, lam_max * 1e-8)
     return lam_min, lam_max

@@ -136,3 +136,9 @@ class TestValidation:
     def test_k_exceeds_iters(self):
         with pytest.raises(ValueError, match="k <= iters"):
             lanczos_eigs(np.eye(40), k=9, iters=5)
+
+    def test_iters_zero_rejected(self):
+        """iters=0 must surface as an error, not silently fall back to
+        the default (the `iters or default` falsy trap)."""
+        with pytest.raises(ValueError):
+            lanczos_eigs(np.eye(40), k=2, iters=0)

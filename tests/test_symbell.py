@@ -257,6 +257,30 @@ class TestMirrorSchemes:
         with pytest.raises(ValueError, match="banded"):
             self._run(sym, r, r, "banded")
 
+    def test_step_rejects_banded_on_offband_pattern(self, rng):
+        """fused_cg_step must refuse mirror='banded' when the static
+        banded flag is unset, even at ku == 1 — the kernel would silently
+        land every mirror at row+1."""
+        from conjugategradient_tpu.solver.fused import (
+            fused_cg_init,
+            fused_cg_step,
+        )
+
+        nrb, bm = 6, 8
+        n = nrb * bm
+        A = np.eye(n, dtype=np.float32) * 10
+        # single upper tile per row but one of them skips a block-row
+        B = rng.standard_normal((bm, bm)).astype(np.float32)
+        A[0:bm, 2 * bm:3 * bm] = B
+        A[2 * bm:3 * bm, 0:bm] = B.T
+        _, sym = _pack(A, bm)
+        assert sym.ku == 1 and not sym.banded
+        b = jnp.ones((n,), jnp.float32)
+        state = fused_cg_init(sym, b, maxiter=4)
+        with pytest.raises(ValueError, match="banded"):
+            fused_cg_step(sym, state, jnp.asarray(0.0, jnp.float32),
+                          interpret=True, mirror="banded")
+
     def test_unknown_scheme_rejected(self, rng):
         A = _block_tridiag(rng, nrb=4, bm=8, dtype=np.float32)
         _, sym = _pack(A, 8)

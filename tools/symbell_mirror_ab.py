@@ -84,7 +84,12 @@ def main() -> int:
     variants = ["scatter", "split", "banded", "full"]
     chains = {v: make_chain(v) for v in variants}
 
-    # warm-up compiles + value cross-check (all must run the same math)
+    # warm-up compiles + sanity cross-check.  f32 storage variants only
+    # agree to association-order rounding (tests/test_symbell.
+    # _assert_storage_parity), and after K=128 iterations rho may have
+    # underflowed to exactly 0 for all of them — so this is a coarse
+    # same-math guard (finite, same order of magnitude), not a parity
+    # test; the real numerical parity lives in the interpret-mode tests.
     vals = {}
     for v in variants:
         f, xs = chains[v]
@@ -92,7 +97,8 @@ def main() -> int:
         print(json.dumps({"compiled": v, "rho_K": vals[v]}), flush=True)
     ref = vals["scatter"]
     for v in variants:
-        assert abs(vals[v] - ref) <= 1e-3 * abs(ref) + 1e-30, (v, vals[v], ref)
+        assert np.isfinite(vals[v]), (v, vals[v])
+        assert abs(vals[v] - ref) <= 5e-2 * abs(ref) + 1e-12, (v, vals[v], ref)
 
     ovh = rpc_overhead_s()
     times = {v: [] for v in variants}
@@ -103,9 +109,11 @@ def main() -> int:
                 t0 = time.perf_counter()
                 float(f(*xs)[0])
                 times[v].append((time.perf_counter() - t0 - ovh) / K)
+        # median of THIS round's reps only, so drift between rounds shows
         print(json.dumps({
             "round": r,
-            **{v: round(sorted(times[v])[len(times[v]) // 2] * 1e6, 2)
+            **{v: round(sorted(times[v][-args.reps:])
+                        [args.reps // 2] * 1e6, 2)
                for v in variants},
         }), flush=True)
 
