@@ -685,9 +685,10 @@ def bench_symdia_big(n: int = 1 << 21, half_band: int = 20,
     (k·stride, stride ≥ 1024: the Pallas-kernel regime — XLA's shift
     formulation collapses at these offsets).
 
-    Default sizes: sym stores 21 diagonals × 8 MB = 344 MB (> the gate),
-    full stores 41 × 8 MB = 688 MB.  ~1 GB of uploads total — run this as
-    the LAST chip work of a session (CLAUDE.md relay rules).
+    Default sizes: sym stores 21 diagonals × 8 MB = 168 MB half-band
+    (plus the blocked layout's left halo), full stores 41 × 8 MB = 344 MB
+    (> the 320 MB gate).  ~0.7 GB of uploads total — run this as late
+    chip work of a session (CLAUDE.md relay rules).
 
     value = the symmetric solve's effective bandwidth with FULL-layout
     useful bytes (headline convention); detail carries both per-iteration
@@ -769,7 +770,13 @@ def bench_symdia_big(n: int = 1 << 21, half_band: int = 20,
                    "time_per_iter_us_full": round(t_full * 1e6, 2),
                    "speedup_vs_full": round(t_full / t_sym, 3),
                    "bytes_effective": full_bytes,
-                   "bytes_streamed": diags_pos.size * 4 + 7 * n * 4},
+                   "bytes_streamed": diags_pos.size * 4 + 7 * n * 4,
+                   # what the DMA engine REALLY moves per iteration: the
+                   # blocked layout re-reads hw halo values per block
+                   "bytes_streamed_halo":
+                       int(sym.diags_blocked.size) * 4 + 7 * n * 4,
+                   "halo_overhead":
+                       round(sym.diags_blocked.size / diags_pos.size, 3)},
     }
 
 

@@ -1054,9 +1054,14 @@ class SymDIAMatrix(LinearOperator):
         blocked = children[1] if aux[3] else None
         return cls(children[0], aux[0], aux[1], aux[2], blocked, aux[4])
 
-    def with_blocked(self, block_len: int = 16384) -> "SymDIAMatrix":
+    def with_blocked(self, block_len: Optional[int] = None) -> "SymDIAMatrix":
         """Return a copy carrying the halo'd Pallas-blocked layout (one
-        device pass; do this ONCE per operator, outside jit)."""
+        device pass; do this ONCE per operator, outside jit).
+
+        ``block_len=None`` (the default every production call site uses)
+        picks a halo-aware length; an explicit value is honored exactly
+        (tests use small blocks to force halo-crossing coverage).
+        """
         if self.diags_blocked is not None:
             return self
         ndiag, n_stored = self.diags.shape
@@ -1064,6 +1069,18 @@ class SymDIAMatrix(LinearOperator):
         # halo and block length both 1024-aligned (Mosaic 1-D memref rule;
         # also keeps every block row lane-aligned)
         hw = -(-w // 1024) * 1024 if w else 0
+        if block_len is None:
+            # The halo costs hw/bl EXTRA stream per diagonal.  At
+            # stencil-scale bands a fixed bl=16K is smaller than the halo
+            # itself — a w=20·1024 half-band would stream 2.25× its stored
+            # bytes, MORE than the full layout (measured: 664 µs/iter sym
+            # vs 656 full at n=2M — the symmetric win erased).  Grow bl
+            # until the halo is ≤ 25% overhead, inside a VMEM budget for
+            # the double-buffered per-step diagonal blocks.
+            itemsize = jnp.dtype(self.diags.dtype).itemsize
+            budget = 48 * 1024 * 1024  # 2 in-flight (ndiag, hw+bl) blocks
+            bl_cap = budget // (2 * max(ndiag, 1) * itemsize) - hw
+            block_len = min(max(16384, 4 * hw), max(bl_cap, 1024))
         bl = -(-min(block_len, max(n_stored, 1)) // 1024) * 1024
         n_pad = -(-n_stored // bl) * bl
         ng = n_pad // bl

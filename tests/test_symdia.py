@@ -255,6 +255,22 @@ class TestBlockedKernel:
     layout upgrades to this instead of forfeiting its half-band saving to
     full pre-blocked DIA."""
 
+    def test_default_block_len_bounds_halo_overhead(self):
+        """The default (halo-aware) block length must keep the per-block
+        halo ≤ 25% extra stream — at stencil-scale bands a fixed 16K block
+        streamed 2.25× the stored half-band, erasing the symmetric win
+        (measured 664 µs/iter sym vs 656 full at n=2M before the fix)."""
+        n, w = 1 << 17, 8 * 1024
+        offs = tuple(k * 1024 for k in range(w // 1024 + 1))
+        diags = jnp.ones((len(offs), n), jnp.float32)
+        sym = SymDIAMatrix(diags, offs, (n, n), n * len(offs))
+        blk = sym.with_blocked()
+        _, _, row_len = blk.diags_blocked.shape
+        hw = blk.blocked_halo
+        bl = row_len - hw
+        assert hw >= w
+        assert hw <= 0.25 * bl
+
     def test_with_blocked_layout_and_halo_contents(self, banded):
         _, dia, _ = banded
         sym = SymDIAMatrix.from_dia(dia)
