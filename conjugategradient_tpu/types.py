@@ -1075,11 +1075,17 @@ class SymDIAMatrix(LinearOperator):
             # itself — a w=20·1024 half-band would stream 2.25× its stored
             # bytes, MORE than the full layout (measured: 664 µs/iter sym
             # vs 656 full at n=2M — the symmetric win erased).  Grow bl
-            # until the halo is ≤ 25% overhead, inside a VMEM budget for
-            # the double-buffered per-step diagonal blocks.
+            # until the halo is ≤ 25% overhead, inside the SCOPED-vmem
+            # budget: grid-blocked operands pipeline through a 16 MB stack
+            # (unlike whole-array VMEM placements, which share the full
+            # 128 MB) — a 48 MB budget died in AOT compile with "Scoped
+            # allocation 19.69M exceeded scoped vmem limit 16.00M".  12 MB
+            # for the two in-flight (ndiag, hw+bl) blocks leaves room for
+            # the double-buffered x window and y output blocks.
             itemsize = jnp.dtype(self.diags.dtype).itemsize
-            budget = 48 * 1024 * 1024  # 2 in-flight (ndiag, hw+bl) blocks
+            budget = 12 * 1024 * 1024
             bl_cap = budget // (2 * max(ndiag, 1) * itemsize) - hw
+            bl_cap = (bl_cap // 1024) * 1024  # floor: never exceed budget
             block_len = min(max(16384, 4 * hw), max(bl_cap, 1024))
         bl = -(-min(block_len, max(n_stored, 1)) // 1024) * 1024
         n_pad = -(-n_stored // bl) * bl
