@@ -676,7 +676,7 @@ def bench_large(n: int = 1572864, iters: int = 64):
 
 
 def bench_symdia_big(n: int = 1 << 21, half_band: int = 20,
-                     stride: int = 1024, iters: int = 48):
+                     stride: int = 1024, iters: int = 256):
     """Full vs SYMMETRIC DIA CG iteration PAST the 320 MB constant-closure
     gate — both operators as jit ARGUMENTS in their pre-blocked Pallas
     layouts (full: DIAMatrix.with_blocked; sym: the round-4 halo'd
@@ -735,7 +735,10 @@ def bench_symdia_big(n: int = 1 << 21, half_band: int = 20,
 
     def time_solve(op):
         # operator as ARGUMENT (the >320 MB pattern): thread the pytree
-        # through jit so the pre-blocked arrays stream, not relayout
+        # through jit so the pre-blocked arrays stream, not relayout.
+        # iters=256 keeps the chained solve (~100 ms) far above the ~30 ms
+        # RPC overhead being subtracted — at the original iters=48 the
+        # subtraction noise was ±~100 µs/iter, the size of the effect.
         def chain(op_, b_):
             s = jax.lax.fori_loop(
                 0, iters, lambda i, s: cg_step(op_, s, tol_arr),
@@ -751,10 +754,12 @@ def bench_symdia_big(n: int = 1 << 21, half_band: int = 20,
             float(f(op, b)[0])
             ts.append(time.perf_counter() - t0)
         ts.sort()
-        return (ts[1] - ovh) / iters  # median of 3
+        return (ts[1] - ovh) / iters, [
+            round((x - ovh) / iters * 1e6, 2) for x in ts
+        ]
 
-    t_sym = time_solve(sym)
-    t_full = time_solve(full)
+    t_sym, reps_sym = time_solve(sym)
+    t_full, reps_full = time_solve(full)
     full_bytes = diags_full.size * 4 + 7 * n * 4
     gbps = full_bytes / t_sym / 1e9
     peak = _hbm_peak_gbps()
@@ -768,6 +773,9 @@ def bench_symdia_big(n: int = 1 << 21, half_band: int = 20,
                    "full_stored_MB": round(diags_full.size * 4 / 1e6, 1),
                    "time_per_iter_us_sym": round(t_sym * 1e6, 2),
                    "time_per_iter_us_full": round(t_full * 1e6, 2),
+                   "reps_us_sym": reps_sym,
+                   "reps_us_full": reps_full,
+                   "iterations_run": iters,
                    "speedup_vs_full": round(t_full / t_sym, 3),
                    "bytes_effective": full_bytes,
                    "bytes_streamed": diags_pos.size * 4 + 7 * n * 4,
