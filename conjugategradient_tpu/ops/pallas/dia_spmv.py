@@ -328,6 +328,25 @@ def sym_dia_spmv_pallas_blocked(
     )
     xp = jnp.pad(x, (lpad, max(0, n_pad - bl + window - lpad - ncols)))
 
+    out_dtype = jnp.promote_types(diags_blocked.dtype, x.dtype)
+    # Mosaic's default scoped-vmem stack is 16 MB, which caps bl (and so
+    # the halo overhead hw/bl) far below what 128 MB VMEM allows: raise
+    # the cap to what THIS call actually needs — two in-flight diagonal
+    # blocks + two out blocks (the auto-pipeline double-buffers both) +
+    # the manual x-window scratch — with a 10 MB margin (the compiler's
+    # own stack overhead measured ~5.3 MB over the raw buffer sum at the
+    # symdia-big shape: a 4 MB margin died in AOT compile with "Scoped
+    # allocation with size 37.64M ... limit 36.34M").  Sized with
+    # types.SymDIAMatrix.with_blocked's 64 MB diagonal-block budget this
+    # lands ≲ 78 MB; never lowered below the 16 MB default.
+    vmem_need = (
+        2 * ndiag * row_len * diags_blocked.dtype.itemsize
+        + 2 * window * x.dtype.itemsize
+        + 2 * bl * jnp.dtype(out_dtype).itemsize
+        + 10 * 1024 * 1024
+    )
+    vmem_limit = max(16 * 1024 * 1024, min(110 * 1024 * 1024, vmem_need))
+
     y = pl.pallas_call(
         kernel,
         grid=(ng,),
@@ -337,9 +356,8 @@ def sym_dia_spmv_pallas_blocked(
         ],
         out_specs=pl.BlockSpec((bl,), lambda g: (g,)),
         # promoted output / x-dtype scratch (see dia_spmv_pallas_2d)
-        out_shape=jax.ShapeDtypeStruct(
-            (n_pad,), jnp.promote_types(diags_blocked.dtype, x.dtype)
-        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), out_dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
         scratch_shapes=[
             pltpu.VMEM((2 * window,), x.dtype),

@@ -1075,18 +1075,20 @@ class SymDIAMatrix(LinearOperator):
             # itself — a w=20·1024 half-band would stream 2.25× its stored
             # bytes, MORE than the full layout (measured: 664 µs/iter sym
             # vs 656 full at n=2M — the symmetric win erased).  Grow bl
-            # until the halo is ≤ 25% overhead, inside the SCOPED-vmem
-            # budget: grid-blocked operands pipeline through a 16 MB stack
-            # (unlike whole-array VMEM placements, which share the full
-            # 128 MB) — a 48 MB budget died in AOT compile with "Scoped
-            # allocation 19.69M exceeded scoped vmem limit 16.00M".  12 MB
-            # for the two in-flight (ndiag, hw+bl) blocks leaves room for
-            # the double-buffered x window and y output blocks.
+            # until the halo is ≤ 12.5% overhead, inside a 64 MB budget
+            # for the two in-flight (ndiag, hw+bl) blocks.  Grid-blocked
+            # operands normally pipeline through a 16 MB scoped-vmem stack
+            # (a 48 MB budget died in AOT compile with "Scoped allocation
+            # 19.69M exceeded scoped vmem limit 16.00M"), so the kernel
+            # raises the cap per-call via CompilerParams(vmem_limit_bytes)
+            # sized from this layout (ops/pallas/dia_spmv.py); 64 MB for
+            # the diagonal blocks leaves the double-buffered x window and
+            # y output blocks comfortably inside the 128 MB VMEM.
             itemsize = jnp.dtype(self.diags.dtype).itemsize
-            budget = 12 * 1024 * 1024
+            budget = 64 * 1024 * 1024
             bl_cap = budget // (2 * max(ndiag, 1) * itemsize) - hw
             bl_cap = (bl_cap // 1024) * 1024  # floor: never exceed budget
-            block_len = min(max(16384, 4 * hw), max(bl_cap, 1024))
+            block_len = min(max(16384, 8 * hw), max(bl_cap, 1024))
         bl = -(-min(block_len, max(n_stored, 1)) // 1024) * 1024
         n_pad = -(-n_stored // bl) * bl
         ng = n_pad // bl
