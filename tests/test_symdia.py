@@ -257,9 +257,12 @@ class TestBlockedKernel:
 
     def test_default_block_len_bounds_halo_overhead(self):
         """The default (halo-aware) block length must keep the per-block
-        halo ≤ 25% extra stream — at stencil-scale bands a fixed 16K block
-        streamed 2.25× the stored half-band, erasing the symmetric win
-        (measured 664 µs/iter sym vs 656 full at n=2M before the fix)."""
+        halo ≤ 12.5% extra stream — at stencil-scale bands a fixed 16K
+        block streamed 2.25× the stored half-band, erasing the symmetric
+        win (measured 664 µs/iter sym vs 656 full at n=2M before the
+        halo-aware default; with the Mosaic scoped-vmem cap raised
+        per-call the 12.5% target measured 1008 vs 933 GB/s effective
+        on chip)."""
         n, w = 1 << 17, 8 * 1024
         offs = tuple(k * 1024 for k in range(w // 1024 + 1))
         diags = jnp.ones((len(offs), n), jnp.float32)
@@ -269,7 +272,7 @@ class TestBlockedKernel:
         hw = blk.blocked_halo
         bl = row_len - hw
         assert hw >= w
-        assert hw <= 0.25 * bl
+        assert hw <= 0.125 * bl
 
     def test_with_blocked_layout_and_halo_contents(self, banded):
         _, dia, _ = banded
