@@ -90,9 +90,10 @@ def _dia_multi_collapses(op) -> bool:
     docs/performance.md).  One shared gate for every multi-RHS consumer
     (cg_solve_batched, batched_cg_init, block_cg_solve).
 
-    SymDIAMatrix has NO Pallas escape (no symmetric windowed kernel yet),
-    so for it the gate only buys a loud warning at the call sites — the
-    vmapped fallback is the same shift formulation."""
+    SymDIAMatrix's escape is the round-4 blocked symmetric windowed
+    kernel — available only once the operator carries the halo'd layout
+    (`.with_blocked()`); without it the gate buys a loud warning at the
+    call sites and the multi path keeps the shift formulation."""
     if not (isinstance(op, (DIAMatrix, SymDIAMatrix)) and op.offsets):
         return False
     try:
@@ -100,6 +101,25 @@ def _dia_multi_collapses(op) -> bool:
     except Exception:  # pragma: no cover
         backend = "cpu"
     return backend == "tpu" and max(abs(o) for o in op.offsets) >= 1024
+
+
+def _columns_mapped(matvec):
+    """Apply a single-RHS matvec to every column of X (n, R), unrolled.
+
+    NOT jax.vmap: the Pallas windowed DIA kernels take x in ANY memory
+    space with a manual double-buffered DMA, and Mosaic's lowering only
+    accepts ANY-space operands whose block is the whole array with a
+    trivial index_map — vmap's batching rule violates that (caught live:
+    "Block spec for args[1] ... memory space any").  R is a trace-time
+    constant, so an unrolled stack of R pallas_calls is the reliable
+    escape; each lane still streams the band at the windowed kernel's
+    rate."""
+    def mv(X):
+        return jnp.stack(
+            [matvec(X[:, j]) for j in range(X.shape[1])], axis=1
+        )
+
+    return mv
 
 
 def _lockstep_ops(op, M, inv_diag):
@@ -125,18 +145,31 @@ def _lockstep_ops(op, M, inv_diag):
         matvec_multi = lambda X: sell_spmv_multi(op, X)
     elif isinstance(op, SymDIAMatrix):
         if _dia_multi_collapses(op):
-            from ..utils.logging import get_logger
+            if getattr(op, "diags_blocked", None) is not None:
+                # column-mapped single-RHS matvec: each lane rides the
+                # blocked symmetric Pallas kernel (round 4) instead of
+                # the collapsed multi shift formulation.  The band
+                # streams once per lane (the lockstep amortization is
+                # lost), but the windowed kernel's per-lane rate is ~6.7×
+                # the collapsed form's, so it wins at every R.
+                matvec_multi = _columns_mapped(op.matvec)
+            else:
+                from ..utils.logging import get_logger
 
-            get_logger().warning(
-                "symmetric DIA at offsets >= 1024 on TPU: the shift "
-                "formulation may collapse and no symmetric Pallas kernel "
-                "exists yet — prefer the full DIAMatrix layout here"
-            )
-        matvec_multi = lambda X: sym_dia_spmv_multi(op, X)
+                get_logger().warning(
+                    "symmetric DIA at offsets >= 1024 on TPU: the shift "
+                    "formulation may collapse — call .with_blocked() so "
+                    "multi-RHS lanes ride the blocked symmetric Pallas "
+                    "kernel, or prefer the full DIAMatrix layout here"
+                )
+                matvec_multi = lambda X: sym_dia_spmv_multi(op, X)
+        else:
+            matvec_multi = lambda X: sym_dia_spmv_multi(op, X)
     elif _dia_multi_collapses(op):
-        # column-vmapped single-RHS matvec: each lane rides the Pallas
+        # column-mapped single-RHS matvec: each lane rides the Pallas
         # windowed DIA kernel instead of the collapsed multi formulation
-        matvec_multi = jax.vmap(op.matvec, in_axes=1, out_axes=1)
+        # (unrolled, not vmapped — see _columns_mapped)
+        matvec_multi = _columns_mapped(op.matvec)
     else:
         matvec_multi = lambda X: dia_spmv_multi(op, X)
     if inv_diag is not None:
@@ -469,10 +502,16 @@ def cg_solve_batched(
              SymDIAMatrix)
     )
     if use_lockstep and _dia_multi_collapses(op):
-        # the whole-batch vmap fallback beats a collapsed lockstep loop;
-        # callers that NEED the lockstep carry (batched_cg_init,
-        # block_cg_solve) get the column-vmapped matvec via _lockstep_ops
-        use_lockstep = False
+        # With a Pallas escape — the windowed DIA kernel (any DIAMatrix)
+        # or the blocked symmetric kernel (SymDIAMatrix.with_blocked) —
+        # the lockstep loop STAYS and rides _columns_mapped Pallas lanes.
+        # Only a SymDIAMatrix without the blocked layout defects to the
+        # whole-batch vmap fallback: its lockstep matvec would be the
+        # same collapsed shift form, and vmapping the whole solve keeps
+        # the XLA path (no Pallas kernel to trip Mosaic's ANY-space
+        # batching rule — see _columns_mapped).
+        if isinstance(op, SymDIAMatrix) and op.diags_blocked is None:
+            use_lockstep = False
     if use_lockstep:
         mi = int(op.shape[0] + 1 if maxiter is None else maxiter)
         op_arrays, op_static = jax.tree_util.tree_flatten(op)

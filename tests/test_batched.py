@@ -210,3 +210,53 @@ def test_batched_lockstep_restart_matches_solo_restart(rng):
         np.testing.assert_allclose(
             np.asarray(X[i]), np.asarray(x_i), rtol=1e-7, atol=1e-8
         )
+
+
+def test_symdia_blocked_multi_rhs_escape(rng, monkeypatch, caplog):
+    """On a TPU backend at offsets >= 1024, a SymDIAMatrix CARRYING the
+    blocked layout must escape the collapsed multi shift formulation by
+    column-mapping the blocked symmetric Pallas kernel (unrolled) (round 4); one
+    WITHOUT it keeps the multi path and warns loudly."""
+    import logging
+
+    import jax
+
+    import conjugategradient_tpu.ops.pallas.dia_spmv as pdia
+    import conjugategradient_tpu.solver.batched as batched
+    from conjugategradient_tpu.ops.spmv import sym_dia_spmv_multi
+    from conjugategradient_tpu.types import SymDIAMatrix
+
+    n, k = 4096, 1100
+    d0 = (4.0 + rng.random(n)).astype(np.float32)
+    d1 = (0.1 * rng.standard_normal(n)).astype(np.float32)
+    d1[n - k:] = 0.0
+    sym = SymDIAMatrix(
+        jnp.asarray(np.stack([d0, d1])), (0, k), (n, n),
+        int(n + 2 * (n - k)),
+    )
+    blk = sym.with_blocked(block_len=1024)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert batched._dia_multi_collapses(blk)
+
+    # run the TPU-only Pallas kernel in interpret mode so the vmapped
+    # escape is executable on the CPU test backend
+    real = pdia.sym_dia_spmv_pallas_blocked
+    monkeypatch.setattr(
+        pdia, "sym_dia_spmv_pallas_blocked",
+        lambda *a, **kw: real(*a, **{**kw, "interpret": True}),
+    )
+
+    matvec_multi, _, _ = batched._lockstep_ops(blk, None, None)
+    X = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    Y = np.asarray(matvec_multi(X))
+    Y_ref = np.asarray(sym_dia_spmv_multi(sym, X))
+    np.testing.assert_allclose(Y, Y_ref, rtol=1e-5, atol=1e-5)
+
+    # no blocked layout: multi fallback + loud warning
+    with caplog.at_level(logging.WARNING, logger="conjugategradient_tpu"):
+        matvec_nb, _, _ = batched._lockstep_ops(sym, None, None)
+    assert any("with_blocked" in r.message for r in caplog.records)
+    np.testing.assert_allclose(
+        np.asarray(matvec_nb(X)), Y_ref, rtol=1e-6, atol=1e-6
+    )
