@@ -260,3 +260,42 @@ def test_symdia_blocked_multi_rhs_escape(rng, monkeypatch, caplog):
     np.testing.assert_allclose(
         np.asarray(matvec_nb(X)), Y_ref, rtol=1e-6, atol=1e-6
     )
+
+
+def test_full_dia_collapse_escape_unrolled(rng, monkeypatch):
+    """The full-DIA collapse escape must column-UNROLL the windowed Pallas
+    kernel (jax.vmap over its ANY-space manual-DMA operand fails Mosaic
+    lowering on TPU — caught live, round 4) and agree with the multi
+    shift formulation numerically."""
+    import jax
+
+    import conjugategradient_tpu.ops.pallas.dia_spmv as pdia
+    import conjugategradient_tpu.solver.batched as batched
+    from conjugategradient_tpu.ops.spmv import dia_spmv_multi
+    from conjugategradient_tpu.types import DIAMatrix
+
+    n, k = 4096, 1100
+    d0 = (4.0 + rng.random(n)).astype(np.float32)
+    up = (0.1 * rng.standard_normal(n)).astype(np.float32)
+    up[n - k:] = 0.0
+    lo = np.zeros(n, np.float32)
+    lo[k:] = up[: n - k]
+    dia = DIAMatrix(
+        jnp.asarray(np.stack([lo, d0, up])), (-k, 0, k), (n, n),
+        int(n + 2 * (n - k)),
+    )
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert batched._dia_multi_collapses(dia)
+
+    real = pdia.dia_spmv_pallas
+    monkeypatch.setattr(
+        pdia, "dia_spmv_pallas",
+        lambda *a, **kw: real(*a, **{**kw, "interpret": True}),
+    )
+
+    matvec_multi, _, _ = batched._lockstep_ops(dia, None, None)
+    X = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    Y = np.asarray(matvec_multi(X))
+    Y_ref = np.asarray(dia_spmv_multi(dia, X))
+    np.testing.assert_allclose(Y, Y_ref, rtol=1e-5, atol=1e-5)
