@@ -36,6 +36,10 @@ detail (bytes_streamed / stored_gbps).  Measured v5e: ~900 GB/s effective
                      gate: both operators as pre-blocked jit ARGUMENTS
                      (full windowed vs round-4 halo'd symmetric Pallas
                      kernel).  ~1 GB of uploads — last chip work only.
+  --config mgpcg     full-solve time-to-tolerance A/B on 256^3 Poisson:
+                     fused plain CG vs geometric-multigrid PCG
+                     (solver/multigrid.py) — the algorithmic speedup on
+                     top of the bandwidth work.
 """
 
 from __future__ import annotations
@@ -668,6 +672,70 @@ def bench_symdia(n: int = 1 << 21, half_band: int = 6, iters: int = 128):
     }
 
 
+def bench_mgpcg(nx: int = 256, rel: float = 1e-5, plain_maxiter: int = 4000,
+                reps: int = 3):
+    """Full-solve wall-time A/B on the 256^3 matrix-free Poisson operator
+    (BASELINE config 4): the fused plain-CG stencil path vs MG-PCG
+    (solver/multigrid.py geometric V-cycle as ``M=``).
+
+    This is the ALGORITHMIC lever on top of the bandwidth work: plain CG
+    needs O(nx) iterations on Poisson, the V-cycle makes the count
+    mesh-independent (~O(10)), and every MG component is a dense regular
+    streaming pass, so the win survives on TPU.  value = time-to-tolerance
+    speedup (x); detail carries both times, both iteration counts, and the
+    achieved true relative residuals."""
+    import time
+
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import cg_solve, multigrid_preconditioner
+    from conjugategradient_tpu.types import StencilOperator
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s
+
+    op = StencilOperator.poisson((nx, nx, nx), dtype=jnp.float32)
+    n = nx**3
+    b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+    bnorm = float(np.linalg.norm(np.asarray(b), ord=2))
+    tol = rel * bnorm
+    mg = multigrid_preconditioner(op)
+    ovh = rpc_overhead_s()
+
+    def run(label, **kw):
+        # warmup populates the jit caches; then reps timed solves
+        x, info = cg_solve(op, b, tol=tol, **kw)
+        float(info.rnorm_sq)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            x, info = cg_solve(op, b, tol=tol, **kw)
+            float(info.rnorm_sq)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        t = max(ts[len(ts) // 2] - ovh, 1e-9)
+        r = np.asarray(b - op.matvec(x), dtype=np.float64)
+        true_rel = float(np.linalg.norm(r)) / bnorm
+        return {
+            "time_s": round(t, 4),
+            "iterations": int(info.iterations),
+            "converged": bool(info.converged),
+            "true_rel_residual": float(f"{true_rel:.3e}"),
+        }
+
+    plain = run("plain", maxiter=plain_maxiter)
+    mgp = run("mgpcg", M=mg)
+    speedup = plain["time_s"] / mgp["time_s"]
+    return {
+        "metric": "mgpcg_solve_speedup",
+        "value": round(speedup, 2),
+        "unit": "x",
+        "vs_baseline": round(speedup, 2),
+        "detail": {"grid": nx, "rel_tol": rel, "plain": plain,
+                   "mgpcg": mgp,
+                   "iter_ratio": round(plain["iterations"]
+                                       / max(mgp["iterations"], 1), 1)},
+    }
+
+
 def bench_large(n: int = 1572864, iters: int = 64):
     """North-star-scale CG iteration: ~1.5M rows (G3_circuit-class), 2.4 GB
     operator stream — BASELINE.md configs 2/5 scale on one chip."""
@@ -852,6 +920,7 @@ _CONFIGS = {
     "irregular": bench_irregular,
     "symdia": bench_symdia,
     "symdia-big": bench_symdia_big,
+    "mgpcg": bench_mgpcg,
 }
 
 

@@ -51,6 +51,7 @@ from .solver import (
     condition_estimate,
     block_jacobi_preconditioner,
     jacobi_preconditioner,
+    multigrid_preconditioner,
     memory_footprint,
     sstep_cg_solve,
 )
@@ -93,6 +94,7 @@ __all__ = [
     "condition_estimate",
     "block_jacobi_preconditioner",
     "jacobi_preconditioner",
+    "multigrid_preconditioner",
     "memory_footprint",
     "CG",
     "load_matrix",

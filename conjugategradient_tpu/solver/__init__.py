@@ -39,6 +39,7 @@ from .precond import (
     identity_preconditioner,
     jacobi_preconditioner,
 )
+from .multigrid import multigrid_preconditioner
 
 __all__ = [
     "BatchedCGState",
@@ -83,4 +84,5 @@ __all__ = [
     "chebyshev_preconditioner",
     "estimate_spectral_bounds",
     "identity_preconditioner",
+    "multigrid_preconditioner",
 ]

@@ -143,3 +143,22 @@ def test_probe_retries_once(monkeypatch):
     probe = bench._probe_device(retries=1, wait_s=0.0)
     assert probe["attempt"] == 1
     assert len(calls) == 2
+
+
+def test_mgpcg_record_schema():
+    """--config mgpcg must emit the A/B contract: speedup value plus both
+    sides' time/iterations/convergence in detail (toy grid; the speedup
+    magnitude is only meaningful on the chip)."""
+    import bench
+
+    out = bench.bench_mgpcg(nx=16, rel=1e-5, plain_maxiter=500, reps=1)
+    assert out["metric"] == "mgpcg_solve_speedup"
+    assert out["unit"] == "x"
+    assert out["value"] > 0
+    for side in ("plain", "mgpcg"):
+        d = out["detail"][side]
+        assert d["converged"] is True
+        assert d["iterations"] > 0 and d["time_s"] > 0
+        assert d["true_rel_residual"] < 1e-3
+    assert out["detail"]["mgpcg"]["iterations"] < out["detail"]["plain"]["iterations"]
+    json.dumps(out)  # the driver parses one JSON line
