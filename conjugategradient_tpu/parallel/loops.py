@@ -25,6 +25,18 @@ from ..solver.sstep import _default_rcond as _sstep_default_rcond
 from ..solver.sstep import make_sstep_loop
 
 
+def _precond_apply(inv_diag_s, r):
+    """Apply the per-shard preconditioner: None = identity, an (m,) array =
+    Jacobi scaling, a CALLABLE = a general local apply (may issue its own
+    collectives — e.g. the sharded multigrid V-cycle's ring halos and
+    coarse-grid all_gather, parallel/sharded_multigrid.py)."""
+    if inv_diag_s is None:
+        return r
+    if callable(inv_diag_s):
+        return inv_diag_s(r)
+    return inv_diag_s * r
+
+
 def _sharded_lockstep_pcg(
     local_matvec_multi: Callable[[jax.Array], jax.Array],
     B_s: jax.Array,  # (R, m) — this shard's slice of every lane
@@ -283,7 +295,7 @@ def _pcg_init_carry(
         return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
 
     r0 = b_s - local_matvec(x0_s)
-    z0 = r0 if inv_diag_s is None else inv_diag_s * r0
+    z0 = _precond_apply(inv_diag_s, r0)
     rnorm0 = pdot(r0, r0)
     rho0 = rnorm0 if inv_diag_s is None else pdot(r0, z0)
     hist = jnp.full((maxiter + 1,), jnp.nan, dtype=rnorm0.dtype)
@@ -316,7 +328,7 @@ def _pcg_body_fn(
         return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
 
     def precond(r):
-        return r if inv_diag_s is None else inv_diag_s * r
+        return _precond_apply(inv_diag_s, r)
 
     def body(c):
         k, done, x, r, p, rho, rnorm, hist = c
@@ -364,7 +376,7 @@ def _pcg_replace_fn(
         return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
 
     def precond(r):
-        return r if inv_diag_s is None else inv_diag_s * r
+        return _precond_apply(inv_diag_s, r)
 
     def replace(c):
         k, done, x, r, p, rho, rnorm, hist = c

@@ -29,6 +29,8 @@ except AttributeError:  # pragma: no cover - older JAX
 from ..solver.cg import CGInfo
 from .sharded_cg import _sharded_pcg, make_row_mesh, ring_halo
 
+_M_TOKEN = 0  # monotone id for M_local jit-cache keys (never recycled)
+
 
 def _local_stencil_matvec(p_local, center, off, sx, ny, nz, axis):
     """7-point apply on one shard's slab block with ring-halo'd x planes."""
@@ -60,6 +62,7 @@ def sharded_stencil_cg_solve(
     tol: float = 0.0,
     maxiter: Optional[int] = None,
     inv_diag: Optional[jax.Array] = None,
+    M_local=None,
 ):
     """Row(x-slab)-sharded CG on the matrix-free 7-point operator.
 
@@ -69,6 +72,13 @@ def sharded_stencil_cg_solve(
       center/off: stencil coefficients (Poisson: 6, -1).
       inv_diag: optional Jacobi (for constant-coefficient stencils this is a
         uniform scaling with no convergence effect; accepted for parity).
+      M_local: optional per-shard preconditioner apply ``r_local ->
+        z_local`` executed INSIDE the shard_map (it may issue its own
+        collectives) — build with
+        :func:`~conjugategradient_tpu.parallel.sharded_multigrid.
+        sharded_multigrid_preconditioner`.  Mutually exclusive with
+        ``inv_diag``.  Reuse the same closure across solves to reuse the
+        compiled program (the jit cache keys on its identity).
 
     Returns (x, CGInfo); x sharded like b.
     """
@@ -85,12 +95,21 @@ def sharded_stencil_cg_solve(
     x0 = jnp.zeros_like(b) if x0 is None else x0
     c = float(center)
     o = float(off)
+    if inv_diag is not None and M_local is not None:
+        raise ValueError("pass either inv_diag or M_local, not both")
     with_m = inv_diag is not None
 
     from .sharded_cg import _SOLVE_CACHE, _mesh_key
 
+    if M_local is not None and not hasattr(M_local, "_cg_cache_token"):
+        # a stable identity token: raw id() can be recycled after GC and
+        # would silently reuse a stale compiled program
+        global _M_TOKEN
+        _M_TOKEN += 1
+        M_local._cg_cache_token = _M_TOKEN
     key = ("stencil", _mesh_key(mesh), axis, maxiter, float(tol), with_m,
-           (sx, ny, nz, c, o), str(b.dtype))
+           (sx, ny, nz, c, o), str(b.dtype),
+           None if M_local is None else M_local._cg_cache_token)
     solve_jit = _SOLVE_CACHE.get(key)
     if solve_jit is None:
         def solve_shard(b_s, x0_s, inv_diag_s=None):
@@ -100,7 +119,9 @@ def sharded_stencil_cg_solve(
                 )
 
             return _sharded_pcg(
-                local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter, axis
+                local_matvec, b_s, x0_s,
+                M_local if inv_diag_s is None else inv_diag_s,
+                tol_arr, maxiter, axis,
             )
 
         in_specs = [P(axis)] * (3 if with_m else 2)

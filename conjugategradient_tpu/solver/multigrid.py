@@ -71,17 +71,23 @@ def _restrict_axis0(u: jax.Array) -> jax.Array:
 
 def _prolong_axis0(e: jax.Array, n: int) -> jax.Array:
     """Linear interpolation along axis 0: exact transpose of
-    ``2 * _restrict_axis0`` (tests assert the adjoint identity)."""
+    ``2 * _restrict_axis0`` (tests assert the adjoint identity).
+
+    The interleave is a stack + reshape, NOT a strided ``.at[::2].set``
+    scatter — on TPU the scatter lowering dominated the whole V-cycle
+    (measured 256^3: ~15.6 ms/PCG-iteration with scatters vs ~4 stencil
+    passes' worth without)."""
     nc = e.shape[0]
     ce = n - nc  # number of even fine indices (= ceil(n/2))
     rest = ((0, 0),) * (e.ndim - 1)
     e_left = jnp.pad(e, ((1, 0),) + rest)[:ce]  # e[c-1], zero at c=0
     e_right = jnp.pad(e, ((0, 1),) + rest)[:ce]  # e[c], zero past the end
     even = 0.5 * (e_left + e_right)
-    out = jnp.zeros((n,) + e.shape[1:], dtype=e.dtype)
-    out = out.at[0::2].set(even)
-    out = out.at[1::2].set(e)
-    return out
+    if n == 2 * nc:  # even size: perfect [even, odd] interleave
+        return jnp.stack([even, e], axis=1).reshape((n,) + e.shape[1:])
+    # odd size (n == 2*nc + 1): interleave the first 2*nc, append even[nc]
+    body = jnp.stack([even[:nc], e], axis=1).reshape((2 * nc,) + e.shape[1:])
+    return jnp.concatenate([body, even[nc:]], axis=0)
 
 
 def _restrict(u: jax.Array, coarse: Tuple[int, int, int]) -> jax.Array:
@@ -147,6 +153,43 @@ def _level_shapes(
     return shapes
 
 
+def _make_vcycle(shapes, center, off, inv_diag_omega, inv_coarse, nu: int):
+    """Build the recursive V-cycle ``(level, b) -> approx solution`` over
+    the given level hierarchy.  Shared by the single-device preconditioner
+    and the agglomerated (replicated) coarse tail of the sharded one
+    (parallel/sharded_multigrid.py) so both compute the SAME operator."""
+
+    def smooth(u: jax.Array, b: jax.Array) -> jax.Array:
+        # nu is O(1) and shapes are static: unroll (a fori_loop would
+        # re-materialize the carry; unrolled sweeps fuse into nu streams)
+        for _ in range(nu):
+            u = u + inv_diag_omega * (b - _stencil_apply(u, center, off))
+        return u
+
+    def v_cycle(level: int, b: jax.Array) -> jax.Array:
+        """Solve S u = b approximately on `level` (zero initial guess)."""
+        if level == len(shapes) - 1:
+            flat = jnp.matmul(
+                inv_coarse,
+                b.reshape(-1),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return flat.reshape(shapes[level])
+        # pre-smooth from the zero guess: sweep 1 is analytically
+        # omega/center * b (saves one full stencil pass per level)
+        u = inv_diag_omega * b
+        for _ in range(nu - 1):
+            u = u + inv_diag_omega * (b - _stencil_apply(u, center, off))
+        r = b - _stencil_apply(u, center, off)
+        # dimensionless stencil at every level => h^2 scale factor of 4
+        r_c = 4.0 * _restrict(r, shapes[level + 1])
+        e_c = v_cycle(level + 1, r_c)
+        u = u + _prolong(e_c, shapes[level])
+        return smooth(u, b)
+
+    return v_cycle
+
+
 def multigrid_preconditioner(
     A: Any,
     *,
@@ -208,30 +251,7 @@ def multigrid_preconditioner(
     center = jnp.asarray(center_f, dtype=dtype)
     off = jnp.asarray(off_f, dtype=dtype)
     inv_diag_omega = jnp.asarray(omega / center_f, dtype=dtype)
-
-    def smooth(u: jax.Array, b: jax.Array) -> jax.Array:
-        # nu is O(1) and shapes are static: unroll (a fori_loop would
-        # re-materialize the carry; unrolled sweeps fuse into nu streams)
-        for _ in range(nu):
-            u = u + inv_diag_omega * (b - _stencil_apply(u, center, off))
-        return u
-
-    def v_cycle(level: int, b: jax.Array) -> jax.Array:
-        """Solve S u = b approximately on `level` (zero initial guess)."""
-        if level == len(shapes) - 1:
-            flat = jnp.matmul(
-                inv_coarse,
-                b.reshape(-1),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return flat.reshape(shapes[level])
-        u = smooth(jnp.zeros_like(b), b)
-        r = b - _stencil_apply(u, center, off)
-        # dimensionless stencil at every level => h^2 scale factor of 4
-        r_c = 4.0 * _restrict(r, shapes[level + 1])
-        e_c = v_cycle(level + 1, r_c)
-        u = u + _prolong(e_c, shapes[level])
-        return smooth(u, b)
+    v_cycle = _make_vcycle(shapes, center, off, inv_diag_omega, inv_coarse, nu)
 
     nx, ny, nz = shapes[0]
 
