@@ -23,6 +23,13 @@ detail (bytes_streamed / stored_gbps).  Measured v5e: ~900 GB/s effective
 527-548 us/iter for full storage.  Other configs:
   --config cg-full   the round-1/2 full-storage config (min(structural,
                      XLA cost analysis) byte model; ~0.92-0.95 of roofline)
+  --config cg-bf16   bf16 operator tiles, f32 vectors, FULL storage (the
+                     mixed-precision inner-solve rate; effective bytes
+                     stay the full-f32 stream).  Measured v5e: 301 us/iter
+                     / 1372 GB/s effective, 1.67x roofline — the fastest
+                     per-iteration config; symmetric+bf16 measured SLOWER
+                     (417 us) because the mirror compute, not bytes,
+                     bounds the sym kernel once tiles halve
   --config spmv      blocked-ELL SpMV alone
   --config stencil   matrix-free 7-point 256^3 Poisson matvec (config 4)
   --config pcg       fused Jacobi-PCG iteration (config 3)
@@ -251,7 +258,7 @@ def _iteration_bytes_xla(step_jit, s0, analytic: int):
 
 
 def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
-             storage: str = "sym"):
+             storage: str = "sym", dtype: str = "float32"):
     """Per-iteration time of the jitted CG loop body.
 
     Uses the fused two-Pallas-kernel iteration (solver/fused.py) when the
@@ -260,6 +267,18 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
     per-dispatch overheads are amortized the way they are at the production
     sizes BASELINE.md targets (1.5M+ rows), small enough for the fused
     path's VMEM-resident operand.
+
+    ``dtype="bfloat16"`` stores the operator tiles in
+    bf16 — the TPU-native half-rate dtype — while every vector and scalar
+    recurrence stays f32 (the fused kernels promote tile products to f32
+    in VMEM).  Storage dtype is a LEGITIMATE solver config here:
+    ``refined_cg_solve`` recovers full f32/f64 accuracy on a bf16 operator
+    (docs/performance.md "Mixed precision"), so the per-iteration rate of
+    the bf16 operator is what a production mixed-precision solve pays per
+    inner iteration.  Effective bytes stay the FULL f32 layout's stream
+    for the same math, making `value` the end-to-end representation win
+    (symmetric x bf16 ~ 4x fewer operator bytes than full f32); the
+    physically streamed bytes/rate are in detail as always.
 
     ``storage="sym"`` (default) runs the SYMMETRIC blocked-ELL operator
     (types.SymBellMatrix): each off-diagonal tile stored once, applied as B
@@ -298,8 +317,9 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
     # hundreds of MB of literals (HTTP 413).
     from conjugategradient_tpu.types import BlockedEllMatrix, SymBellMatrix
 
+    op_dtype = jnp.dtype(dtype)
     if storage == "sym":
-        a = block_tridiag_sym_bell(n, 128, 128, jnp.float32)
+        a = block_tridiag_sym_bell(n, 128, 128, op_dtype)
         shape_static, nnz_static = a.shape, a.nnz
         fk_static, banded_static = a.full_kmax, a.banded
 
@@ -309,7 +329,7 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
 
         op_args = (a.diag_blocks, a.off_blocks, a.off_cols)
     else:
-        a = block_tridiag_bell(n, 128, 128, jnp.float32)
+        a = block_tridiag_bell(n, 128, 128, op_dtype)
         shape_static, nnz_static = a.shape, a.nnz
 
         def make_a(blocks, cols):
@@ -372,16 +392,21 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
         # useful bytes = the FULL layout's stream for the same math (the
         # symmetric-SpMV effective-bandwidth convention); streamed bytes
         # (min(structural, XLA)) and their machine rate go to detail
-        eff_bytes = a.full_tile_bytes() + streams * n * 4
+        # f32-equivalent full-layout stream regardless of storage dtype:
+        # `value` answers "what full-f32-layout rate does this match"
+        eff_bytes = (a.full_tile_bytes() // a.dtype.itemsize) * 4 \
+            + streams * n * 4
         streamed, bytes_src, bytes_all = _iteration_bytes_xla(
             step_arg, op_args + (s0,), stored_tile_bytes + streams * n * 4
         )
     else:
-        tile_bytes = a.blocks.size * 4
+        tile_bytes = a.blocks.size * a.blocks.dtype.itemsize
         streamed, bytes_src, bytes_all = _iteration_bytes_xla(
             step_arg, op_args + (s0,), tile_bytes + streams * n * 4
         )
-        eff_bytes = streamed
+        eff_bytes = streamed if op_dtype == jnp.dtype(jnp.float32) else (
+            a.blocks.size * 4 + streams * n * 4
+        )
     gbps = eff_bytes / t / 1e9
     peak = _hbm_peak_gbps()
     roofline = stream_roofline_gbps(nbytes=1 << 27, K=256)
@@ -389,6 +414,7 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
               "iterations_run": iters,
               "fused": use_fused,
               "storage": storage,
+              "dtype": str(op_dtype),
               "bytes_per_iter": eff_bytes,
               "bytes_model": bytes_src,
               "bytes_models_all": bytes_all,
@@ -402,8 +428,11 @@ def bench_cg(n: int = 262144, iters: int = 256, fused: str = "auto",
     if storage == "sym":
         detail["bytes_streamed"] = streamed
         detail["stored_gbps"] = round(streamed / t / 1e9, 2)
+    metric = "cg_iteration_effective_bandwidth"
+    if op_dtype != jnp.dtype(jnp.float32):
+        metric += "_" + str(op_dtype)
     return {
-        "metric": "cg_iteration_effective_bandwidth",
+        "metric": metric,
         "value": round(gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbps / peak, 4),
@@ -914,6 +943,7 @@ _CONFIGS = {
     "stencil": bench_stencil,
     "cg": bench_cg_headline,
     "cg-full": lambda: bench_cg(storage="full"),
+    "cg-bf16": lambda: bench_cg(storage="full", dtype="bfloat16"),
     "pcg": bench_pcg,
     "batched": bench_batched,
     "large": bench_large,

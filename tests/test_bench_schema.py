@@ -162,3 +162,24 @@ def test_mgpcg_record_schema():
         assert d["true_rel_residual"] < 1e-3
     assert out["detail"]["mgpcg"]["iterations"] < out["detail"]["plain"]["iterations"]
     json.dumps(out)  # the driver parses one JSON line
+
+
+def test_cg_bf16_record_schema():
+    """--config cg-bf16: bf16 tiles, f32 vectors; `value` stays on the
+    full-f32-equivalent byte convention and the metric name carries the
+    storage dtype so the longitudinal f32 series is never polluted."""
+    import bench
+
+    for storage in ("full", "sym"):
+        out = bench.bench_cg(n=2048, iters=4, storage=storage,
+                             dtype="bfloat16")
+        assert out["metric"] == "cg_iteration_effective_bandwidth_bfloat16"
+        d = out["detail"]
+        assert d["dtype"] == "bfloat16"
+        assert d["storage"] == storage
+        # f32-equivalent effective bytes must exceed the physically
+        # streamed bf16 bytes regardless of storage
+        streamed = d.get("bytes_streamed",
+                         d["bytes_models_all"]["analytic"])
+        assert d["bytes_per_iter"] > streamed
+        json.dumps(out)
