@@ -47,6 +47,9 @@ detail (bytes_streamed / stored_gbps).  Measured v5e: ~900 GB/s effective
                      fused plain CG vs geometric-multigrid PCG
                      (solver/multigrid.py) — the algorithmic speedup on
                      top of the bandwidth work.
+  --config amg       the grid-free counterpart: assembled 512^2 Poisson
+                     CSR, plain vs Jacobi vs smoothed-aggregation AMG
+                     time-to-tolerance.
 """
 
 from __future__ import annotations
@@ -765,6 +768,74 @@ def bench_mgpcg(nx: int = 256, rel: float = 1e-5, plain_maxiter: int = 4000,
     }
 
 
+def bench_amg(nx: int = 512, rel: float = 1e-6, plain_maxiter: int = 6000,
+              reps: int = 3):
+    """Full-solve wall-time A/B on an ASSEMBLED 2-D Poisson CSR system
+    (n = nx^2): plain CG vs Jacobi-PCG vs smoothed-aggregation AMG
+    (solver/amg.py) — the grid-free counterpart of --config mgpcg, on the
+    reference's own input class (CSR from an .mtx-style assembly).
+    value = AMG's time-to-tolerance speedup over plain CG."""
+    import time
+
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import (
+        CSRMatrix,
+        cg_solve,
+        jacobi_preconditioner,
+        smoothed_aggregation_preconditioner,
+    )
+    from conjugategradient_tpu.problems import poisson2d_coo
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s
+
+    rows, cols, vals, shape = poisson2d_coo(nx)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    n = shape[0]
+    b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+    bnorm = float(np.linalg.norm(np.asarray(b)))
+    tol = rel * bnorm
+    t0 = time.perf_counter()
+    amg = smoothed_aggregation_preconditioner(A, dtype=jnp.float32)
+    setup_s = time.perf_counter() - t0
+    ovh = rpc_overhead_s()
+
+    def run(**kw):
+        x, info = cg_solve(A, b, tol=tol, **kw)
+        float(info.rnorm_sq)
+        ts = []
+        for _ in range(reps):
+            t1 = time.perf_counter()
+            x, info = cg_solve(A, b, tol=tol, **kw)
+            float(info.rnorm_sq)
+            ts.append(time.perf_counter() - t1)
+        ts.sort()
+        t = max(ts[len(ts) // 2] - ovh, 1e-9)
+        r = np.asarray(b - A.matvec(x), dtype=np.float64)
+        return {
+            "time_s": round(t, 4),
+            "iterations": int(info.iterations),
+            "converged": bool(info.converged),
+            "true_rel_residual": float(f"{np.linalg.norm(r) / bnorm:.3e}"),
+        }
+
+    plain = run(maxiter=plain_maxiter)
+    jac = run(maxiter=plain_maxiter, M=jacobi_preconditioner(A))
+    mg = run(M=amg)
+    speedup = plain["time_s"] / mg["time_s"]
+    return {
+        "metric": "amg_solve_speedup",
+        "value": round(speedup, 2),
+        "unit": "x",
+        "vs_baseline": round(speedup, 2),
+        "detail": {"nx": nx, "n": n, "rel_tol": rel,
+                   "plain": plain, "jacobi": jac, "amg": mg,
+                   "amg_setup_s": round(setup_s, 2),
+                   "amg_levels": list(amg.level_sizes),
+                   "iter_ratio": round(plain["iterations"]
+                                       / max(mg["iterations"], 1), 1)},
+    }
+
+
 def bench_large(n: int = 1572864, iters: int = 64):
     """North-star-scale CG iteration: ~1.5M rows (G3_circuit-class), 2.4 GB
     operator stream — BASELINE.md configs 2/5 scale on one chip."""
@@ -951,6 +1022,7 @@ _CONFIGS = {
     "symdia": bench_symdia,
     "symdia-big": bench_symdia_big,
     "mgpcg": bench_mgpcg,
+    "amg": bench_amg,
 }
 
 

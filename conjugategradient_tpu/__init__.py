@@ -52,6 +52,7 @@ from .solver import (
     block_jacobi_preconditioner,
     jacobi_preconditioner,
     multigrid_preconditioner,
+    smoothed_aggregation_preconditioner,
     memory_footprint,
     sstep_cg_solve,
 )
@@ -95,6 +96,7 @@ __all__ = [
     "block_jacobi_preconditioner",
     "jacobi_preconditioner",
     "multigrid_preconditioner",
+    "smoothed_aggregation_preconditioner",
     "memory_footprint",
     "CG",
     "load_matrix",

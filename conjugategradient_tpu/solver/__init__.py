@@ -40,6 +40,7 @@ from .precond import (
     jacobi_preconditioner,
 )
 from .multigrid import multigrid_preconditioner
+from .amg import smoothed_aggregation_preconditioner
 
 __all__ = [
     "BatchedCGState",
@@ -85,4 +86,5 @@ __all__ = [
     "estimate_spectral_bounds",
     "identity_preconditioner",
     "multigrid_preconditioner",
+    "smoothed_aggregation_preconditioner",
 ]

@@ -56,8 +56,12 @@ def main(argv=None) -> int:
                     default="float64",
                     help="solve dtype (float64 matches the reference's double)")
     ap.add_argument("--precond",
-                    choices=("none", "jacobi", "blockjacobi", "chebyshev"),
-                    default="none")
+                    choices=("none", "jacobi", "blockjacobi", "chebyshev",
+                             "amg"),
+                    default="none",
+                    help="amg = multigrid: smoothed-aggregation AMG on "
+                         "--layout csr inputs, the geometric V-cycle on "
+                         "stencil: inputs")
     ap.add_argument("--method",
                     choices=("standard", "pipelined", "sstep", "block"),
                     default="standard",
@@ -202,6 +206,24 @@ def main(argv=None) -> int:
             M = chebyshev_preconditioner(A, lmin, lmax, degree=args.cheb_degree)
         except ValueError as e:
             print(f"error: chebyshev setup failed: {e}", file=sys.stderr)
+            return 2
+    elif args.precond == "amg":
+        from conjugategradient_tpu.solver.amg import (
+            smoothed_aggregation_preconditioner,
+        )
+        from conjugategradient_tpu.solver.multigrid import (
+            multigrid_preconditioner,
+        )
+        from conjugategradient_tpu.types import CSRMatrix, StencilOperator
+
+        if isinstance(A, StencilOperator):
+            M = multigrid_preconditioner(A)
+        elif isinstance(A, CSRMatrix):
+            M = smoothed_aggregation_preconditioner(A)
+        else:
+            print("error: --precond amg needs --layout csr (the AMG setup "
+                  "reads the CSR graph) or a stencil: input",
+                  file=sys.stderr)
             return 2
     else:
         M = None

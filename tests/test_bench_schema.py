@@ -183,3 +183,17 @@ def test_cg_bf16_record_schema():
                          d["bytes_models_all"]["analytic"])
         assert d["bytes_per_iter"] > streamed
         json.dumps(out)
+
+
+def test_amg_record_schema():
+    import bench
+
+    out = bench.bench_amg(nx=32, rel=1e-5, plain_maxiter=500, reps=1)
+    assert out["metric"] == "amg_solve_speedup"
+    d = out["detail"]
+    for side in ("plain", "jacobi", "amg"):
+        assert d[side]["converged"] is True
+        assert d[side]["time_s"] > 0
+    assert d["amg"]["iterations"] < d["plain"]["iterations"]
+    assert d["amg_levels"][0] == d["n"]
+    json.dumps(out)
