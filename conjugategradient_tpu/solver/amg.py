@@ -86,7 +86,24 @@ def _strength_graph(A, theta: float):
 def _aggregate(S) -> Tuple[np.ndarray, int]:
     """Greedy standard aggregation (Vanek pass 1-3) over the strength
     graph.  Returns (agg[i] = aggregate id, n_aggregates); every node is
-    assigned (isolated nodes become singletons)."""
+    assigned (isolated nodes become singletons).
+
+    Dispatches to the native C++ pass (native/amg_agg.cpp, measured 470x
+    faster at 1M rows) when the library is built; the Python body below is the
+    reference implementation and the fallback — the two are bitwise-
+    identical by construction (same visit order and tie-breaks; asserted
+    in tests/test_amg.py)."""
+    try:
+        from ..io.native import amg_aggregate_native
+
+        return amg_aggregate_native(S.indptr, S.indices, S.shape[0])
+    except (RuntimeError, ImportError):
+        pass
+    return _aggregate_py(S)
+
+
+def _aggregate_py(S) -> Tuple[np.ndarray, int]:
+    """Pure-Python reference implementation of :func:`_aggregate`."""
     n = S.shape[0]
     indptr, indices = S.indptr, S.indices
     agg = np.full(n, -1, dtype=np.int64)
@@ -136,6 +153,35 @@ def _csr_device(A_sp, dtype) -> CSRMatrix:
     )
 
 
+def _level_operator(A_sp, dtype, layout: str, max_diags: int = 96,
+                    min_density: float = 0.25):
+    """Device operator for one AMG level.
+
+    ``layout="auto"`` picks the DIA layout when the level is banded-dense
+    enough — the shifted-add DIA matvec has NO index arrays and no
+    gathers, vs the CSR segment-sum path's ~8 ns-per-index random-access
+    floor (docs/performance.md).  On TPU this is where the V-cycle's time
+    goes: every smoothing sweep and residual is a matvec.  The aggregate
+    numbering follows node order, so PDE-graph coarse levels stay banded
+    and usually qualify too."""
+    if layout == "auto":
+        A_csr = A_sp.tocsr()
+        n = A_csr.shape[0]
+        if A_csr.shape[0] == A_csr.shape[1] and A_csr.nnz:
+            row_ids = np.repeat(
+                np.arange(n, dtype=np.int64), np.diff(A_csr.indptr)
+            )
+            nd = len(np.unique(A_csr.indices - row_ids))
+            if nd <= max_diags and A_csr.nnz >= min_density * nd * n:
+                from ..types import DIAMatrix
+
+                return DIAMatrix.from_csr_host(
+                    A_csr.data, A_csr.indices, A_csr.indptr,
+                    tuple(A_csr.shape), dtype=np.dtype(dtype),
+                )
+    return _csr_device(A_sp, dtype)
+
+
 def smoothed_aggregation_preconditioner(
     A: Any,
     *,
@@ -147,6 +193,7 @@ def smoothed_aggregation_preconditioner(
     coarse_size: int = 400,
     max_levels: int = 20,
     dense_cap: Optional[int] = None,
+    level_layout: str = "auto",
     dtype=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build ``M^-1 r`` = ``cycles`` smoothed-aggregation AMG V-cycles.
@@ -177,6 +224,10 @@ def smoothed_aggregation_preconditioner(
         (self-adjoint, so the cycle stays symmetric) with a logged
         warning — slow-coarsening scale-free graphs hit this, and
         Jacobi/Chebyshev/deflation are usually the better tools there.
+      level_layout: "auto" (default) stores each level's operator in the
+        DIA layout when it is banded-dense enough (no gathers in the
+        smoothing matvecs — on TPU this is most of the V-cycle's time);
+        "csr" forces the segment-sum CSR path everywhere.
       dtype: device dtype of the apply (default: A's dtype, or float64
         for scipy/dense input under x64).
 
@@ -190,6 +241,8 @@ def smoothed_aggregation_preconditioner(
         raise ValueError(f"cycles must be >= 1, got {cycles}")
     if not (0.0 < omega < 2.0):
         raise ValueError(f"omega must be in (0, 2), got {omega}")
+    if level_layout not in ("auto", "csr"):
+        raise ValueError(f"level_layout must be 'auto' or 'csr', got {level_layout!r}")
     import scipy.sparse as sp
 
     if dtype is None:
@@ -250,7 +303,7 @@ def smoothed_aggregation_preconditioner(
             A_next.sum_duplicates()
             A_next.eliminate_zeros()
         entry = {
-            "A": _csr_device(A_l, dtype),
+            "A": _level_operator(A_l, dtype, level_layout),
             "inv_diag": jnp.asarray(
                 omega / np.where(np.abs(A_l.diagonal()) > 0,
                                  A_l.diagonal(), 1.0),
@@ -290,7 +343,7 @@ def smoothed_aggregation_preconditioner(
         inv_coarse = None
         A_coarse = None
         coarse_jacobi = {
-            "A": _csr_device(A_l, dtype),
+            "A": _level_operator(A_l, dtype, level_layout),
             "inv_diag": jnp.asarray(
                 omega / np.where(np.abs(A_l.diagonal()) > 0,
                                  A_l.diagonal(), 1.0),

@@ -206,3 +206,58 @@ def test_stalled_hierarchy_falls_back_to_jacobi_coarse():
     np.testing.assert_allclose(
         np.asarray(x), np.asarray(b) / np.asarray(A.data), rtol=1e-8
     )
+
+
+def test_banded_levels_ride_the_dia_layout():
+    """level_layout="auto" must put banded levels on the DIA layout (no
+    gathers in the smoothing matvecs — docs/performance.md's layout
+    thesis) and force-csr must not change the preconditioner's math."""
+    from conjugategradient_tpu.solver.amg import _level_operator, _to_scipy_csr
+    from conjugategradient_tpu.types import DIAMatrix
+
+    A, n = _poisson2d(24)
+    A_sp = _to_scipy_csr(A)
+    op = _level_operator(A_sp, jnp.float64, "auto")
+    assert isinstance(op, DIAMatrix), type(op).__name__
+    b = jnp.asarray(np.random.default_rng(17).standard_normal(n))
+    tol = 1e-9 * float(jnp.linalg.norm(b))
+    _, i_auto = cg_solve(
+        A, b, tol=tol, M=smoothed_aggregation_preconditioner(A)
+    )
+    _, i_csr = cg_solve(
+        A, b, tol=tol,
+        M=smoothed_aggregation_preconditioner(A, level_layout="csr"),
+    )
+    assert bool(i_auto.converged) and bool(i_csr.converged)
+    # same math, different rounding: counts may differ by a step or two
+    assert abs(int(i_auto.iterations) - int(i_csr.iterations)) <= 2
+
+
+def test_native_aggregation_matches_python():
+    """native/amg_agg.cpp must reproduce the Python pass bitwise — same
+    visit order, same tie-breaks — so hierarchies are identical with and
+    without the native library."""
+    from conjugategradient_tpu.io import native as native_io
+    from conjugategradient_tpu.solver.amg import (
+        _aggregate_py,
+        _strength_graph,
+        _to_scipy_csr,
+    )
+
+    if not native_io.available():
+        pytest.skip("native library not built")
+    from conjugategradient_tpu.io.native import amg_aggregate_native
+    from conjugategradient_tpu.problems import powerlaw_spd_coo
+
+    cases = []
+    A, _ = _poisson2d(20)
+    cases.append(_strength_graph(_to_scipy_csr(A), 0.08))
+    rows, cols, vals, shape = powerlaw_spd_coo(1500, seed=4)
+    A2 = CSRMatrix.from_coo(rows, cols, vals, shape)
+    cases.append(_strength_graph(_to_scipy_csr(A2), 0.08))
+    cases.append(_strength_graph(_to_scipy_csr(A2), 0.0))
+    for S in cases:
+        agg_py, n_py = _aggregate_py(S)
+        agg_c, n_c = amg_aggregate_native(S.indptr, S.indices, S.shape[0])
+        assert n_py == n_c
+        np.testing.assert_array_equal(agg_py, agg_c)
