@@ -122,6 +122,73 @@ def _mesh_key(mesh: Mesh):
     return (tuple(int(d.id) for d in mesh.devices.flat), mesh.axis_names)
 
 
+# ---------------------------------------------------------------------------
+# general per-shard preconditioners (M_local)
+# ---------------------------------------------------------------------------
+
+_M_TOKEN = 0  # monotone id for M_local jit-cache keys (never recycled)
+
+
+def _next_m_token() -> int:
+    # a stable identity token: raw id() can be recycled after GC and
+    # would silently reuse a stale compiled program
+    global _M_TOKEN
+    _M_TOKEN += 1
+    return _M_TOKEN
+
+
+@dataclasses.dataclass(eq=False)
+class ShardedPreconditioner:
+    """A per-shard ``M^-1`` apply whose OPERATOR DATA is row-sharded.
+
+    A bare callable passed as ``M_local`` closes over its arrays, and
+    closure constants inside a shard_map'd jit are REPLICATED on every
+    device — fine for tiny state (the sharded multigrid V-cycle's stencil
+    coefficients and dense coarse inverse), wrong for preconditioners
+    that carry per-level sparse operators (AMG).  This wrapper threads
+    the arrays through the solver's shard_map as ARGUMENTS instead:
+
+      op_arrays: host/global arrays with a leading shard axis where the
+        matching entry of ``op_specs`` shards them (default: all sharded).
+      op_specs: optional per-array PartitionSpec (default ``P(axis)`` on
+        the leading axis; pass ``P()`` for replicated small state).
+      make_local_apply: ``(op_shards) -> (r_local -> z_local)`` — builds
+        the per-shard apply from the SHARD-LOCAL arrays (leading shard
+        axis already indexed away for sharded entries); the apply runs
+        inside the solver's shard_map and may issue collectives.
+      token: stable cache identity (filled by __post_init__).
+    """
+
+    op_arrays: tuple
+    make_local_apply: Callable
+    op_specs: Optional[tuple] = None
+    token: int = dataclasses.field(default_factory=_next_m_token)
+
+
+def _as_sharded_precond(M_local, axis: str) -> ShardedPreconditioner:
+    """Normalize an M_local argument: a ShardedPreconditioner passes
+    through; a bare callable (the sharded-multigrid style, replicated
+    closure state) wraps with no threaded arrays."""
+    if isinstance(M_local, ShardedPreconditioner):
+        return M_local
+    if callable(M_local):
+        if not hasattr(M_local, "_cg_cache_token"):
+            try:
+                M_local._cg_cache_token = _next_m_token()
+            except AttributeError:  # unwritable callables (e.g. builtins)
+                pass
+        tok = getattr(M_local, "_cg_cache_token", None)
+        return ShardedPreconditioner(
+            op_arrays=(),
+            make_local_apply=lambda _shards, _m=M_local: _m,
+            token=tok if tok is not None else _next_m_token(),
+        )
+    raise TypeError(
+        "M_local must be a callable (r_local -> z_local) or a "
+        f"ShardedPreconditioner, got {type(M_local).__name__}"
+    )
+
+
 def _resolve_single_rhs_method(method, with_m, recompute_r_every, s, rcond, dtype):
     """Validate the single-RHS method triple and normalize the s-step
     hyperparameters: (s_eff, rcond_eff) are baked into the compiled solve
@@ -207,6 +274,7 @@ def _sharded_solve(
     supports_basis: bool = True,
     fused_fn: Optional[Callable] = None,
     sstep_basis_factory: Optional[Callable] = None,
+    M_local=None,
 ):
     """The ONE sharded single-RHS solve core every layout family configures.
 
@@ -231,6 +299,22 @@ def _sharded_solve(
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     with_m = inv_diag is not None
+    precond = None
+    if M_local is not None:
+        if with_m:
+            raise ValueError("pass either inv_diag or M_local, not both")
+        if method != "standard":
+            raise ValueError(
+                f"M_local runs the standard per-shard loop (method={method!r})"
+            )
+        if basis is not None:
+            raise ValueError("M_local and basis= (deflation) are exclusive")
+        if fused_fn is not None:
+            raise ValueError(
+                "the fused per-shard loop has no general-M variant — "
+                "disable it when M_local is set"
+            )
+        precond = _as_sharded_precond(M_local, axis)
     recompute_r_every = int(recompute_r_every)
     s_eff, rcond_eff = _resolve_single_rhs_method(
         method, with_m, recompute_r_every, s, rcond, b.dtype
@@ -252,10 +336,18 @@ def _sharded_solve(
     )
     unwrap = op_unwrap if op_unwrap is not None else (lambda a: a[0])
 
+    pre_specs = ()
+    if precond is not None:
+        pre_specs = (
+            tuple(precond.op_specs) if precond.op_specs is not None
+            else (P(axis),) * len(precond.op_arrays)
+        )
+
     key = (family, _mesh_key(mesh), axis, maxiter, float(tol), with_m,
            key_extra, str(b.dtype), method, recompute_r_every,
            s_eff, rcond_eff, (basis.k if with_basis else 0),
-           fused_fn is not None)
+           fused_fn is not None,
+           None if precond is None else precond.token)
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(*args_s):
@@ -267,6 +359,14 @@ def _sharded_solve(
             if with_m:
                 inv_diag_s = args_s[i]
                 i += 1
+            if precond is not None:
+                pre_shards = [
+                    a[0] if spec == P(axis) else a
+                    for a, spec in zip(args_s[i : i + len(pre_specs)],
+                                       pre_specs)
+                ]
+                i += len(pre_specs)
+                inv_diag_s = precond.make_local_apply(pre_shards)
             if with_basis:
                 W_s, AW_s, E_chol_r = (
                     args_s[i][0], args_s[i + 1][0], args_s[i + 2]
@@ -304,6 +404,7 @@ def _sharded_solve(
         in_specs = list(op_specs) + [P(axis), P(axis)]
         if with_m:
             in_specs.append(P(axis))
+        in_specs += list(pre_specs)
         if with_basis:
             in_specs += [P(axis), P(axis), P()]
         solve_jit = jax.jit(shard_map(
@@ -322,6 +423,9 @@ def _sharded_solve(
     args += [put(b), put(x0)]
     if with_m:
         args.append(put(inv_diag))
+    if precond is not None:
+        args += [put(a, spec) for a, spec in zip(precond.op_arrays,
+                                                 pre_specs)]
     if with_basis:
         W_sh, AW_sh, E_chol = shard_deflation_basis(basis, n_padded, n_shards)
         args += [put(W_sh), put(AW_sh), put(E_chol, P())]
@@ -354,6 +458,7 @@ def sharded_cg_solve(
     s: int = 4,
     rcond: Optional[float] = None,
     basis=None,
+    M_local=None,
 ):
     """Row-sharded (P)CG over a 1-D mesh, blocked-ELL operator.
 
@@ -392,6 +497,15 @@ def sharded_cg_solve(
         per-shard loop (directions A-orthogonal to the basis; one extra
         (k,)-payload psum per iteration for the projector).  Standard
         method only; excludes recompute_r_every and the fused path.
+      M_local: optional general per-shard preconditioner — a callable
+        ``r_local -> z_local`` executed INSIDE the shard_map (may issue
+        its own collectives), or a :class:`ShardedPreconditioner` whose
+        operator arrays thread through the shard_map as sharded
+        arguments (build with :func:`~conjugategradient_tpu.parallel.
+        sharded_amg.sharded_amg_preconditioner`).  Mutually exclusive
+        with ``inv_diag``; standard method, per-shard XLA loop (the
+        fused Pallas path has no general-M variant).  Reuse the same
+        object across solves to reuse the compiled program.
 
     Returns (x, CGInfo); x is row-sharded but exposed as a global jax.Array.
     """
@@ -411,8 +525,14 @@ def sharded_cg_solve(
             "restarts run the per-shard XLA path (recompute_r_every=0 "
             "to force fused)"
         )
+    if use_fused == "always" and M_local is not None:
+        raise ValueError(
+            "use_fused='always' has no general-M variant — M_local runs "
+            "the per-shard XLA loop (M_local=None to force fused)"
+        )
     fused = (
         method == "standard" and not recompute_r_every and not with_basis
+        and M_local is None
         and (
             use_fused == "always"
             or (use_fused == "auto"
@@ -441,6 +561,7 @@ def sharded_cg_solve(
         method=method, recompute_r_every=recompute_r_every,
         s=s, rcond=rcond, basis=basis,
         fused_fn=fused_fn if fused else None,
+        M_local=M_local,
     )
 
 

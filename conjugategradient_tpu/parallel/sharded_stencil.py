@@ -27,9 +27,7 @@ except AttributeError:  # pragma: no cover - older JAX
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 from ..solver.cg import CGInfo
-from .sharded_cg import _sharded_pcg, make_row_mesh, ring_halo
-
-_M_TOKEN = 0  # monotone id for M_local jit-cache keys (never recycled)
+from .sharded_cg import _next_m_token, _sharded_pcg, make_row_mesh, ring_halo
 
 
 def _local_stencil_matvec(p_local, center, off, sx, ny, nz, axis):
@@ -104,9 +102,7 @@ def sharded_stencil_cg_solve(
     if M_local is not None and not hasattr(M_local, "_cg_cache_token"):
         # a stable identity token: raw id() can be recycled after GC and
         # would silently reuse a stale compiled program
-        global _M_TOKEN
-        _M_TOKEN += 1
-        M_local._cg_cache_token = _M_TOKEN
+        M_local._cg_cache_token = _next_m_token()
     key = ("stencil", _mesh_key(mesh), axis, maxiter, float(tol), with_m,
            (sx, ny, nz, c, o), str(b.dtype),
            None if M_local is None else M_local._cg_cache_token)

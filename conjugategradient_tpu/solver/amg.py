@@ -182,6 +182,207 @@ def _level_operator(A_sp, dtype, layout: str, max_diags: int = 96,
     return _csr_device(A_sp, dtype)
 
 
+def _build_hierarchy(
+    A0,
+    *,
+    theta: float,
+    smooth_prolongator: bool,
+    coarse_size: int,
+    max_levels: int,
+) -> Tuple[List[dict], Any]:
+    """Host-side hierarchy construction, shared verbatim by the
+    single-device and the sharded (parallel/sharded_amg.py) builders so
+    their hierarchies are identical by construction.
+
+    Returns ``(level_mats, A_coarse)``: per fine level a dict with the
+    scipy CSR operator ``A``, the prolongator ``P`` actually used
+    (smoothed or the tentative piecewise-constant one), ``smoothed``
+    (whether P carries the Jacobi smoothing pass — unsmoothed levels may
+    apply transfers as pure gather/segment-sum instead of CSR matvecs),
+    and the aggregate map ``agg``/``n_agg``; plus the coarsest-level
+    scipy CSR."""
+    import scipy.sparse as sp
+
+    level_mats: List[dict] = []
+    A_l = A0
+    for lvl in range(max_levels - 1):
+        if A_l.shape[0] <= coarse_size:
+            break
+        # Vanek's per-level theta decay: smoothed Galerkin coarse entries
+        # spread and shrink, so a fixed theta empties the strength graph
+        # a few levels down (measured on the elasticity stand-in:
+        # 1616 -> 1448 -> 1437 singleton cascades with fixed 0.08).
+        S = _strength_graph(A_l, theta * 0.5**lvl)
+        agg, n_agg = _aggregate(S)
+        if n_agg > 0.8 * A_l.shape[0]:
+            # still stalled: keep EVERY off-diagonal (PyAMG's SA default
+            # is theta=0 for exactly this robustness reason)
+            S = _strength_graph(A_l, 0.0)
+            agg, n_agg = _aggregate(S)
+        if n_agg >= A_l.shape[0]:
+            break  # no coarsening possible — stop here
+        P0 = sp.csr_matrix(
+            (np.ones(A_l.shape[0]), (np.arange(A_l.shape[0]), agg)),
+            shape=(A_l.shape[0], n_agg),
+        )
+        smooth_this = smooth_prolongator
+        if smooth_this:
+            rho = _rho_dinv_a_bound(A_l)
+            d = A_l.diagonal()
+            d_safe = np.where(np.abs(d) > 0, d, 1.0)
+            Dinv = sp.diags(1.0 / d_safe)
+            P = P0 - (4.0 / 3.0 / rho) * (Dinv @ (A_l @ P0))
+        else:
+            P = P0
+        A_next = (P.T @ (A_l @ P)).tocsr()
+        A_next.sum_duplicates()
+        A_next.eliminate_zeros()
+        if smooth_this and A_next.nnz > 2.5 * max(A_l.nnz, 1):
+            # Densification guard: on scale-free/hub graphs the smoothed
+            # prolongator spreads every hub row into its aggregate's
+            # columns and the Galerkin product goes dense (measured on the
+            # power-law stand-in: operator complexity 238x, 6-minute
+            # setup).  Fall back to the unsmoothed (piecewise-constant)
+            # P for THIS level — transfers become pure gather/segment-sum
+            # and the coarse graph stays aggregate-sparse.
+            smooth_this = False
+            P = P0
+            A_next = (P.T @ (A_l @ P)).tocsr()
+            A_next.sum_duplicates()
+            A_next.eliminate_zeros()
+        level_mats.append({
+            "A": A_l.tocsr(),
+            "P": P.tocsr(),
+            "smoothed": smooth_this,
+            "agg": agg,
+            "n_agg": n_agg,
+        })
+        A_l = A_next
+    return level_mats, A_l.tocsr()
+
+
+def _inv_diag_device(A_sp, omega: float, dtype) -> jax.Array:
+    d = A_sp.diagonal()
+    return jnp.asarray(
+        omega / np.where(np.abs(d) > 0, d, 1.0), dtype=dtype
+    )
+
+
+def _device_levels(level_mats, dtype, level_layout: str, omega: float):
+    """Convert host level matrices to the device entries the jitted
+    V-cycle closes over (the single-device apply, and the replicated
+    coarse TAIL of the sharded apply)."""
+    levels = []
+    for m in level_mats:
+        entry = {
+            "A": _level_operator(m["A"], dtype, level_layout),
+            "inv_diag": _inv_diag_device(m["A"], omega, dtype),
+        }
+        if m["smoothed"]:
+            entry["P"] = _csr_device(m["P"], dtype)
+            entry["PT"] = _csr_device(m["P"].T.tocsr(), dtype)
+        else:
+            entry["agg"] = jnp.asarray(m["agg"].astype(np.int32))
+            entry["n_agg"] = m["n_agg"]
+        levels.append(entry)
+    return levels
+
+
+def _coarse_solver(A_coarse_sp, *, dense_cap: int, dtype,
+                   level_layout: str, omega: float, nu: int):
+    """Coarsest-level solve: dense inverse when it fits ``dense_cap``,
+    else damped-Jacobi sweeps (self-adjoint, so the cycle stays symmetric
+    — the stalled-hierarchy fallback).  Returns ``(coarse_apply, meta)``
+    where meta carries what the apply closures and diagnostics need."""
+    n_coarse = A_coarse_sp.shape[0]
+    if n_coarse <= dense_cap:
+        coarse_dense = A_coarse_sp.toarray()
+        inv_coarse = jnp.asarray(np.linalg.inv(coarse_dense), dtype=dtype)
+        A_coarse = jnp.asarray(coarse_dense, dtype=dtype)
+
+        def coarse_apply(b):
+            return jnp.matmul(
+                inv_coarse, b, precision=jax.lax.Precision.HIGHEST
+            )
+
+        def coarse_residual(b, z):
+            return b - jnp.matmul(
+                A_coarse, z, precision=jax.lax.Precision.HIGHEST
+            )
+
+        meta = {"stalled": False, "n": n_coarse, "nnz": n_coarse * n_coarse}
+        return coarse_apply, coarse_residual, meta
+
+    # The graph refused to coarsen to dense size (slow-coarsening
+    # scale-free patterns).  A dense inverse here would be O(n^2)
+    # memory; fall back to damped-Jacobi sweeps as the coarsest
+    # "solve" — self-adjoint, so the cycle stays symmetric, just a
+    # weaker preconditioner (document: Jacobi/Chebyshev/deflation are
+    # usually the better tools for such graphs anyway).
+    from ..utils.logging import get_logger
+
+    get_logger().warning(
+        "AMG hierarchy stalled at n=%d (> dense cap %d); using "
+        "Jacobi sweeps as the coarsest solve", n_coarse, dense_cap,
+    )
+    coarse_jacobi = {
+        "A": _level_operator(A_coarse_sp, dtype, level_layout),
+        "inv_diag": _inv_diag_device(A_coarse_sp, omega, dtype),
+    }
+
+    def coarse_apply(b):
+        u = coarse_jacobi["inv_diag"] * b
+        for _ in range(2 * nu - 1):
+            u = u + coarse_jacobi["inv_diag"] * (
+                b - coarse_jacobi["A"].matvec(u)
+            )
+        return u
+
+    def coarse_residual(b, z):
+        return b - coarse_jacobi["A"].matvec(z)
+
+    meta = {"stalled": True, "n": n_coarse,
+            "nnz": int(coarse_jacobi["A"].nnz)}
+    return coarse_apply, coarse_residual, meta
+
+
+def _make_vcycle(levels, coarse_apply, nu: int):
+    """The jit-unrolled V-cycle recursion over device level entries —
+    shared by the single-device apply and the sharded apply's replicated
+    coarse tail (parity there is by construction: same code object)."""
+
+    def smooth(entry, u, b):
+        for _ in range(nu):
+            u = u + entry["inv_diag"] * (b - entry["A"].matvec(u))
+        return u
+
+    def restrict(entry, r):
+        if "PT" in entry:
+            return entry["PT"].matvec(r)
+        return jax.ops.segment_sum(
+            r, entry["agg"], num_segments=entry["n_agg"]
+        )
+
+    def prolong(entry, e):
+        if "P" in entry:
+            return entry["P"].matvec(e)
+        return e[entry["agg"]]
+
+    def v_cycle(l: int, b: jax.Array) -> jax.Array:
+        if l == len(levels):
+            return coarse_apply(b)
+        entry = levels[l]
+        u = entry["inv_diag"] * b  # first sweep from the zero guess
+        for _ in range(nu - 1):
+            u = u + entry["inv_diag"] * (b - entry["A"].matvec(u))
+        r = b - entry["A"].matvec(u)
+        e = v_cycle(l + 1, restrict(entry, r))
+        u = u + prolong(entry, e)
+        return smooth(entry, u, b)
+
+    return v_cycle
+
+
 def smoothed_aggregation_preconditioner(
     A: Any,
     *,
@@ -243,173 +444,44 @@ def smoothed_aggregation_preconditioner(
         raise ValueError(f"omega must be in (0, 2), got {omega}")
     if level_layout not in ("auto", "csr"):
         raise ValueError(f"level_layout must be 'auto' or 'csr', got {level_layout!r}")
-    import scipy.sparse as sp
-
     if dtype is None:
         dtype = A.dtype if isinstance(A, CSRMatrix) else (
             jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
         )
     A0 = _to_scipy_csr(A)
-    n0 = A0.shape[0]
     if A0.shape[0] != A0.shape[1]:
         raise ValueError(f"AMG needs a square operator, got {A0.shape}")
 
-    # ---- host setup: build the hierarchy ------------------------------
-    levels = []  # per fine level: dict(A=CSRMatrix, inv_diag, P, PT | agg)
-    A_l = A0
-    for lvl in range(max_levels - 1):
-        if A_l.shape[0] <= coarse_size:
-            break
-        # Vanek's per-level theta decay: smoothed Galerkin coarse entries
-        # spread and shrink, so a fixed theta empties the strength graph
-        # a few levels down (measured on the elasticity stand-in:
-        # 1616 -> 1448 -> 1437 singleton cascades with fixed 0.08).
-        S = _strength_graph(A_l, theta * 0.5**lvl)
-        agg, n_agg = _aggregate(S)
-        if n_agg > 0.8 * A_l.shape[0]:
-            # still stalled: keep EVERY off-diagonal (PyAMG's SA default
-            # is theta=0 for exactly this robustness reason)
-            S = _strength_graph(A_l, 0.0)
-            agg, n_agg = _aggregate(S)
-        if n_agg >= A_l.shape[0]:
-            break  # no coarsening possible — stop here
-        P0 = sp.csr_matrix(
-            (np.ones(A_l.shape[0]), (np.arange(A_l.shape[0]), agg)),
-            shape=(A_l.shape[0], n_agg),
-        )
-        smooth_this = smooth_prolongator
-        if smooth_this:
-            rho = _rho_dinv_a_bound(A_l)
-            d = A_l.diagonal()
-            d_safe = np.where(np.abs(d) > 0, d, 1.0)
-            Dinv = sp.diags(1.0 / d_safe)
-            P = P0 - (4.0 / 3.0 / rho) * (Dinv @ (A_l @ P0))
-        else:
-            P = P0
-        A_next = (P.T @ (A_l @ P)).tocsr()
-        A_next.sum_duplicates()
-        A_next.eliminate_zeros()
-        if smooth_this and A_next.nnz > 2.5 * max(A_l.nnz, 1):
-            # Densification guard: on scale-free/hub graphs the smoothed
-            # prolongator spreads every hub row into its aggregate's
-            # columns and the Galerkin product goes dense (measured on the
-            # power-law stand-in: operator complexity 238x, 6-minute
-            # setup).  Fall back to the unsmoothed (piecewise-constant)
-            # P for THIS level — transfers become pure gather/segment-sum
-            # and the coarse graph stays aggregate-sparse.
-            smooth_this = False
-            P = P0
-            A_next = (P.T @ (A_l @ P)).tocsr()
-            A_next.sum_duplicates()
-            A_next.eliminate_zeros()
-        entry = {
-            "A": _level_operator(A_l, dtype, level_layout),
-            "inv_diag": jnp.asarray(
-                omega / np.where(np.abs(A_l.diagonal()) > 0,
-                                 A_l.diagonal(), 1.0),
-                dtype=dtype,
-            ),
-        }
-        if smooth_this:
-            entry["P"] = _csr_device(P, dtype)
-            entry["PT"] = _csr_device(P.T.tocsr(), dtype)
-        else:
-            entry["agg"] = jnp.asarray(agg.astype(np.int32))
-            entry["n_agg"] = n_agg
-        levels.append(entry)
-        A_l = A_next
-
-    n_coarse = A_l.shape[0]
+    # ---- host setup (shared with parallel/sharded_amg.py) --------------
+    level_mats, A_coarse_sp = _build_hierarchy(
+        A0, theta=theta, smooth_prolongator=smooth_prolongator,
+        coarse_size=coarse_size, max_levels=max_levels,
+    )
     if dense_cap is None:
         dense_cap = max(coarse_size, 4000)
-    if n_coarse <= dense_cap:
-        coarse_dense = A_l.toarray()
-        inv_coarse = jnp.asarray(np.linalg.inv(coarse_dense), dtype=dtype)
-        A_coarse = jnp.asarray(coarse_dense, dtype=dtype)
-        coarse_jacobi = None
-    else:
-        # The graph refused to coarsen to dense size (slow-coarsening
-        # scale-free patterns).  A dense inverse here would be O(n^2)
-        # memory; fall back to damped-Jacobi sweeps as the coarsest
-        # "solve" — self-adjoint, so the cycle stays symmetric, just a
-        # weaker preconditioner (document: Jacobi/Chebyshev/deflation are
-        # usually the better tools for such graphs anyway).
-        from ..utils.logging import get_logger
 
-        get_logger().warning(
-            "AMG hierarchy stalled at n=%d (> dense cap %d); using "
-            "Jacobi sweeps as the coarsest solve", n_coarse, dense_cap,
-        )
-        inv_coarse = None
-        A_coarse = None
-        coarse_jacobi = {
-            "A": _level_operator(A_l, dtype, level_layout),
-            "inv_diag": jnp.asarray(
-                omega / np.where(np.abs(A_l.diagonal()) > 0,
-                                 A_l.diagonal(), 1.0),
-                dtype=dtype,
-            ),
-        }
-
-    # ---- device apply -------------------------------------------------
-    def smooth(entry, u, b):
-        for _ in range(nu):
-            u = u + entry["inv_diag"] * (b - entry["A"].matvec(u))
-        return u
-
-    def restrict(entry, r):
-        if "PT" in entry:
-            return entry["PT"].matvec(r)
-        return jax.ops.segment_sum(
-            r, entry["agg"], num_segments=entry["n_agg"]
-        )
-
-    def prolong(entry, e):
-        if "P" in entry:
-            return entry["P"].matvec(e)
-        return e[entry["agg"]]
-
-    def v_cycle(l: int, b: jax.Array) -> jax.Array:
-        if l == len(levels):
-            if inv_coarse is None:  # stalled hierarchy: Jacobi sweeps
-                u = coarse_jacobi["inv_diag"] * b
-                for _ in range(2 * nu - 1):
-                    u = u + coarse_jacobi["inv_diag"] * (
-                        b - coarse_jacobi["A"].matvec(u)
-                    )
-                return u
-            return jnp.matmul(
-                inv_coarse, b, precision=jax.lax.Precision.HIGHEST
-            )
-        entry = levels[l]
-        u = entry["inv_diag"] * b  # first sweep from the zero guess
-        for _ in range(nu - 1):
-            u = u + entry["inv_diag"] * (b - entry["A"].matvec(u))
-        r = b - entry["A"].matvec(u)
-        e = v_cycle(l + 1, restrict(entry, r))
-        u = u + prolong(entry, e)
-        return smooth(entry, u, b)
+    # ---- device apply ---------------------------------------------------
+    levels = _device_levels(level_mats, dtype, level_layout, omega)
+    coarse_apply, coarse_residual, coarse_meta = _coarse_solver(
+        A_coarse_sp, dense_cap=dense_cap, dtype=dtype,
+        level_layout=level_layout, omega=omega, nu=nu,
+    )
+    v_cycle = _make_vcycle(levels, coarse_apply, nu)
 
     def apply(rhs: jax.Array) -> jax.Array:
         z = v_cycle(0, rhs)
         for _ in range(cycles - 1):
             if levels:
                 r = rhs - levels[0]["A"].matvec(z)
-            elif A_coarse is not None:
-                r = rhs - jnp.matmul(
-                    A_coarse, z, precision=jax.lax.Precision.HIGHEST
-                )
             else:
-                r = rhs - coarse_jacobi["A"].matvec(z)
+                r = coarse_residual(rhs, z)
             z = z + v_cycle(0, r)
         return z
 
+    n_coarse = coarse_meta["n"]
     apply.n_levels = len(levels) + 1
     apply.level_sizes = tuple([lv["A"].shape[0] for lv in levels] + [n_coarse])
-    coarse_nnz = (
-        int(coarse_jacobi["A"].nnz) if inv_coarse is None
-        else n_coarse * n_coarse
-    )
+    coarse_nnz = coarse_meta["nnz"]
     apply.operator_complexity = float(
         sum(int(lv["A"].nnz) for lv in levels) + coarse_nnz
     ) / max(int(levels[0]["A"].nnz) if levels else coarse_nnz, 1)
