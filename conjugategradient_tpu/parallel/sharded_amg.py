@@ -48,6 +48,8 @@ from jax.sharding import PartitionSpec as P
 
 from ..solver.amg import (
     _build_hierarchy,
+    _cheb_interval,
+    _cheb_smooth_steps,
     _coarse_solver,
     _device_levels,
     _make_vcycle,
@@ -113,6 +115,8 @@ def sharded_amg_preconditioner(
     max_levels: int = 20,
     dense_cap: Optional[int] = None,
     level_layout: str = "auto",
+    smoother: str = "jacobi",
+    cheb_lower: float = 1.0 / 6.0,
     agglomerate_below: int = 32768,
     dtype=None,
 ) -> ShardedPreconditioner:
@@ -135,6 +139,10 @@ def sharded_amg_preconditioner(
         (dense/Jacobi) level always replicates.
       level_layout: layout policy for the REPLICATED tail's operators
         (sharded levels always use per-shard blocked-ELL row blocks).
+      smoother / cheb_lower: as in the single-device builder — Chebyshev
+        smoothing is pure SpMV + elementwise work with STATIC step
+        coefficients, so it adds no collectives beyond the Jacobi path's
+        per-sweep all_gather.
 
     Returns a :class:`~.sharded_cg.ShardedPreconditioner`; pass it as
     ``M_local=`` (reuse across solves to reuse the compiled program).
@@ -150,6 +158,11 @@ def sharded_amg_preconditioner(
     if level_layout not in ("auto", "csr"):
         raise ValueError(
             f"level_layout must be 'auto' or 'csr', got {level_layout!r}")
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(
+            f"smoother must be 'jacobi' or 'chebyshev', got {smoother!r}")
+    if not (0.0 < cheb_lower < 1.0):
+        raise ValueError(f"cheb_lower must be in (0, 1), got {cheb_lower}")
     if dtype is None:
         dtype = A.dtype if isinstance(A, CSRMatrix) else (
             jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -194,22 +207,34 @@ def sharded_amg_preconditioner(
 
     # ---- replicated tail: literally the single-device cycle ------------
     tail_levels = _device_levels(level_mats[split:], dtype, level_layout,
-                                 omega)
+                                 omega, smoother=smoother,
+                                 cheb_lower=cheb_lower)
     coarse_apply, coarse_residual, coarse_meta = _coarse_solver(
         A_coarse_sp, dense_cap=dense_cap, dtype=dtype,
         level_layout=level_layout, omega=omega, nu=nu,
     )
-    tail_vcycle = _make_vcycle(tail_levels, coarse_apply, nu)
+    tail_vcycle = _make_vcycle(tail_levels, coarse_apply, nu,
+                               smoother=smoother)
 
     # ---- sharded levels: per-shard blocked-ELL operator arrays ---------
+    # For chebyshev, invd carries the RAW 1/d (the polynomial owns the
+    # step sizes) and cheb_steps the static per-level coefficient
+    # schedule (Python floats baked into the closure — no device scalars,
+    # no extra collectives).
     op_arrays = []
     per_level_bn = []
+    cheb_steps = []
+    diag_scale = omega if smoother == "jacobi" else 1.0
     for l in range(split):
         m = level_mats[l]
         A_l = m["A"]
         d = A_l.diagonal()
         invd = np.zeros(padded[l])
-        invd[: sizes[l]] = omega / np.where(np.abs(d) > 0, d, 1.0)
+        invd[: sizes[l]] = diag_scale / np.where(np.abs(d) > 0, d, 1.0)
+        if smoother == "chebyshev":
+            cheb_steps.append(
+                _cheb_smooth_steps(*_cheb_interval(A_l, cheb_lower), nu)
+            )
         bn_l = _block_of(rps[l])
         bn_c = _block_of(rps[l + 1])
         A_blocks, A_cols = _partition_level_op(
@@ -252,20 +277,48 @@ def sharded_amg_preconditioner(
                 z_full, jax.lax.axis_index(axis) * rps_split, rps_split
             )
 
+        def pre_smooth(l, b_local):
+            e = lv[l]
+            if smoother == "chebyshev":
+                step1, coeffs = cheb_steps[l]
+                d = step1 * (e["invd"] * b_local)
+                u = d
+                for c_d, c_z in coeffs:
+                    z = e["invd"] * (b_local - a_mv(l, u))
+                    d = c_d * d + c_z * z
+                    u = u + d
+                return u
+            u = e["invd"] * b_local  # first sweep from the zero guess
+            for _ in range(nu - 1):
+                u = u + e["invd"] * (b_local - a_mv(l, u))
+            return u
+
+        def post_smooth(l, u, b_local):
+            e = lv[l]
+            if smoother == "chebyshev":
+                step1, coeffs = cheb_steps[l]
+                z = e["invd"] * (b_local - a_mv(l, u))
+                d = step1 * z
+                u = u + d
+                for c_d, c_z in coeffs:
+                    z = e["invd"] * (b_local - a_mv(l, u))
+                    d = c_d * d + c_z * z
+                    u = u + d
+                return u
+            for _ in range(nu):
+                u = u + e["invd"] * (b_local - a_mv(l, u))
+            return u
+
         def v_cycle(l, b_local):
             if l == split:
                 return tail_at_split(b_local)
             e = lv[l]
-            u = e["invd"] * b_local  # first sweep from the zero guess
-            for _ in range(nu - 1):
-                u = u + e["invd"] * (b_local - a_mv(l, u))
+            u = pre_smooth(l, b_local)
             r = b_local - a_mv(l, u)
             r_c = lmv(e["PT_b"], e["PT_c"], per_level_bn[l][0], r)
             e_c = v_cycle(l + 1, r_c)
             u = u + lmv(e["P_b"], e["P_c"], per_level_bn[l][1], e_c)
-            for _ in range(nu):
-                u = u + e["invd"] * (b_local - a_mv(l, u))
-            return u
+            return post_smooth(l, u, b_local)
 
         def apply(r_local):
             z = v_cycle(0, r_local)

@@ -49,6 +49,7 @@ from ..solver.multigrid import (
     _make_vcycle,
     _prolong,
     _restrict,
+    _stencil_rho_bound,
 )
 from .local_ops import ring_halo
 from .sharded_stencil import _local_stencil_matvec
@@ -101,6 +102,8 @@ def sharded_multigrid_preconditioner(
     cycles: int = 1,
     coarse_size: int = 512,
     agglomerate_below: int = 32768,
+    smoother: str = "jacobi",
+    cheb_lower: float = 1.0 / 6.0,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build the per-shard V-cycle apply for ``sharded_stencil_cg_solve``.
 
@@ -118,6 +121,9 @@ def sharded_multigrid_preconditioner(
         default 32K points = 128 KB f32).  Agglomeration also triggers
         when a shard's slab would thin below 2 planes, where the odd-index
         coarsening can no longer stay shard-aligned.
+      smoother / cheb_lower: as in the single-device builder ("chebyshev"
+        = the degree-nu semi-iteration; same ring-halo count per sweep
+        set as Jacobi since every polynomial step is one stencil apply).
     """
     nx, ny, nz = grid_shape
     if nx % n_shards:
@@ -130,6 +136,11 @@ def sharded_multigrid_preconditioner(
         raise ValueError(f"nu must be >= 1, got {nu}")
     if cycles < 1:
         raise ValueError(f"cycles must be >= 1, got {cycles}")
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(
+            f"smoother must be 'jacobi' or 'chebyshev', got {smoother!r}")
+    if not (0.0 < cheb_lower < 1.0):
+        raise ValueError(f"cheb_lower must be in (0, 1), got {cheb_lower}")
 
     shapes = _level_shapes(grid_shape, coarse_size, None)
     # sharded prefix: levels whose slab stays even-length and worth sharding
@@ -147,19 +158,55 @@ def sharded_multigrid_preconditioner(
 
     c_arr = jnp.asarray(center, dtype=dtype)
     o_arr = jnp.asarray(off, dtype=dtype)
-    inv_diag_omega = jnp.asarray(omega / center, dtype=dtype)
+    cheb_steps = None
+    if smoother == "chebyshev":
+        from ..solver.amg import _cheb_smooth_steps
+
+        rho_b = _stencil_rho_bound(shapes[0], center, off)
+        cheb_steps = _cheb_smooth_steps(cheb_lower * rho_b, rho_b, nu)
+        inv_diag_omega = jnp.asarray(1.0 / center, dtype=dtype)
+    else:
+        inv_diag_omega = jnp.asarray(omega / center, dtype=dtype)
     inv_coarse = jnp.asarray(
         _dense_stencil_inverse(shapes[-1], center, off), dtype=dtype
     )
     # the replicated tail is literally the single-device cycle over the
     # remaining hierarchy — same code object, so parity is by construction
     tail_vcycle = _make_vcycle(
-        shapes[split:], c_arr, o_arr, inv_diag_omega, inv_coarse, nu
+        shapes[split:], c_arr, o_arr, inv_diag_omega, inv_coarse, nu,
+        smoother=smoother, cheb_steps=cheb_steps,
     )
     sx_top = shapes[0][0] // n_shards
 
     def smooth(u, b, axis_name):
+        if smoother == "chebyshev":
+            step1, coeffs = cheb_steps
+            z = inv_diag_omega * (b - _local_apply(u, c_arr, o_arr, axis_name))
+            d = step1 * z
+            u = u + d
+            for c_d, c_z in coeffs:
+                z = inv_diag_omega * (
+                    b - _local_apply(u, c_arr, o_arr, axis_name))
+                d = c_d * d + c_z * z
+                u = u + d
+            return u
         for _ in range(nu):
+            u = u + inv_diag_omega * (b - _local_apply(u, c_arr, o_arr, axis_name))
+        return u
+
+    def smooth_from_zero(b, axis_name):
+        if smoother == "chebyshev":
+            step1, coeffs = cheb_steps
+            d = step1 * (inv_diag_omega * b)
+            u = d
+            for c_d, c_z in coeffs:
+                z = inv_diag_omega * (
+                    b - _local_apply(u, c_arr, o_arr, axis_name))
+                d = c_d * d + c_z * z
+                u = u + d
+            return u
+        u = inv_diag_omega * b  # sweep 1 from the zero guess
+        for _ in range(nu - 1):
             u = u + inv_diag_omega * (b - _local_apply(u, c_arr, o_arr, axis_name))
         return u
 
@@ -171,9 +218,7 @@ def sharded_multigrid_preconditioner(
             return jax.lax.dynamic_slice_in_dim(
                 e_full, jax.lax.axis_index(axis) * sx_l, sx_l, 0
             )
-        u = inv_diag_omega * b  # sweep 1 from the zero guess
-        for _ in range(nu - 1):
-            u = u + inv_diag_omega * (b - _local_apply(u, c_arr, o_arr, axis))
+        u = smooth_from_zero(b, axis)
         r = b - _local_apply(u, c_arr, o_arr, axis)
         fine_local = (shapes[level][0] // n_shards,) + shapes[level][1:]
         coarse_local = (shapes[level + 1][0] // n_shards,) + shapes[level + 1][1:]

@@ -268,7 +268,17 @@ def _inv_diag_device(A_sp, omega: float, dtype) -> jax.Array:
     )
 
 
-def _device_levels(level_mats, dtype, level_layout: str, omega: float):
+def _cheb_interval(A_sp, cheb_lower: float) -> Tuple[float, float]:
+    """Chebyshev smoothing interval for one level: the polynomial targets
+    eigenvalues of D^-1 A in [cheb_lower * rho, rho] with rho the
+    Gershgorin bound — the standard SA-AMG choice (the coarse grid owns
+    the low modes, the smoother the upper spectrum)."""
+    rho = _rho_dinv_a_bound(A_sp)
+    return cheb_lower * rho, rho
+
+
+def _device_levels(level_mats, dtype, level_layout: str, omega: float,
+                   smoother: str = "jacobi", cheb_lower: float = 1.0 / 6.0):
     """Convert host level matrices to the device entries the jitted
     V-cycle closes over (the single-device apply, and the replicated
     coarse TAIL of the sharded apply)."""
@@ -278,6 +288,11 @@ def _device_levels(level_mats, dtype, level_layout: str, omega: float):
             "A": _level_operator(m["A"], dtype, level_layout),
             "inv_diag": _inv_diag_device(m["A"], omega, dtype),
         }
+        if smoother == "chebyshev":
+            # raw 1/d (no omega damping — the polynomial owns the
+            # step sizes) + the smoothing interval, static at trace time
+            entry["inv_diag_raw"] = _inv_diag_device(m["A"], 1.0, dtype)
+            entry["cheb_ab"] = _cheb_interval(m["A"], cheb_lower)
         if m["smoothed"]:
             entry["P"] = _csr_device(m["P"], dtype)
             entry["PT"] = _csr_device(m["P"].T.tocsr(), dtype)
@@ -286,6 +301,63 @@ def _device_levels(level_mats, dtype, level_layout: str, omega: float):
             entry["n_agg"] = m["n_agg"]
         levels.append(entry)
     return levels
+
+
+def _cheb_smooth_steps(a: float, b: float, nu: int):
+    """Static scalar schedule of the degree-``nu`` preconditioned
+    Chebyshev semi-iteration on [a, b] (Saad, Iterative Methods, Alg.
+    12.1): returns ``(step_1, [(c_d, c_z), ...])`` such that
+
+        d_1 = step_1 * z_1;               u += d_1
+        d_k = c_d * d_{k-1} + c_z * z_k;  u += d_k   (k = 2..nu)
+
+    with z_k = D^-1 (b - A u).  The error operator is the shifted-scaled
+    Chebyshev polynomial T_nu((theta - t)/delta) / T_nu(theta/delta) in
+    t = eig(D^-1 A) — the minimax polynomial over [a, b].  All
+    coefficients are Python floats, baked into the trace (no device
+    scalars, no extra collectives in the sharded apply)."""
+    theta = 0.5 * (b + a)
+    delta = 0.5 * (b - a)
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+    coeffs = []
+    for _ in range(nu - 1):
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        coeffs.append((rho_new * rho, 2.0 * rho_new / delta))
+        rho = rho_new
+    return 1.0 / theta, coeffs
+
+
+def _make_cheb_smoothers(entry, nu: int):
+    """Per-level Chebyshev pre/post smoothing closures.  The factors
+    (I - alpha_k D^-1 A) all commute (polynomials in the same matrix),
+    so equal-degree pre/post smoothing keeps the V-cycle symmetric — the
+    PCG requirement — exactly like equal Jacobi sweep counts."""
+    a, b = entry["cheb_ab"]
+    step1, coeffs = _cheb_smooth_steps(a, b, nu)
+    dinv = entry["inv_diag_raw"]
+    A = entry["A"]
+
+    def smooth_from_zero(b_vec):
+        d = step1 * (dinv * b_vec)
+        u = d
+        for c_d, c_z in coeffs:
+            z = dinv * (b_vec - A.matvec(u))
+            d = c_d * d + c_z * z
+            u = u + d
+        return u
+
+    def smooth(u, b_vec):
+        z = dinv * (b_vec - A.matvec(u))
+        d = step1 * z
+        u = u + d
+        for c_d, c_z in coeffs:
+            z = dinv * (b_vec - A.matvec(u))
+            d = c_d * d + c_z * z
+            u = u + d
+        return u
+
+    return smooth_from_zero, smooth
 
 
 def _coarse_solver(A_coarse_sp, *, dense_cap: int, dtype,
@@ -346,12 +418,25 @@ def _coarse_solver(A_coarse_sp, *, dense_cap: int, dtype,
     return coarse_apply, coarse_residual, meta
 
 
-def _make_vcycle(levels, coarse_apply, nu: int):
+def _make_vcycle(levels, coarse_apply, nu: int, smoother: str = "jacobi"):
     """The jit-unrolled V-cycle recursion over device level entries —
     shared by the single-device apply and the sharded apply's replicated
     coarse tail (parity there is by construction: same code object)."""
 
-    def smooth(entry, u, b):
+    if smoother == "chebyshev":
+        cheb = [_make_cheb_smoothers(e, nu) for e in levels]
+
+    def pre_smooth(l, entry, b):
+        if smoother == "chebyshev":
+            return cheb[l][0](b)
+        u = entry["inv_diag"] * b  # first sweep from the zero guess
+        for _ in range(nu - 1):
+            u = u + entry["inv_diag"] * (b - entry["A"].matvec(u))
+        return u
+
+    def post_smooth(l, entry, u, b):
+        if smoother == "chebyshev":
+            return cheb[l][1](u, b)
         for _ in range(nu):
             u = u + entry["inv_diag"] * (b - entry["A"].matvec(u))
         return u
@@ -372,13 +457,11 @@ def _make_vcycle(levels, coarse_apply, nu: int):
         if l == len(levels):
             return coarse_apply(b)
         entry = levels[l]
-        u = entry["inv_diag"] * b  # first sweep from the zero guess
-        for _ in range(nu - 1):
-            u = u + entry["inv_diag"] * (b - entry["A"].matvec(u))
+        u = pre_smooth(l, entry, b)
         r = b - entry["A"].matvec(u)
         e = v_cycle(l + 1, restrict(entry, r))
         u = u + prolong(entry, e)
-        return smooth(entry, u, b)
+        return post_smooth(l, entry, u, b)
 
     return v_cycle
 
@@ -395,6 +478,8 @@ def smoothed_aggregation_preconditioner(
     max_levels: int = 20,
     dense_cap: Optional[int] = None,
     level_layout: str = "auto",
+    smoother: str = "jacobi",
+    cheb_lower: float = 1.0 / 6.0,
     dtype=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build ``M^-1 r`` = ``cycles`` smoothed-aggregation AMG V-cycles.
@@ -429,6 +514,21 @@ def smoothed_aggregation_preconditioner(
         DIA layout when it is banded-dense enough (no gathers in the
         smoothing matvecs — on TPU this is most of the V-cycle's time);
         "csr" forces the segment-sum CSR path everywhere.
+      smoother: "jacobi" (default) — nu damped-Jacobi sweeps each side —
+        or "chebyshev": the degree-``nu`` preconditioned Chebyshev
+        semi-iteration on D^-1 A over [cheb_lower*rho, rho] (Gershgorin
+        rho per level).  Same matvec count per sweep set, but the
+        minimax error polynomial over the upper spectrum — the standard
+        SA-AMG smoother upgrade (Adams/Brezina/Hu/Tuminaro).  The
+        polynomial factors commute, so equal-degree pre/post smoothing
+        keeps the cycle symmetric for PCG; ``omega`` is ignored (the
+        polynomial owns its step sizes).  Pure SpMV + elementwise work —
+        no dots, no extra collectives in the sharded variant.
+      cheb_lower: lower end of the Chebyshev interval as a fraction of
+        the Gershgorin bound (only read when smoother="chebyshev").
+        Default 1/6 — measured best for the low degrees nu=2-3 across
+        the Poisson/elasticity/power-law suite (the textbook 1/30 needs
+        degree >= 4 to pay off; at degree 2 it loses to Jacobi).
       dtype: device dtype of the apply (default: A's dtype, or float64
         for scipy/dense input under x64).
 
@@ -444,6 +544,11 @@ def smoothed_aggregation_preconditioner(
         raise ValueError(f"omega must be in (0, 2), got {omega}")
     if level_layout not in ("auto", "csr"):
         raise ValueError(f"level_layout must be 'auto' or 'csr', got {level_layout!r}")
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(
+            f"smoother must be 'jacobi' or 'chebyshev', got {smoother!r}")
+    if not (0.0 < cheb_lower < 1.0):
+        raise ValueError(f"cheb_lower must be in (0, 1), got {cheb_lower}")
     if dtype is None:
         dtype = A.dtype if isinstance(A, CSRMatrix) else (
             jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -461,12 +566,13 @@ def smoothed_aggregation_preconditioner(
         dense_cap = max(coarse_size, 4000)
 
     # ---- device apply ---------------------------------------------------
-    levels = _device_levels(level_mats, dtype, level_layout, omega)
+    levels = _device_levels(level_mats, dtype, level_layout, omega,
+                            smoother=smoother, cheb_lower=cheb_lower)
     coarse_apply, coarse_residual, coarse_meta = _coarse_solver(
         A_coarse_sp, dense_cap=dense_cap, dtype=dtype,
         level_layout=level_layout, omega=omega, nu=nu,
     )
-    v_cycle = _make_vcycle(levels, coarse_apply, nu)
+    v_cycle = _make_vcycle(levels, coarse_apply, nu, smoother=smoother)
 
     def apply(rhs: jax.Array) -> jax.Array:
         z = v_cycle(0, rhs)

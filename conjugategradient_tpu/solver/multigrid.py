@@ -153,16 +153,59 @@ def _level_shapes(
     return shapes
 
 
-def _make_vcycle(shapes, center, off, inv_diag_omega, inv_coarse, nu: int):
+def _stencil_rho_bound(shape: Tuple[int, int, int], center: float,
+                       off: float) -> float:
+    """Gershgorin bound on rho(D^-1 S): the max row gets 2 neighbors per
+    axis with >= 3 points, 1 per length-2 axis, 0 per singleton axis."""
+    k = sum(0 if n <= 1 else (1 if n == 2 else 2) for n in shape)
+    return (abs(center) + k * abs(off)) / center
+
+
+def _make_vcycle(shapes, center, off, inv_diag_omega, inv_coarse, nu: int,
+                 smoother: str = "jacobi", cheb_steps=None):
     """Build the recursive V-cycle ``(level, b) -> approx solution`` over
     the given level hierarchy.  Shared by the single-device preconditioner
     and the agglomerated (replicated) coarse tail of the sharded one
-    (parallel/sharded_multigrid.py) so both compute the SAME operator."""
+    (parallel/sharded_multigrid.py) so both compute the SAME operator.
+
+    ``smoother="chebyshev"`` runs the degree-``nu`` preconditioned
+    Chebyshev semi-iteration (solver/amg._cheb_smooth_steps) instead of
+    nu damped-Jacobi sweeps; the dimensionless stencil is IDENTICAL on
+    every level (the h^2 scale lives in the residual transfer), so ONE
+    static (step_1, coeffs) schedule serves the whole hierarchy.  Here
+    ``inv_diag_omega`` must be the RAW 1/center."""
+    if smoother == "chebyshev":
+        step1, coeffs = cheb_steps
 
     def smooth(u: jax.Array, b: jax.Array) -> jax.Array:
         # nu is O(1) and shapes are static: unroll (a fori_loop would
         # re-materialize the carry; unrolled sweeps fuse into nu streams)
+        if smoother == "chebyshev":
+            z = inv_diag_omega * (b - _stencil_apply(u, center, off))
+            d = step1 * z
+            u = u + d
+            for c_d, c_z in coeffs:
+                z = inv_diag_omega * (b - _stencil_apply(u, center, off))
+                d = c_d * d + c_z * z
+                u = u + d
+            return u
         for _ in range(nu):
+            u = u + inv_diag_omega * (b - _stencil_apply(u, center, off))
+        return u
+
+    def smooth_from_zero(b: jax.Array) -> jax.Array:
+        # sweep 1 from the zero guess is analytically a scaling of b
+        # (saves one full stencil pass per level)
+        if smoother == "chebyshev":
+            d = step1 * (inv_diag_omega * b)
+            u = d
+            for c_d, c_z in coeffs:
+                z = inv_diag_omega * (b - _stencil_apply(u, center, off))
+                d = c_d * d + c_z * z
+                u = u + d
+            return u
+        u = inv_diag_omega * b
+        for _ in range(nu - 1):
             u = u + inv_diag_omega * (b - _stencil_apply(u, center, off))
         return u
 
@@ -175,11 +218,7 @@ def _make_vcycle(shapes, center, off, inv_diag_omega, inv_coarse, nu: int):
                 precision=jax.lax.Precision.HIGHEST,
             )
             return flat.reshape(shapes[level])
-        # pre-smooth from the zero guess: sweep 1 is analytically
-        # omega/center * b (saves one full stencil pass per level)
-        u = inv_diag_omega * b
-        for _ in range(nu - 1):
-            u = u + inv_diag_omega * (b - _stencil_apply(u, center, off))
+        u = smooth_from_zero(b)
         r = b - _stencil_apply(u, center, off)
         # dimensionless stencil at every level => h^2 scale factor of 4
         r_c = 4.0 * _restrict(r, shapes[level + 1])
@@ -198,6 +237,8 @@ def multigrid_preconditioner(
     cycles: int = 1,
     coarse_size: int = 512,
     max_levels: Optional[int] = None,
+    smoother: str = "jacobi",
+    cheb_lower: float = 1.0 / 6.0,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build ``M⁻¹ r`` = ``cycles`` symmetric geometric-multigrid V-cycles.
 
@@ -218,6 +259,15 @@ def multigrid_preconditioner(
         matmul).
       max_levels: optional cap on hierarchy depth (None = coarsen to
         ``coarse_size``).
+      smoother: "jacobi" (default) or "chebyshev" — the degree-``nu``
+        preconditioned Chebyshev semi-iteration on D^-1 S over
+        [cheb_lower*rho, rho] (Gershgorin rho; one static schedule for
+        the whole hierarchy since the dimensionless stencil repeats per
+        level).  Same stencil-pass count per sweep set; ``omega`` is
+        ignored (the polynomial owns its step sizes); commuting factors
+        keep the cycle symmetric for PCG.
+      cheb_lower: Chebyshev interval lower end as a fraction of the
+        Gershgorin bound (only read when smoother="chebyshev").
 
     Returns an ``apply`` closure for ``cg_solve(..., M=apply)``.  Building
     is host-side work (dense coarsest inverse); reuse the closure across
@@ -236,6 +286,11 @@ def multigrid_preconditioner(
         raise ValueError(f"omega must be in (0, 2), got {omega}")
     if cycles < 1:
         raise ValueError(f"cycles must be >= 1, got {cycles}")
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(
+            f"smoother must be 'jacobi' or 'chebyshev', got {smoother!r}")
+    if not (0.0 < cheb_lower < 1.0):
+        raise ValueError(f"cheb_lower must be in (0, 1), got {cheb_lower}")
 
     shapes = _level_shapes(A.grid_shape, coarse_size, max_levels)
     center_f = float(A.center)
@@ -250,8 +305,17 @@ def multigrid_preconditioner(
     )
     center = jnp.asarray(center_f, dtype=dtype)
     off = jnp.asarray(off_f, dtype=dtype)
-    inv_diag_omega = jnp.asarray(omega / center_f, dtype=dtype)
-    v_cycle = _make_vcycle(shapes, center, off, inv_diag_omega, inv_coarse, nu)
+    cheb_steps = None
+    if smoother == "chebyshev":
+        from .amg import _cheb_smooth_steps
+
+        rho_b = _stencil_rho_bound(shapes[0], center_f, off_f)
+        cheb_steps = _cheb_smooth_steps(cheb_lower * rho_b, rho_b, nu)
+        inv_diag_omega = jnp.asarray(1.0 / center_f, dtype=dtype)
+    else:
+        inv_diag_omega = jnp.asarray(omega / center_f, dtype=dtype)
+    v_cycle = _make_vcycle(shapes, center, off, inv_diag_omega, inv_coarse,
+                           nu, smoother=smoother, cheb_steps=cheb_steps)
 
     nx, ny, nz = shapes[0]
 

@@ -261,3 +261,76 @@ def test_native_aggregation_matches_python():
         agg_c, n_c = amg_aggregate_native(S.indptr, S.indices, S.shape[0])
         assert n_py == n_c
         np.testing.assert_array_equal(agg_py, agg_c)
+
+
+class TestChebyshevSmoother:
+    def test_error_polynomial_is_shifted_scaled_chebyshev(self):
+        """The degree-nu smoother's error operator must be EXACTLY
+        T_nu((theta - t)/delta)/T_nu(theta/delta) in t = eig(D^-1 A) —
+        checked against a dense eigendecomposition."""
+        from numpy.polynomial import chebyshev as C
+
+        from conjugategradient_tpu.solver.amg import _cheb_smooth_steps
+
+        rng = np.random.default_rng(0)
+        n = 32
+        Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+        lam = np.linspace(0.05, 1.9, n)
+        A = Q @ np.diag(lam) @ Q.T  # D = I, so D^-1 A = A
+        for nu in (1, 2, 3, 4):
+            a, b = 1.9 / 6.0, 1.9
+            step1, coeffs = _cheb_smooth_steps(a, b, nu)
+            B = np.eye(n)
+            d = step1 * B
+            U = d.copy()
+            for c_d, c_z in coeffs:
+                z = B - A @ U
+                d = c_d * d + c_z * z
+                U = U + d
+            S = np.eye(n) - U @ A  # error operator of the zero-guess apply
+            theta, delta = 0.5 * (b + a), 0.5 * (b - a)
+            sel = [0] * nu + [1]
+            p = C.chebval((theta - lam) / delta, sel) / C.chebval(
+                theta / delta, sel
+            )
+            S_want = Q @ np.diag(p) @ Q.T
+            np.testing.assert_allclose(S, S_want, atol=1e-12)
+
+    def test_chebyshev_cycle_is_symmetric_and_converges(self):
+        A, n = _poisson2d(48)
+        M = smoothed_aggregation_preconditioner(A, smoother="chebyshev")
+        rng = np.random.default_rng(5)
+        u = jnp.asarray(rng.standard_normal(n))
+        v = jnp.asarray(rng.standard_normal(n))
+        uMv, vMu = float(u @ M(v)), float(v @ M(u))
+        assert abs(uMv - vMu) <= 1e-12 * abs(uMv)
+        b = jnp.asarray(rng.standard_normal(n))
+        tol = 1e-9 * float(jnp.linalg.norm(b))
+        x, info = cg_solve(A, b, tol=tol, M=M)
+        assert bool(info.converged)
+
+    def test_chebyshev_not_worse_than_jacobi_at_equal_degree(self):
+        """The measured contract behind the default cheb_lower=1/6:
+        chebyshev matches or beats jacobi at the same per-sweep matvec
+        count on the PDE suite (poisson 192^2: 15 -> 13 at nu=2)."""
+        A, n = _poisson2d(96)
+        b = jnp.asarray(np.random.default_rng(6).standard_normal(n))
+        tol = 1e-9 * float(jnp.linalg.norm(b))
+        _, ij = cg_solve(
+            A, b, tol=tol, M=smoothed_aggregation_preconditioner(A)
+        )
+        _, ic = cg_solve(
+            A, b, tol=tol,
+            M=smoothed_aggregation_preconditioner(A, smoother="chebyshev"),
+        )
+        assert bool(ic.converged)
+        assert int(ic.iterations) <= int(ij.iterations)
+
+    def test_validation(self):
+        A, _ = _poisson2d(12)
+        with pytest.raises(ValueError, match="smoother"):
+            smoothed_aggregation_preconditioner(A, smoother="sor")
+        with pytest.raises(ValueError, match="cheb_lower"):
+            smoothed_aggregation_preconditioner(
+                A, smoother="chebyshev", cheb_lower=1.5
+            )

@@ -181,3 +181,42 @@ def test_rejects_non_stencil_and_bad_params():
     )
     with pytest.raises(ValueError, match="center"):
         multigrid_preconditioner(neg)
+
+
+class TestChebyshevSmoother:
+    def test_symmetric_and_converges(self):
+        op = StencilOperator.poisson((16, 16, 16), dtype=jnp.float64)
+        n = 16**3
+        M = multigrid_preconditioner(op, smoother="chebyshev")
+        rng = np.random.default_rng(7)
+        u = jnp.asarray(rng.standard_normal(n))
+        v = jnp.asarray(rng.standard_normal(n))
+        uMv, vMu = float(u @ M(v)), float(v @ M(u))
+        assert abs(uMv - vMu) <= 1e-12 * abs(uMv)
+        b = jnp.asarray(rng.standard_normal(n))
+        tol = 1e-9 * float(jnp.linalg.norm(b))
+        x, info = cg_solve(op, b, tol=tol, M=M)
+        assert bool(info.converged)
+
+    def test_not_worse_than_jacobi_at_equal_degree(self):
+        """The measured contract behind the defaults: degree-nu Chebyshev
+        matches or beats nu Jacobi sweeps at the same stencil-pass count
+        (48^3 f64: 15 -> 13 at nu=2)."""
+        op = StencilOperator.poisson((32, 32, 32), dtype=jnp.float64)
+        n = 32**3
+        b = jnp.asarray(np.random.default_rng(8).standard_normal(n))
+        tol = 1e-9 * float(jnp.linalg.norm(b))
+        _, ij = cg_solve(op, b, tol=tol, M=multigrid_preconditioner(op))
+        _, ic = cg_solve(
+            op, b, tol=tol,
+            M=multigrid_preconditioner(op, smoother="chebyshev"),
+        )
+        assert bool(ic.converged)
+        assert int(ic.iterations) <= int(ij.iterations)
+
+    def test_validation(self):
+        op = StencilOperator.poisson((8, 8, 8), dtype=jnp.float64)
+        with pytest.raises(ValueError, match="smoother"):
+            multigrid_preconditioner(op, smoother="gs")
+        with pytest.raises(ValueError, match="cheb_lower"):
+            multigrid_preconditioner(op, smoother="chebyshev", cheb_lower=0.0)

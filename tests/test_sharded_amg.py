@@ -88,6 +88,8 @@ def _sharded_apply(pre, r_padded):
         (1, {"cycles": 2}),
         (1, {"nu": 1}),
         (1, {"smooth_prolongator": False}),  # P0 transfers both sides
+        (1, {"smoother": "chebyshev"}),
+        (600, {"smoother": "chebyshev", "nu": 3}),
     ],
 )
 def test_sharded_apply_matches_single_device(agg_below, kw):

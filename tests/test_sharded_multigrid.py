@@ -60,6 +60,9 @@ def _sharded_apply(grid_shape, r, **kw):
         ((16, 9, 5), {"center": 6.0, "agglomerate_below": 1}),  # odd y/z
         ((64, 8, 8), {"cycles": 2, "agglomerate_below": 1}),
         ((32, 16, 1), {"center": 4.0, "agglomerate_below": 1}),  # 2-D grid
+        ((32, 16, 8), {"smoother": "chebyshev", "agglomerate_below": 1}),
+        ((64, 16, 16), {"smoother": "chebyshev", "nu": 3,
+                        "agglomerate_below": 1}),
     ],
 )
 def test_sharded_apply_matches_single_device(shape, kw):
