@@ -755,16 +755,20 @@ def bench_mgpcg(nx: int = 256, rel: float = 1e-5, plain_maxiter: int = 4000,
 
     plain = run("plain", maxiter=plain_maxiter)
     mgp = run("mgpcg", M=mg)
-    speedup = plain["time_s"] / mgp["time_s"]
+    mg_cheb = multigrid_preconditioner(op, smoother="chebyshev")
+    mgc = run("mgpcg-cheb", M=mg_cheb)
+    best = mgc if mgc["time_s"] < mgp["time_s"] else mgp
+    speedup = plain["time_s"] / best["time_s"]
     return {
         "metric": "mgpcg_solve_speedup",
         "value": round(speedup, 2),
         "unit": "x",
         "vs_baseline": round(speedup, 2),
         "detail": {"grid": nx, "rel_tol": rel, "plain": plain,
-                   "mgpcg": mgp,
+                   "mgpcg": mgp, "mgpcg_chebyshev": mgc,
+                   "smoother": "chebyshev" if best is mgc else "jacobi",
                    "iter_ratio": round(plain["iterations"]
-                                       / max(mgp["iterations"], 1), 1)},
+                                       / max(best["iterations"], 1), 1)},
     }
 
 

@@ -182,6 +182,79 @@ def _level_operator(A_sp, dtype, layout: str, max_diags: int = 96,
     return _csr_device(A_sp, dtype)
 
 
+def rigid_body_modes(coords: np.ndarray) -> np.ndarray:
+    """The 6 rigid-body modes of a 3-D elastic body — the near-nullspace
+    every elasticity stiffness matrix shares (3 translations + 3
+    rotations about the centroid).  ``coords`` is (n_nodes, 3) node
+    positions; dof ordering is node-major, dof-minor (the convention of
+    problems.elasticity3d_coo).  Pass the result as
+    ``smoothed_aggregation_preconditioner(..., near_nullspace=...)``.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    if coords.ndim != 2 or coords.shape[1] != 3:
+        raise ValueError(f"coords must be (n_nodes, 3), got {coords.shape}")
+    c = coords - coords.mean(axis=0)
+    nn = c.shape[0]
+    B = np.zeros((3 * nn, 6))
+    x, y, z = c[:, 0], c[:, 1], c[:, 2]
+    B[0::3, 0] = 1.0  # translations
+    B[1::3, 1] = 1.0
+    B[2::3, 2] = 1.0
+    B[1::3, 3] = -z   # rotation about x: (0, -z, y)
+    B[2::3, 3] = y
+    B[0::3, 4] = z    # rotation about y: (z, 0, -x)
+    B[2::3, 4] = -x
+    B[0::3, 5] = -y   # rotation about z: (-y, x, 0)
+    B[1::3, 5] = x
+    return B
+
+
+def _tentative_prolongator(agg: np.ndarray, n_agg: int, B: np.ndarray):
+    """Near-nullspace tentative prolongator (Vanek's block P0): per
+    aggregate, the economy QR of B's rows on that aggregate — Q becomes
+    the aggregate's P0 columns (locally orthonormal), R its rows of the
+    COARSE near-nullspace, so ``P0 @ B_coarse == B`` exactly and the
+    coarse level preserves the modes the smoother can't damp.
+
+    Aggregates smaller than k keep only min(|agg|, k) columns (the QR
+    rank), so coarse column counts vary per aggregate.  QR is batched
+    per distinct aggregate size (np.linalg.qr over stacks) — no Python
+    loop over aggregates.  Returns (P0 csr, B_coarse)."""
+    import scipy.sparse as sp
+
+    n, k = B.shape
+    sizes = np.bincount(agg, minlength=n_agg)
+    order = np.argsort(agg, kind="stable")  # rows grouped by aggregate
+    starts = np.zeros(n_agg + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    k_a = np.minimum(sizes, k)              # columns kept per aggregate
+    col_starts = np.zeros(n_agg + 1, dtype=np.int64)
+    np.cumsum(k_a, out=col_starts[1:])
+    n_coarse = int(col_starts[-1])
+    B_coarse = np.zeros((n_coarse, k))
+
+    rows_idx, cols_idx, vals = [], [], []
+    for s in np.unique(sizes):
+        if s == 0:
+            continue
+        aggs = np.flatnonzero(sizes == s)
+        # (m, s) row indices of each size-s aggregate, in aggregate order
+        rows = order[starts[aggs][:, None] + np.arange(s)]
+        Q, R = np.linalg.qr(B[rows])        # batched: (m,s,kk), (m,kk,k)
+        kk = min(int(s), k)
+        B_coarse[col_starts[aggs][:, None] + np.arange(kk)] = R
+        cols = col_starts[aggs][:, None, None] + np.arange(kk)[None, None]
+        rows_idx.append(np.broadcast_to(rows[:, :, None], Q.shape).ravel())
+        cols_idx.append(np.broadcast_to(cols, Q.shape).ravel())
+        vals.append(Q.ravel())
+    P0 = sp.csr_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows_idx), np.concatenate(cols_idx))),
+        shape=(n, n_coarse),
+    )
+    return P0, B_coarse
+
+
 def _build_hierarchy(
     A0,
     *,
@@ -189,6 +262,7 @@ def _build_hierarchy(
     smooth_prolongator: bool,
     coarse_size: int,
     max_levels: int,
+    near_nullspace: Optional[np.ndarray] = None,
 ) -> Tuple[List[dict], Any]:
     """Host-side hierarchy construction, shared verbatim by the
     single-device and the sharded (parallel/sharded_amg.py) builders so
@@ -196,12 +270,30 @@ def _build_hierarchy(
 
     Returns ``(level_mats, A_coarse)``: per fine level a dict with the
     scipy CSR operator ``A``, the prolongator ``P`` actually used
-    (smoothed or the tentative piecewise-constant one), ``smoothed``
-    (whether P carries the Jacobi smoothing pass — unsmoothed levels may
-    apply transfers as pure gather/segment-sum instead of CSR matvecs),
-    and the aggregate map ``agg``/``n_agg``; plus the coarsest-level
-    scipy CSR."""
+    (smoothed or the tentative one), ``smoothed`` (whether P carries the
+    Jacobi smoothing pass), ``csr_transfers`` (False only for the legacy
+    constant-vector unsmoothed case, where transfers may run as pure
+    gather/segment-sum), and the aggregate map ``agg``/``n_agg``; plus
+    the coarsest-level scipy CSR.
+
+    ``near_nullspace`` (n x k, PyAMG's ``B``): algebraically smooth modes
+    the hierarchy must preserve — the tentative prolongator becomes the
+    per-aggregate QR of these modes (``rigid_body_modes`` for
+    elasticity), and each coarse level inherits the R factors.  None
+    keeps the classic piecewise-constant P0 bitwise-identically."""
     import scipy.sparse as sp
+
+    B_l = None
+    if near_nullspace is not None:
+        B_l = np.asarray(near_nullspace, dtype=np.float64)
+        if B_l.ndim == 1:
+            B_l = B_l[:, None]
+        if B_l.shape[0] != A0.shape[0]:
+            raise ValueError(
+                f"near_nullspace rows {B_l.shape[0]} != matrix size "
+                f"{A0.shape[0]}")
+        if not np.all(np.isfinite(B_l)):
+            raise ValueError("near_nullspace must be finite")
 
     level_mats: List[dict] = []
     A_l = A0
@@ -221,10 +313,16 @@ def _build_hierarchy(
             agg, n_agg = _aggregate(S)
         if n_agg >= A_l.shape[0]:
             break  # no coarsening possible — stop here
-        P0 = sp.csr_matrix(
-            (np.ones(A_l.shape[0]), (np.arange(A_l.shape[0]), agg)),
-            shape=(A_l.shape[0], n_agg),
-        )
+        if B_l is not None:
+            P0, B_next = _tentative_prolongator(agg, n_agg, B_l)
+            if P0.shape[1] >= A_l.shape[0]:
+                break  # k columns per aggregate stopped shrinking the level
+        else:
+            B_next = None
+            P0 = sp.csr_matrix(
+                (np.ones(A_l.shape[0]), (np.arange(A_l.shape[0]), agg)),
+                shape=(A_l.shape[0], n_agg),
+            )
         smooth_this = smooth_prolongator
         if smooth_this:
             rho = _rho_dinv_a_bound(A_l)

@@ -155,11 +155,12 @@ def test_mgpcg_record_schema():
     assert out["metric"] == "mgpcg_solve_speedup"
     assert out["unit"] == "x"
     assert out["value"] > 0
-    for side in ("plain", "mgpcg"):
+    for side in ("plain", "mgpcg", "mgpcg_chebyshev"):
         d = out["detail"][side]
         assert d["converged"] is True
         assert d["iterations"] > 0 and d["time_s"] > 0
         assert d["true_rel_residual"] < 1e-3
+    assert out["detail"]["smoother"] in ("jacobi", "chebyshev")
     assert out["detail"]["mgpcg"]["iterations"] < out["detail"]["plain"]["iterations"]
     json.dumps(out)  # the driver parses one JSON line
 
