@@ -52,6 +52,7 @@ from .solver import (
     block_jacobi_preconditioner,
     jacobi_preconditioner,
     multigrid_preconditioner,
+    rigid_body_modes,
     smoothed_aggregation_preconditioner,
     memory_footprint,
     sstep_cg_solve,
@@ -96,6 +97,7 @@ __all__ = [
     "block_jacobi_preconditioner",
     "jacobi_preconditioner",
     "multigrid_preconditioner",
+    "rigid_body_modes",
     "smoothed_aggregation_preconditioner",
     "memory_footprint",
     "CG",

@@ -117,6 +117,8 @@ def sharded_amg_preconditioner(
     level_layout: str = "auto",
     smoother: str = "jacobi",
     cheb_lower: float = 1.0 / 6.0,
+    near_nullspace=None,
+    blocksize: int = 1,
     agglomerate_below: int = 32768,
     dtype=None,
 ) -> ShardedPreconditioner:
@@ -180,6 +182,7 @@ def sharded_amg_preconditioner(
     level_mats, A_coarse_sp = _build_hierarchy(
         A0, theta=theta, smooth_prolongator=smooth_prolongator,
         coarse_size=coarse_size, max_levels=max_levels,
+        near_nullspace=near_nullspace, blocksize=blocksize,
     )
     if dense_cap is None:
         dense_cap = max(coarse_size, 4000)

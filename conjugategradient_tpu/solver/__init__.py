@@ -40,7 +40,7 @@ from .precond import (
     jacobi_preconditioner,
 )
 from .multigrid import multigrid_preconditioner
-from .amg import smoothed_aggregation_preconditioner
+from .amg import rigid_body_modes, smoothed_aggregation_preconditioner
 
 __all__ = [
     "BatchedCGState",
@@ -86,5 +86,6 @@ __all__ = [
     "estimate_spectral_bounds",
     "identity_preconditioner",
     "multigrid_preconditioner",
+    "rigid_body_modes",
     "smoothed_aggregation_preconditioner",
 ]

@@ -209,6 +209,21 @@ def rigid_body_modes(coords: np.ndarray) -> np.ndarray:
     return B
 
 
+def _block_condense(A_sp, bs: int):
+    """Condense a dof matrix to its node graph: entry (p, q) = sum of
+    |a_ij| over the bs x bs block — the strength proxy block-SA
+    aggregation runs on (node-major, dof-minor ordering assumed)."""
+    import scipy.sparse as sp
+
+    C = A_sp.tocoo()
+    nn = A_sp.shape[0] // bs
+    M = sp.csr_matrix(
+        (np.abs(C.data), (C.row // bs, C.col // bs)), shape=(nn, nn)
+    )
+    M.sum_duplicates()
+    return M
+
+
 def _tentative_prolongator(agg: np.ndarray, n_agg: int, B: np.ndarray):
     """Near-nullspace tentative prolongator (Vanek's block P0): per
     aggregate, the economy QR of B's rows on that aggregate — Q becomes
@@ -263,6 +278,7 @@ def _build_hierarchy(
     coarse_size: int,
     max_levels: int,
     near_nullspace: Optional[np.ndarray] = None,
+    blocksize: int = 1,
 ) -> Tuple[List[dict], Any]:
     """Host-side hierarchy construction, shared verbatim by the
     single-device and the sharded (parallel/sharded_amg.py) builders so
@@ -280,7 +296,16 @@ def _build_hierarchy(
     the hierarchy must preserve — the tentative prolongator becomes the
     per-aggregate QR of these modes (``rigid_body_modes`` for
     elasticity), and each coarse level inherits the R factors.  None
-    keeps the classic piecewise-constant P0 bitwise-identically."""
+    keeps the classic piecewise-constant P0 bitwise-identically.
+
+    ``blocksize`` (dofs per node, e.g. 3 for 3-D elasticity):
+    strength-of-connection and aggregation run on the BLOCK-condensed
+    node graph and node aggregates expand to their dofs.  Essential with
+    a k-column near-nullspace: dof-level aggregates hold only ~3 dofs,
+    so k=6 columns per aggregate cannot coarsen at all (measured:
+    5184 -> 5074 on the elasticity stand-in); node aggregates hold
+    3*nodes dofs and coarsen normally.  Coarse levels inherit
+    blocksize=k while every aggregate kept the full k columns."""
     import scipy.sparse as sp
 
     B_l = None
@@ -294,31 +319,53 @@ def _build_hierarchy(
                 f"{A0.shape[0]}")
         if not np.all(np.isfinite(B_l)):
             raise ValueError("near_nullspace must be finite")
+    blocksize = int(blocksize)
+    if blocksize < 1:
+        raise ValueError(f"blocksize must be >= 1, got {blocksize}")
+    if A0.shape[0] % blocksize:
+        raise ValueError(
+            f"matrix size {A0.shape[0]} not divisible by "
+            f"blocksize {blocksize}")
 
     level_mats: List[dict] = []
     A_l = A0
+    bs_l = blocksize
     for lvl in range(max_levels - 1):
         if A_l.shape[0] <= coarse_size:
             break
+        # aggregation graph: the dof matrix, or its block-condensed node
+        # graph (entry (p, q) = sum |a_ij| over the bs x bs block)
+        if bs_l > 1 and A_l.shape[0] % bs_l == 0:
+            G = _block_condense(A_l, bs_l)
+        else:
+            bs_l = 1
+            G = A_l
         # Vanek's per-level theta decay: smoothed Galerkin coarse entries
         # spread and shrink, so a fixed theta empties the strength graph
         # a few levels down (measured on the elasticity stand-in:
         # 1616 -> 1448 -> 1437 singleton cascades with fixed 0.08).
-        S = _strength_graph(A_l, theta * 0.5**lvl)
+        S = _strength_graph(G, theta * 0.5**lvl)
         agg, n_agg = _aggregate(S)
-        if n_agg > 0.8 * A_l.shape[0]:
+        if n_agg > 0.8 * G.shape[0]:
             # still stalled: keep EVERY off-diagonal (PyAMG's SA default
             # is theta=0 for exactly this robustness reason)
-            S = _strength_graph(A_l, 0.0)
+            S = _strength_graph(G, 0.0)
             agg, n_agg = _aggregate(S)
-        if n_agg >= A_l.shape[0]:
+        if n_agg >= G.shape[0]:
             break  # no coarsening possible — stop here
+        if bs_l > 1:
+            agg = np.repeat(agg, bs_l)  # node aggregates -> their dofs
         if B_l is not None:
             P0, B_next = _tentative_prolongator(agg, n_agg, B_l)
             if P0.shape[1] >= A_l.shape[0]:
                 break  # k columns per aggregate stopped shrinking the level
+            # coarse dofs come k-per-aggregate; keep block aggregation
+            # going while that structure is uniform
+            bs_next = (B_l.shape[1]
+                       if P0.shape[1] == n_agg * B_l.shape[1] else 1)
         else:
             B_next = None
+            bs_next = 1
             P0 = sp.csr_matrix(
                 (np.ones(A_l.shape[0]), (np.arange(A_l.shape[0]), agg)),
                 shape=(A_l.shape[0], n_agg),
@@ -352,10 +399,15 @@ def _build_hierarchy(
             "A": A_l.tocsr(),
             "P": P.tocsr(),
             "smoothed": smooth_this,
+            # the pure gather/segment-sum transfer shortcut is only valid
+            # for the legacy constant-vector P0 (one unit entry per row)
+            "csr_transfers": smooth_this or B_l is not None,
             "agg": agg,
             "n_agg": n_agg,
         })
         A_l = A_next
+        B_l = B_next
+        bs_l = bs_next
     return level_mats, A_l.tocsr()
 
 
@@ -391,7 +443,7 @@ def _device_levels(level_mats, dtype, level_layout: str, omega: float,
             # step sizes) + the smoothing interval, static at trace time
             entry["inv_diag_raw"] = _inv_diag_device(m["A"], 1.0, dtype)
             entry["cheb_ab"] = _cheb_interval(m["A"], cheb_lower)
-        if m["smoothed"]:
+        if m.get("csr_transfers", m["smoothed"]):
             entry["P"] = _csr_device(m["P"], dtype)
             entry["PT"] = _csr_device(m["P"].T.tocsr(), dtype)
         else:
@@ -578,6 +630,8 @@ def smoothed_aggregation_preconditioner(
     level_layout: str = "auto",
     smoother: str = "jacobi",
     cheb_lower: float = 1.0 / 6.0,
+    near_nullspace: Optional[np.ndarray] = None,
+    blocksize: int = 1,
     dtype=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build ``M^-1 r`` = ``cycles`` smoothed-aggregation AMG V-cycles.
@@ -627,6 +681,17 @@ def smoothed_aggregation_preconditioner(
         Default 1/6 — measured best for the low degrees nu=2-3 across
         the Poisson/elasticity/power-law suite (the textbook 1/30 needs
         degree >= 4 to pay off; at degree 2 it loses to Jacobi).
+      near_nullspace: optional (n, k) algebraically smooth modes the
+        hierarchy must preserve (PyAMG's ``B``) — the tentative
+        prolongator becomes the per-aggregate QR of these modes and each
+        coarse level inherits the R factors, so ``P @ B_coarse == B``
+        exactly.  For elasticity pass :func:`rigid_body_modes` (k=6);
+        None (default) keeps the classic piecewise-constant tentative
+        prolongator bitwise-identically.
+      blocksize: dofs per node (3 for 3-D elasticity) — strength and
+        aggregation run on the block-condensed NODE graph.  Required
+        with a k-column near_nullspace (dof-level aggregates are too
+        small to hold k columns and the hierarchy cannot coarsen).
       dtype: device dtype of the apply (default: A's dtype, or float64
         for scipy/dense input under x64).
 
@@ -659,6 +724,7 @@ def smoothed_aggregation_preconditioner(
     level_mats, A_coarse_sp = _build_hierarchy(
         A0, theta=theta, smooth_prolongator=smooth_prolongator,
         coarse_size=coarse_size, max_levels=max_levels,
+        near_nullspace=near_nullspace, blocksize=blocksize,
     )
     if dense_cap is None:
         dense_cap = max(coarse_size, 4000)

@@ -334,3 +334,110 @@ class TestChebyshevSmoother:
             smoothed_aggregation_preconditioner(
                 A, smoother="chebyshev", cheb_lower=1.5
             )
+
+
+class TestNearNullspace:
+    def _scaled_laplacian(self, nx=64, seed=0):
+        import scipy.sparse as sp
+
+        rows, cols, vals, shape = poisson2d_coo(nx)
+        L = sp.csr_matrix((vals, (rows, cols)), shape=shape)
+        rng = np.random.default_rng(seed)
+        s = np.exp(rng.uniform(-3, 3, shape[0]))
+        A_sp = (sp.diags(s) @ L @ sp.diags(s)).tocsr()
+        A = CSRMatrix.from_arrays(A_sp.data, A_sp.indices, A_sp.indptr,
+                                  tuple(shape))
+        return A, s, shape[0]
+
+    def test_tentative_prolongator_interpolates_modes_exactly(self):
+        """The per-aggregate QR contract: P0 @ B_coarse == B exactly and
+        P0's columns are orthonormal within each aggregate."""
+        from conjugategradient_tpu.solver.amg import _tentative_prolongator
+
+        rng = np.random.default_rng(1)
+        n, k = 200, 4
+        agg = rng.integers(0, 37, n)
+        agg[np.arange(37)] = np.arange(37)  # every aggregate non-empty
+        B = rng.standard_normal((n, k))
+        P0, B_c = _tentative_prolongator(agg, 37, B)
+        np.testing.assert_allclose(P0 @ B_c, B, atol=1e-12)
+        G = (P0.T @ P0).toarray()
+        np.testing.assert_allclose(G, np.eye(P0.shape[1]), atol=1e-12)
+
+    def test_scaled_laplacian_true_mode_beats_constant(self):
+        """The canonical near-nullspace case: on S L S the smooth mode is
+        1/s, not the constant — supplying it must cut iterations by at
+        least 2x (measured 105 -> 38)."""
+        A, s, n = self._scaled_laplacian()
+        b = jnp.asarray(np.random.default_rng(2).standard_normal(n))
+        tol = 1e-9 * float(jnp.linalg.norm(b))
+        _, i_const = cg_solve(
+            A, b, tol=tol, maxiter=2000,
+            M=smoothed_aggregation_preconditioner(A),
+        )
+        _, i_mode = cg_solve(
+            A, b, tol=tol, maxiter=2000,
+            M=smoothed_aggregation_preconditioner(A, near_nullspace=1.0 / s),
+        )
+        assert bool(i_mode.converged)
+        assert 2 * int(i_mode.iterations) <= int(i_const.iterations)
+
+    def test_rbm_block_hierarchy_converges_and_is_symmetric(self):
+        """Rigid-body modes + node (blocksize=3) aggregation on the
+        elasticity stand-in: converges, cycle symmetric, hierarchy
+        actually coarsens (the dof-level aggregation couldn't: k=6
+        columns per ~3-dof aggregate measured 5184 -> 5074)."""
+        from conjugategradient_tpu import rigid_body_modes
+        from conjugategradient_tpu.problems import elasticity3d_coo
+
+        nx = 8
+        rows, cols, vals, shape = elasticity3d_coo(nx)
+        A = CSRMatrix.from_coo(rows, cols, vals, shape)
+        coords = np.stack(
+            np.meshgrid(np.arange(nx), np.arange(nx), np.arange(nx),
+                        indexing="ij"), axis=-1,
+        ).reshape(-1, 3).astype(float)
+        B = rigid_body_modes(coords)
+        assert B.shape == (shape[0], 6)
+        M = smoothed_aggregation_preconditioner(
+            A, near_nullspace=B, blocksize=3)
+        assert M.level_sizes[1] <= 0.6 * M.level_sizes[0]
+        rng = np.random.default_rng(3)
+        u = jnp.asarray(rng.standard_normal(shape[0]))
+        v = jnp.asarray(rng.standard_normal(shape[0]))
+        uMv, vMu = float(u @ M(v)), float(v @ M(u))
+        assert abs(uMv - vMu) <= 1e-12 * abs(uMv)
+        b = jnp.asarray(rng.standard_normal(shape[0]))
+        tol = 1e-9 * float(jnp.linalg.norm(b))
+        _, info = cg_solve(A, b, tol=tol, M=M)
+        assert bool(info.converged)
+
+    def test_rigid_body_modes_contract(self):
+        from conjugategradient_tpu import rigid_body_modes
+
+        coords = np.array([[0.0, 0, 0], [1, 0, 0], [0, 2, 0], [0, 0, 3]])
+        B = rigid_body_modes(coords)
+        assert B.shape == (12, 6)
+        # rank 6 (independent modes) and exact translations
+        assert np.linalg.matrix_rank(B) == 6
+        np.testing.assert_allclose(B[0::3, 0], 1.0)
+        # rotation about z moves node (1,0,0) in -y... (-y, x, 0) at
+        # centered coords
+        c = coords - coords.mean(axis=0)
+        np.testing.assert_allclose(B[0::3, 5], -c[:, 1])
+        np.testing.assert_allclose(B[1::3, 5], c[:, 0])
+        with pytest.raises(ValueError, match="n_nodes"):
+            rigid_body_modes(np.zeros((4, 2)))
+
+    def test_validation(self):
+        A, _ = _poisson2d(12)
+        with pytest.raises(ValueError, match="near_nullspace rows"):
+            smoothed_aggregation_preconditioner(
+                A, near_nullspace=np.ones(7))
+        with pytest.raises(ValueError, match="finite"):
+            smoothed_aggregation_preconditioner(
+                A, near_nullspace=np.full(144, np.nan))
+        with pytest.raises(ValueError, match="blocksize"):
+            smoothed_aggregation_preconditioner(A, blocksize=0)
+        with pytest.raises(ValueError, match="divisible"):
+            smoothed_aggregation_preconditioner(A, blocksize=5)

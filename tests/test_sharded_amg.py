@@ -112,6 +112,35 @@ def test_sharded_apply_matches_single_device(agg_below, kw):
     assert got[n:].size == 0 or np.abs(got[n:]).max() == 0.0
 
 
+def test_sharded_apply_matches_with_near_nullspace():
+    """Near-nullspace (QR tentative prolongator) hierarchies must shard
+    identically — the sharded builder consumes the same level_mats, so
+    the CSR P/PT transfers carry the mode-preserving columns."""
+    import scipy.sparse as sp
+
+    rows, cols, vals, shape = poisson2d_coo(40)
+    L = sp.csr_matrix((vals, (rows, cols)), shape=shape)
+    rng = np.random.default_rng(9)
+    s = np.exp(rng.uniform(-2, 2, shape[0]))
+    A_sp = (sp.diags(s) @ L @ sp.diags(s)).tocsr()
+    A = CSRMatrix.from_arrays(A_sp.data, A_sp.indices, A_sp.indptr,
+                              tuple(shape))
+    n = shape[0]
+    _, _, n_padded = _partition(A)
+    kw = dict(near_nullspace=1.0 / s, dtype=jnp.float64)
+    pre = sharded_amg_preconditioner(
+        A, N_DEV, n_padded, agglomerate_below=1, **kw)
+    M = smoothed_aggregation_preconditioner(A, **kw)
+    assert pre.level_sizes == M.level_sizes
+    r = np.zeros(n_padded)
+    r[:n] = rng.standard_normal(n)
+    got = _sharded_apply(pre, r)
+    want = np.asarray(M(jnp.asarray(r[:n])))
+    np.testing.assert_allclose(
+        got[:n], want, rtol=1e-10, atol=1e-12 * np.abs(want).max()
+    )
+
+
 def test_sharded_apply_matches_on_scale_free_graph():
     """The power-law graph trips the densification guard, so the
     hierarchy mixes smoothed and unsmoothed levels — the sharded CSR-P0
