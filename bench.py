@@ -825,7 +825,11 @@ def bench_amg(nx: int = 512, rel: float = 1e-6, plain_maxiter: int = 6000,
     plain = run(maxiter=plain_maxiter)
     jac = run(maxiter=plain_maxiter, M=jacobi_preconditioner(A))
     mg = run(M=amg)
-    speedup = plain["time_s"] / mg["time_s"]
+    amg_cheb = smoothed_aggregation_preconditioner(
+        A, dtype=jnp.float32, smoother="chebyshev")
+    mgc = run(M=amg_cheb)
+    best = mgc if mgc["time_s"] < mg["time_s"] else mg
+    speedup = plain["time_s"] / best["time_s"]
     return {
         "metric": "amg_solve_speedup",
         "value": round(speedup, 2),
@@ -833,10 +837,12 @@ def bench_amg(nx: int = 512, rel: float = 1e-6, plain_maxiter: int = 6000,
         "vs_baseline": round(speedup, 2),
         "detail": {"nx": nx, "n": n, "rel_tol": rel,
                    "plain": plain, "jacobi": jac, "amg": mg,
+                   "amg_chebyshev": mgc,
+                   "smoother": "chebyshev" if best is mgc else "jacobi",
                    "amg_setup_s": round(setup_s, 2),
                    "amg_levels": list(amg.level_sizes),
                    "iter_ratio": round(plain["iterations"]
-                                       / max(mg["iterations"], 1), 1)},
+                                       / max(best["iterations"], 1), 1)},
     }
 
 

@@ -95,6 +95,12 @@ def main(argv=None) -> int:
                          "improves with M (basis_quality diagnostics)")
     ap.add_argument("--cheb-degree", type=int, default=8,
                     help="Chebyshev polynomial degree (with --precond chebyshev)")
+    ap.add_argument("--smoother", choices=("jacobi", "chebyshev"),
+                    default="jacobi",
+                    help="multigrid smoother (with --precond amg): nu "
+                         "damped-Jacobi sweeps or the degree-nu Chebyshev "
+                         "semi-iteration (same matvec count, better error "
+                         "polynomial)")
     ap.add_argument("--block-size", type=int, default=8, dest="block_size",
                     help="diagonal-block size (with --precond blockjacobi)")
     ap.add_argument("--bm", type=int, default=128, help="blocked-ELL row tile")
@@ -217,9 +223,10 @@ def main(argv=None) -> int:
         from conjugategradient_tpu.types import CSRMatrix, StencilOperator
 
         if isinstance(A, StencilOperator):
-            M = multigrid_preconditioner(A)
+            M = multigrid_preconditioner(A, smoother=args.smoother)
         elif isinstance(A, CSRMatrix):
-            M = smoothed_aggregation_preconditioner(A)
+            M = smoothed_aggregation_preconditioner(
+                A, smoother=args.smoother)
         else:
             print("error: --precond amg needs --layout csr (the AMG setup "
                   "reads the CSR graph) or a stencil: input",

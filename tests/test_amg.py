@@ -441,3 +441,21 @@ class TestNearNullspace:
             smoothed_aggregation_preconditioner(A, blocksize=0)
         with pytest.raises(ValueError, match="divisible"):
             smoothed_aggregation_preconditioner(A, blocksize=5)
+
+
+def test_amg_rides_batched_multi_rhs():
+    """The V-cycle apply is pure traceable jnp, so cg_solve_batched's
+    vmap-over-lanes preconditioner hook composes with AMG — pin it (a
+    non-vmappable apply would break here, not at build time)."""
+    from conjugategradient_tpu.solver.batched import cg_solve_batched
+
+    A, n = _poisson2d(48)
+    B = jnp.asarray(np.random.default_rng(11).standard_normal((4, n)))
+    tol = 1e-9 * jnp.linalg.norm(B, axis=1)
+    M = smoothed_aggregation_preconditioner(A)
+    X, info = cg_solve_batched(A, B, tol=tol, M=M)
+    assert bool(np.all(np.asarray(info.converged)))
+    assert int(np.max(np.asarray(info.iterations))) <= 15
+    for j in range(4):
+        r = np.asarray(B[j]) - np.asarray(A.matvec(X[j]))
+        assert np.linalg.norm(r) <= 10 * float(tol[j])

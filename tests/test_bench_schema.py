@@ -192,9 +192,10 @@ def test_amg_record_schema():
     out = bench.bench_amg(nx=32, rel=1e-5, plain_maxiter=500, reps=1)
     assert out["metric"] == "amg_solve_speedup"
     d = out["detail"]
-    for side in ("plain", "jacobi", "amg"):
+    for side in ("plain", "jacobi", "amg", "amg_chebyshev"):
         assert d[side]["converged"] is True
         assert d[side]["time_s"] > 0
+    assert d["smoother"] in ("jacobi", "chebyshev")
     assert d["amg"]["iterations"] < d["plain"]["iterations"]
     assert d["amg_levels"][0] == d["n"]
     json.dumps(out)
