@@ -34,6 +34,8 @@ from .solver import (
     CGState,
     accuracy,
     block_cg_solve,
+    minres_solve,
+    MinresInfo,
     refined_cg_solve,
     RefineInfo,
     cg_init,
@@ -82,6 +84,8 @@ __all__ = [
     "cg_solve_batched",
     "block_cg_solve",
     "sstep_cg_solve",
+    "minres_solve",
+    "MinresInfo",
     "refined_cg_solve",
     "RefineInfo",
     "cg_step",

@@ -29,6 +29,7 @@ from .deflated import (
 from .eigs import EigsResult, condition_estimate, lanczos_eigs
 from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
+from .minres import MinresInfo, minres_solve
 from .pipelined import pipelined_cg_solve
 from .sstep import sstep_cg_solve
 from .refine import RefineInfo, refined_cg_solve
@@ -76,6 +77,8 @@ __all__ = [
     "fused_supported",
     "fused_stencil_cg_solve",
     "fused_stencil_supported",
+    "MinresInfo",
+    "minres_solve",
     "pipelined_cg_solve",
     "sstep_cg_solve",
     "RefineInfo",

@@ -63,7 +63,8 @@ def main(argv=None) -> int:
                          "--layout csr inputs, the geometric V-cycle on "
                          "stencil: inputs")
     ap.add_argument("--method",
-                    choices=("standard", "pipelined", "sstep", "block"),
+                    choices=("standard", "pipelined", "sstep", "block",
+                             "minres"),
                     default="standard",
                     help="pipelined = single-synchronization Chronopoulos-"
                          "Gear CG (one global reduction per iteration; "
@@ -71,7 +72,10 @@ def main(argv=None) -> int:
                          "s-step CG (one Gram reduction per --sstep-s "
                          "iterations; unpreconditioned); block = block CG "
                          "(with --nrhs R: one shared Krylov space, fewer "
-                         "iterations per lane than the lockstep loop)")
+                         "iterations per lane than the lockstep loop); "
+                         "minres = Paige-Saunders MINRES for symmetric "
+                         "INDEFINITE systems (monotone residual norms; "
+                         "takes an SPD --precond)")
     ap.add_argument("--sstep-s", type=int, default=4, dest="sstep_s",
                     help="s-step block size (with --method sstep; the "
                          "monomial basis conditions like kappa(A)^s — "
@@ -295,6 +299,30 @@ def main(argv=None) -> int:
                     A, b_, tol=args.tol, maxiter=args.maxiter
                 )
             )
+    elif args.method == "minres":
+        from conjugategradient_tpu import minres_solve
+        from conjugategradient_tpu.solver.cg import CGInfo
+
+        if args.nrhs > 1:
+            print("error: --nrhs > 1 uses the lockstep loop, not --method "
+                  "minres", file=sys.stderr)
+            return 2
+
+        def solve(b_):
+            x, minfo = minres_solve(
+                A, b_, tol=args.tol, maxiter=args.maxiter, M=M
+            )
+            # adapt to the CGInfo the printing paths consume: MINRES's
+            # history is residual-norm ESTIMATES, CGInfo's is squared norms
+            hist = minfo.rnorm_history
+            info = CGInfo(
+                iterations=minfo.iterations,
+                converged=minfo.converged,
+                rho=minfo.rnorm * minfo.rnorm,
+                rnorm_sq=minfo.rnorm * minfo.rnorm,
+                rho_history=hist * hist,
+            )
+            return x, info
     elif args.progress > 0:
         from conjugategradient_tpu.solver import cg_init, run_cg
         from conjugategradient_tpu.solver.cg import CGInfo
