@@ -35,7 +35,7 @@ import numpy as np
 from .solver.cg import cg_solve
 from .types import as_linear_operator
 
-__all__ = ["cg"]
+__all__ = ["cg", "minres"]
 
 
 def _check_traceable(fn, n, dtype, what: str):
@@ -107,6 +107,10 @@ def cg(
             return x, -1
         return x, 0 if bool(info.converged) else mi
 
+    return _cg_callback_loop(op, b, x0, tol, mi, M_fn, callback)
+
+
+def _cg_callback_loop(op, b, x0, tol, mi, M_fn, callback):
     # callback path: step at a time so xk can be observed per iteration
     from .ops.blas import dot
     from .solver.cg import CGState, cg_step
@@ -133,3 +137,78 @@ def cg(
     if float(jnp.sqrt(state.rnorm_sq)) <= tol:
         return state.x, 0
     return state.x, mi
+
+
+def minres(
+    A: Any,
+    b,
+    x0=None,
+    *,
+    shift: float = 0.0,
+    rtol: float = 1e-5,
+    maxiter: Optional[int] = None,
+    M: Optional[Any] = None,
+    callback: Optional[Callable] = None,
+) -> Tuple[jax.Array, int]:
+    """Drop-in for ``scipy.sparse.linalg.minres`` — symmetric indefinite
+    systems ``(A − shift·I) x = b`` (solver/minres.py).
+
+    Same conventions as :func:`cg` above: scipy's ``(x, info)`` return,
+    relative termination ``φ̄_k <= rtol·‖b‖₂`` on the recurrence residual
+    estimate (‖r‖₂ for ``M=None``, else the M-norm), maxiter default 5n
+    (scipy's), ``callback(xk)`` supported via the eager step-at-a-time
+    path.  ``show``/``check`` are intentionally not reproduced (prints and
+    a symmetry probe)."""
+    b = jnp.asarray(b)
+    if b.ndim != 1:
+        raise ValueError(f"b must be 1-D, got shape {b.shape}")
+    op = as_linear_operator(A, n=int(b.shape[0]))
+    if b.shape[0] != op.shape[0]:
+        raise ValueError(
+            f"b has shape {b.shape}, expected ({op.shape[0]},)"
+        )
+    _check_traceable(op.matvec, op.shape[0], b.dtype, "A")
+    if x0 is not None:
+        x0 = jnp.asarray(x0, b.dtype)
+
+    M_fn = None
+    if M is not None:
+        if callable(M) and not hasattr(M, "matvec"):
+            M_fn = M
+        else:
+            M_fn = as_linear_operator(M, n=op.shape[0]).matvec
+        _check_traceable(M_fn, op.shape[0], b.dtype, "M")
+
+    from .solver.minres import minres_solve
+
+    n = op.shape[0]
+    tol = float(rtol) * float(jnp.linalg.norm(b))
+    mi = int(5 * n if maxiter is None else maxiter)  # scipy default: 5n
+
+    if callback is None:
+        x, info = minres_solve(
+            op, b, x0, tol=tol, maxiter=mi, M=M_fn, shift=shift
+        )
+        if bool(jnp.isnan(info.rnorm)):
+            return x, -1
+        return x, 0 if bool(info.converged) else mi
+
+    # callback path: step at a time so xk can be observed per iteration
+    from .solver.minres import minres_init, minres_step
+
+    tol_arr = jnp.asarray(tol, b.dtype)
+    shift_arr = jnp.asarray(shift, b.dtype)
+    state = minres_init(op, b, x0, tol_arr, shift_arr, mi, M_fn)
+    step = jax.jit(
+        lambda s: minres_step(op, s, tol_arr, shift_arr, M_fn)
+    )
+    for _ in range(mi):
+        if bool(state.nan):
+            return state.x, -1
+        if bool(state.done):
+            return state.x, 0
+        state = step(state)
+        callback(np.asarray(state.x))
+    if bool(state.nan):
+        return state.x, -1
+    return state.x, 0 if bool(state.done) else mi

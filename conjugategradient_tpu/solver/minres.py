@@ -102,7 +102,9 @@ class _MinresState:
         return cls(*children)
 
 
-def _minres_impl(op, b, x0, tol_arr, shift_arr, maxiter, M):
+def minres_init(op, b, x0, tol_arr, shift_arr, maxiter, M=None) -> _MinresState:
+    """Build the initial Lanczos/Givens carry (checkpointable pytree,
+    mirroring ``cg_init``)."""
     apply_m = (lambda v: v) if M is None else M
     x0 = jnp.zeros_like(b) if x0 is None else x0
     # scalar recurrences run in the widened dtype dot() promotes to (>= f32)
@@ -119,7 +121,7 @@ def _minres_impl(op, b, x0, tol_arr, shift_arr, maxiter, M):
     hist = jnp.full((maxiter + 1,), jnp.nan, dtype=sdt)
     hist = hist.at[0].set(beta1)
     zero = jnp.zeros((), sdt)
-    state0 = _MinresState(
+    return _MinresState(
         k=jnp.asarray(0, jnp.int32),
         done=jnp.isnan(beta1) | (beta1 <= tol_arr),
         nan=jnp.isnan(beta1),
@@ -139,55 +141,68 @@ def _minres_impl(op, b, x0, tol_arr, shift_arr, maxiter, M):
         hist=hist,
     )
 
+
+def minres_step(op, s: _MinresState, tol_arr, shift_arr, M=None) -> _MinresState:
+    """One MINRES iteration (mirrors ``cg_step``).  Caller must not step a
+    ``done`` state: β may be 0/NaN there and the Lanczos normalization
+    divides by it."""
+    apply_m = (lambda v: v) if M is None else M
+    sdt = s.phibar.dtype
+    # --- Lanczos step: v_{k+1} from (r1, r2, y) -------------------------
+    # beta > 0 on entry (a zero/NaN beta set done, so the loop fenced it)
+    v = (s.y / s.beta).astype(s.y.dtype)
+    y = (op.matvec(v) - shift_arr * v).astype(v.dtype)
+    # the k==0 first step has no v_{k-1} term (oldb == 0)
+    c1 = jnp.where(s.oldb == 0, 0.0, s.beta / jnp.where(s.oldb == 0, 1.0, s.oldb))
+    y = y - (c1 * s.r1).astype(v.dtype)
+    alfa = dot(v, y)
+    y = (y - (alfa / s.beta) * s.r2).astype(v.dtype)
+    r1, r2 = s.r2, y
+    y_next = apply_m(r2).astype(v.dtype)
+    oldb = s.beta
+    beta_sq = dot(r2, y_next)
+    beta = jnp.sqrt(beta_sq)  # NaN iff M not SPD
+
+    # --- Givens QR of the tridiagonal -----------------------------------
+    oldeps = s.epsln
+    delta = s.cs * s.dbar + s.sn * alfa
+    gbar = s.sn * s.dbar - s.cs * alfa
+    epsln = s.sn * beta
+    dbar = -s.cs * beta
+    gamma = jnp.sqrt(gbar * gbar + beta * beta)
+    tiny = jnp.asarray(jnp.finfo(sdt).tiny, sdt)
+    gamma = jnp.maximum(gamma, tiny)
+    cs = gbar / gamma
+    sn = beta / gamma
+    phi = cs * s.phibar
+    phibar = sn * s.phibar
+
+    # --- solution update -------------------------------------------------
+    w1, w2 = s.w2, s.w
+    w = ((v - oldeps * w1 - delta * w2) / gamma).astype(s.w.dtype)
+    x = (s.x + phi * w).astype(s.x.dtype)
+
+    k = s.k + 1
+    hist = s.hist.at[k].set(phibar)
+    is_nan = jnp.isnan(phibar) | jnp.isnan(beta)
+    # beta == 0: Krylov space exhausted — x is the exact minimizer
+    done = is_nan | (phibar <= tol_arr) | (beta == 0)
+    return _MinresState(
+        k=k, done=done, nan=is_nan, x=x,
+        r1=r1, r2=r2, y=y_next,
+        oldb=oldb, beta=beta, dbar=dbar, epsln=epsln,
+        phibar=phibar, cs=cs, sn=sn, w=w, w2=w2, hist=hist,
+    )
+
+
+def _minres_impl(op, b, x0, tol_arr, shift_arr, maxiter, M):
+    state0 = minres_init(op, b, x0, tol_arr, shift_arr, maxiter, M)
+
     def cond(s: _MinresState):
         return (s.k < maxiter) & (~s.done)
 
     def body(s: _MinresState):
-        # --- Lanczos step: v_{k+1} from (r1, r2, y) ---------------------
-        # beta > 0 on entry (a zero/NaN beta set done, so cond() fenced it)
-        v = (s.y / s.beta).astype(s.y.dtype)
-        y = (op.matvec(v) - shift_arr * v).astype(v.dtype)
-        # the k==0 first step has no v_{k-1} term (oldb == 0)
-        c1 = jnp.where(s.oldb == 0, 0.0, s.beta / jnp.where(s.oldb == 0, 1.0, s.oldb))
-        y = y - (c1 * s.r1).astype(v.dtype)
-        alfa = dot(v, y)
-        y = (y - (alfa / s.beta) * s.r2).astype(v.dtype)
-        r1, r2 = s.r2, y
-        y_next = apply_m(r2).astype(v.dtype)
-        oldb = s.beta
-        beta_sq = dot(r2, y_next)
-        beta = jnp.sqrt(beta_sq)  # NaN iff M not SPD
-
-        # --- Givens QR of the tridiagonal ------------------------------
-        oldeps = s.epsln
-        delta = s.cs * s.dbar + s.sn * alfa
-        gbar = s.sn * s.dbar - s.cs * alfa
-        epsln = s.sn * beta
-        dbar = -s.cs * beta
-        gamma = jnp.sqrt(gbar * gbar + beta * beta)
-        tiny = jnp.asarray(jnp.finfo(sdt).tiny, sdt)
-        gamma = jnp.maximum(gamma, tiny)
-        cs = gbar / gamma
-        sn = beta / gamma
-        phi = cs * s.phibar
-        phibar = sn * s.phibar
-
-        # --- solution update -------------------------------------------
-        w1, w2 = s.w2, s.w
-        w = ((v - oldeps * w1 - delta * w2) / gamma).astype(s.w.dtype)
-        x = (s.x + phi * w).astype(s.x.dtype)
-
-        k = s.k + 1
-        hist = s.hist.at[k].set(phibar)
-        is_nan = jnp.isnan(phibar) | jnp.isnan(beta)
-        # beta == 0: Krylov space exhausted — x is the exact minimizer
-        done = is_nan | (phibar <= tol_arr) | (beta == 0)
-        return _MinresState(
-            k=k, done=done, nan=is_nan, x=x,
-            r1=r1, r2=r2, y=y_next,
-            oldb=oldb, beta=beta, dbar=dbar, epsln=epsln,
-            phibar=phibar, cs=cs, sn=sn, w=w, w2=w2, hist=hist,
-        )
+        return minres_step(op, s, tol_arr, shift_arr, M)
 
     s = jax.lax.while_loop(cond, body, state0)
     info = MinresInfo(

@@ -106,3 +106,71 @@ def test_numpy_backed_linear_operator_rejected_clearly():
         assert False, "expected TypeError"
     except TypeError as e:
         assert "JAX-traceable" in str(e)
+
+
+class TestMinres:
+    """scipy.sparse.linalg.minres drop-in (scipy_compat.minres)."""
+
+    def _indefinite(self, n=40, seed=21):
+        rng = np.random.default_rng(seed)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        eigs = np.concatenate(
+            [np.linspace(-2.0, -0.5, n // 2),
+             np.linspace(0.5, 2.0, n - n // 2)])
+        Ad = Q @ np.diag(eigs) @ Q.T
+        b = rng.standard_normal(n)
+        return Ad, b
+
+    def test_matches_scipy_minres(self):
+        from conjugategradient_tpu.scipy_compat import minres
+        from scipy.sparse.linalg import minres as scipy_minres
+
+        Ad, b = self._indefinite()
+        x, info = minres(jnp.asarray(Ad), b, rtol=1e-10, maxiter=400)
+        xs, infos = scipy_minres(Ad, b, rtol=1e-10)
+        assert info == 0 and infos == 0
+        np.testing.assert_allclose(np.asarray(x), xs, rtol=1e-6, atol=1e-7)
+        r = b - Ad @ np.asarray(x)
+        assert np.linalg.norm(r) <= 1.01e-10 * np.linalg.norm(b)
+
+    def test_scipy_sparse_input_and_shift(self):
+        from conjugategradient_tpu.scipy_compat import minres
+
+        A, b = _scipy_problem(10)
+        sigma = 0.05  # below lambda_min of the Poisson operator: still definite
+        x, info = minres(A, b, shift=sigma, rtol=1e-10)
+        assert info == 0
+        r = b - (A @ np.asarray(x) - sigma * np.asarray(x))
+        assert np.linalg.norm(r) <= 1.01e-10 * np.linalg.norm(b)
+
+    def test_callback_sees_every_iterate(self):
+        from conjugategradient_tpu.scipy_compat import minres
+
+        Ad, b = self._indefinite(24, seed=22)
+        seen = []
+        x, info = minres(jnp.asarray(Ad), b, rtol=1e-9, maxiter=200,
+                         callback=lambda xk: seen.append(xk.copy()))
+        assert info == 0
+        assert len(seen) >= 2
+        np.testing.assert_array_equal(seen[-1], np.asarray(x))
+        # iterates must actually progress
+        assert np.linalg.norm(b - Ad @ seen[0]) > np.linalg.norm(
+            b - Ad @ seen[-1])
+
+    def test_callback_path_matches_compiled_path(self):
+        from conjugategradient_tpu.scipy_compat import minres
+
+        Ad, b = self._indefinite(24, seed=23)
+        x_c, info_c = minres(jnp.asarray(Ad), b, rtol=1e-9, maxiter=200)
+        x_e, info_e = minres(jnp.asarray(Ad), b, rtol=1e-9, maxiter=200,
+                             callback=lambda xk: None)
+        assert info_c == info_e == 0
+        np.testing.assert_allclose(np.asarray(x_c), np.asarray(x_e),
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_info_positive_on_cap(self):
+        from conjugategradient_tpu.scipy_compat import minres
+
+        Ad, b = self._indefinite()
+        x, info = minres(jnp.asarray(Ad), b, rtol=1e-14, maxiter=3)
+        assert info == 3
