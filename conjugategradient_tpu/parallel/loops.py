@@ -512,6 +512,117 @@ def _sharded_pcg(
     return x, k, done, rho, rnorm, hist
 
 
+def _sharded_minres(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    inv_diag_s,
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+):
+    """Per-shard MINRES (Paige–Saunders) — the mesh composition of
+    solver/minres.py: symmetric-INDEFINITE systems on the row mesh.
+
+    Exactly CG's collective pattern per iteration — the layout family's
+    halo inside ``local_matvec`` plus two psum'd dots (v·y and the Lanczos
+    β norm); all Givens bookkeeping is scalar and shard-replicated.
+    ``inv_diag_s`` follows _precond_apply's contract (None / Jacobi array /
+    callable) and must be SPD — an indefinite M NaNs the Lanczos inner
+    product and reports ``converged=False``.
+
+    Returns the core's ``(x, k, done, rho, rnorm, hist)`` tuple with
+    rho = rnorm = φ̄² and hist = φ̄² — SQUARED norm estimates, so the
+    CGInfo plumbing (rho_history, residual_norms) reads identically to
+    the CG loops.  Note φ̄ estimates ‖r‖_M when preconditioned (‖r‖₂
+    exactly, in exact arithmetic, when not).
+    """
+
+    def pdot(u, v):
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
+
+    def precond(r):
+        return _precond_apply(inv_diag_s, r)
+
+    r1 = b_s - local_matvec(x0_s)
+    y0 = precond(r1)
+    beta1 = jnp.sqrt(pdot(r1, y0))
+    sdt = beta1.dtype
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=sdt)
+    hist = hist.at[0].set(beta1 * beta1)
+    zero = jnp.zeros((), sdt)
+    carry = (
+        jnp.asarray(0, jnp.int32),
+        jnp.isnan(beta1) | (beta1 <= tol_arr),  # done
+        jnp.isnan(beta1),  # nan (breakdown)
+        x0_s,
+        r1,  # r1 (Lanczos v_{k-1}, un-normalized)
+        r1,  # r2 (Lanczos v_k, un-normalized)
+        y0.astype(b_s.dtype),
+        zero,  # oldb
+        beta1.astype(sdt),  # beta
+        zero,  # dbar
+        zero,  # epsln
+        beta1.astype(sdt),  # phibar
+        -jnp.ones((), sdt),  # cs
+        zero,  # sn
+        jnp.zeros_like(b_s),  # w
+        jnp.zeros_like(b_s),  # w2
+        hist,
+    )
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    def body(c):
+        (k, done, nan, x, r1, r2, y, oldb, beta, dbar, epsln, phibar,
+         cs, sn, w, w2, hist) = c
+        # Lanczos step (beta > 0 on entry: done fenced zero/NaN)
+        v = (y / beta).astype(y.dtype)
+        yn = local_matvec(v)
+        c1 = jnp.where(oldb == 0, 0.0, beta / jnp.where(oldb == 0, 1.0, oldb))
+        yn = yn - (c1 * r1).astype(v.dtype)
+        alfa = pdot(v, yn)
+        yn = (yn - (alfa / beta) * r2).astype(v.dtype)
+        r1n, r2n = r2, yn
+        y_next = precond(r2n).astype(v.dtype)
+        oldb_n = beta
+        beta_n = jnp.sqrt(pdot(r2n, y_next))  # NaN iff M not SPD
+        # Givens QR of the tridiagonal
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln_n = sn * beta_n
+        dbar_n = -cs * beta_n
+        gamma = jnp.maximum(
+            jnp.sqrt(gbar * gbar + beta_n * beta_n),
+            jnp.asarray(jnp.finfo(sdt).tiny, sdt),
+        )
+        cs_n = gbar / gamma
+        sn_n = beta_n / gamma
+        phi = cs_n * phibar
+        phibar_n = sn_n * phibar
+        # solution update
+        w1, w2n = w2, w
+        wn = ((v - oldeps * w1 - delta * w2n) / gamma).astype(w.dtype)
+        xn = (x + phi * wn).astype(x.dtype)
+        kn = k + 1
+        hist = hist.at[kn].set(phibar_n * phibar_n)
+        is_nan = jnp.isnan(phibar_n) | jnp.isnan(beta_n)
+        done_n = is_nan | (phibar_n <= tol_arr) | (beta_n == 0)
+        return (kn, done_n, is_nan, xn, r1n, r2n, y_next, oldb_n, beta_n,
+                dbar_n, epsln_n, phibar_n, cs_n, sn_n, wn, w2n, hist)
+
+    c = jax.lax.while_loop(cond, body, carry)
+    k, done, nan, x, phibar, hist = c[0], c[1], c[2], c[3], c[11], c[16]
+    rho = phibar * phibar
+    # a NaN φ̄² flows to _solve_info's converged = done & ~isnan(rnorm),
+    # matching solver/minres.py's converged = done & ~nan
+    rho = jnp.where(nan, jnp.asarray(jnp.nan, sdt), rho)
+    return x, k, done, rho, rho, hist
+
+
 def _sharded_fused_cg(
     blocks_s: jax.Array,
     cols_s: jax.Array,

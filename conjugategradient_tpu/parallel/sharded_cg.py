@@ -72,6 +72,7 @@ from .loops import (
     _sharded_deflated_pcg,
     _sharded_fused_cg,
     _sharded_lockstep_pcg,
+    _sharded_minres,
     _sharded_pcg,
     _sharded_pipelined_cg,
     _sharded_sstep_cg,
@@ -193,13 +194,14 @@ def _resolve_single_rhs_method(method, with_m, recompute_r_every, s, rcond, dtyp
     """Validate the single-RHS method triple and normalize the s-step
     hyperparameters: (s_eff, rcond_eff) are baked into the compiled solve
     (and its cache key), so non-sstep methods pin them to inert constants."""
-    if method not in ("standard", "pipelined", "sstep"):
+    if method not in ("standard", "pipelined", "sstep", "minres"):
         raise ValueError(f"unknown method {method!r}")
-    if method != "standard":
+    if method not in ("standard", "minres"):
         if with_m:
             raise ValueError(
                 f"method={method!r} is unpreconditioned (inv_diag=None)"
             )
+    if method != "standard":
         if recompute_r_every:
             raise ValueError(
                 f"method={method!r} has no residual-replacement variant "
@@ -382,6 +384,11 @@ def _sharded_solve(
                 return _sharded_deflated_pcg(
                     local_matvec, b_s, x0_s, inv_diag_s,
                     W_s, AW_s, E_chol_r, tol_arr, maxiter, axis,
+                )
+            if method == "minres":
+                return _sharded_minres(
+                    local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter,
+                    axis,
                 )
             if method == "pipelined":
                 return _sharded_pipelined_cg(

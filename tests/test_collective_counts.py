@@ -93,6 +93,15 @@ def test_pipelined_one_reduction_per_iteration():
     assert ag == 1
 
 
+def test_minres_matches_cg_collective_pattern():
+    """MINRES's whole point on the mesh: indefinite capability at CG's
+    exact communication cost — 2 psums (v·y, the Lanczos β norm) + 1
+    halo all-gather per iteration, asserted on the compiled HLO."""
+    ar, ag = _while_body_collectives(_compiled_hlo("minres"))
+    assert ar == 2, f"minres must psum twice per iteration, got {ar}"
+    assert ag == 1
+
+
 @pytest.mark.parametrize("s", [2, 4])
 def test_sstep_one_reduction_per_s_iterations(s):
     ar, ag = _while_body_collectives(_compiled_hlo("sstep", s=s))
