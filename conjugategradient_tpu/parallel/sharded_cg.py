@@ -305,9 +305,13 @@ def _sharded_solve(
     if M_local is not None:
         if with_m:
             raise ValueError("pass either inv_diag or M_local, not both")
-        if method != "standard":
+        if method not in ("standard", "minres"):
+            # minres composes too (_sharded_minres preconditions through
+            # the same _precond_apply contract; M must be SPD) — the
+            # communication-avoiding methods are unpreconditioned
             raise ValueError(
-                f"M_local runs the standard per-shard loop (method={method!r})"
+                f"M_local runs the standard or minres per-shard loop "
+                f"(method={method!r})"
             )
         if basis is not None:
             raise ValueError("M_local and basis= (deflation) are exclusive")

@@ -50,6 +50,13 @@ class MinresInfo:
     converged: jax.Array  # bool — tolerance met (not the cap / not NaN)
     rnorm: jax.Array  # final residual-norm estimate φ̄ (‖r‖_M; ‖r‖₂ if M=None)
     rnorm_history: jax.Array  # (maxiter+1,) φ̄ per iteration; NaN-padded
+    # true ‖b − (A−σI)x‖₂ recomputed ONCE at exit (one extra SpMV per
+    # solve).  On (near-)singular systems with b ∉ range(A) the recurrence
+    # estimate φ̄ keeps shrinking while x diverges along the nullspace —
+    # the classic MINRES least-squares failure mode; rnorm_true ≫ rnorm
+    # is the detector (measured live: φ̄ 8e-4 vs true 2e4 on a Poisson
+    # shift that landed exactly on an eigenvalue).
+    rnorm_true: jax.Array
 
     def tree_flatten(self):
         return (
@@ -57,6 +64,7 @@ class MinresInfo:
             self.converged,
             self.rnorm,
             self.rnorm_history,
+            self.rnorm_true,
         ), None
 
     @classmethod
@@ -205,11 +213,13 @@ def _minres_impl(op, b, x0, tol_arr, shift_arr, maxiter, M):
         return minres_step(op, s, tol_arr, shift_arr, M)
 
     s = jax.lax.while_loop(cond, body, state0)
+    r_true = b - op.matvec(s.x) + shift_arr * s.x
     info = MinresInfo(
         iterations=s.k,
         converged=s.done & ~s.nan,
         rnorm=s.phibar,
         rnorm_history=s.hist,
+        rnorm_true=jnp.sqrt(dot(r_true, r_true)),
     )
     return s.x, info
 

@@ -205,3 +205,31 @@ def _dense(A, n):
         (np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr)),
         shape=(n, n))
     return jnp.asarray(sp.toarray())
+
+
+class TestTrueResidual:
+    def test_rnorm_true_matches_estimate_when_healthy(self):
+        A, n = _poisson2d(14)
+        b = jnp.asarray(np.random.default_rng(15).standard_normal(n))
+        x, info = minres_solve(A, b, tol=1e-9)
+        assert bool(info.converged)
+        assert abs(float(info.rnorm_true) - float(info.rnorm)) <= 1e-7 * float(
+            jnp.linalg.norm(b))
+
+    def test_singular_inconsistent_detected_by_rnorm_true(self):
+        """The MINRES least-squares failure mode: on a singular system with
+        b NOT in range(A), x diverges along the nullspace while the
+        recurrence estimate phibar keeps shrinking.  rnorm_true is the
+        detector the info carries for exactly this."""
+        n = 32
+        Ad = (2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)).astype(float)
+        Ad[0, 0] = Ad[-1, -1] = 1.0  # Neumann: nullspace = constants
+        b = np.random.default_rng(16).standard_normal(n)
+        b += 1.0 - b.mean()  # force a nullspace component: inconsistent
+        x, info = minres_solve(jnp.asarray(Ad), jnp.asarray(b), tol=1e-10,
+                               maxiter=8 * n)
+        # the estimate underreports; the true residual cannot fall below
+        # the norm of b's nullspace component (= mean(b)*sqrt(n))
+        floor = abs(b.mean()) * np.sqrt(n)
+        assert float(info.rnorm_true) >= 0.9 * floor
+        assert float(info.rnorm_true) > 10 * float(info.rnorm)

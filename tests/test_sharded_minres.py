@@ -148,3 +148,41 @@ def test_minres_excludes_restarts_and_deflation():
     with pytest.raises(ValueError, match="residual-replacement"):
         sharded_cg_solve(blocks, bcols, b_pad, method="minres",
                          recompute_r_every=8)
+
+
+def test_m_local_callable_matches_inv_diag():
+    """method="minres" composes with the general per-shard M hook: a bare
+    callable Jacobi through M_local must solve like the inv_diag array (both
+    flow through _precond_apply inside _sharded_minres)."""
+    rows, cols, vals, shape = banded_spd_coo(300, bandwidth=9, seed=4)
+    n = shape[0]
+    scale = np.exp(np.random.default_rng(6).uniform(-1.5, 1.5, n))
+    vals = np.asarray(vals, float) * scale[np.asarray(rows)] * scale[
+        np.asarray(cols)]
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    blocks, bcols, b_pad, b = _bell_setup(A, n)
+    import scipy.sparse as sp
+    diag = sp.csr_matrix(
+        (np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr)),
+        shape=(n, n)).diagonal()
+    inv_diag = jnp.ones((b_pad.shape[0],), jnp.float64).at[:n].set(
+        jnp.asarray(1.0 / diag))
+    m = b_pad.shape[0] // N_DEV
+    inv_local = np.asarray(inv_diag).reshape(N_DEV, m)
+
+    import jax as _jax
+
+    def m_local(r):
+        idx = _jax.lax.axis_index("rows")
+        return jnp.asarray(inv_local)[idx] * r
+
+    x_a, info_a = sharded_cg_solve(
+        blocks, bcols, b_pad, tol=1e-8, maxiter=4 * n, method="minres",
+        inv_diag=inv_diag)
+    x_b, info_b = sharded_cg_solve(
+        blocks, bcols, b_pad, tol=1e-8, maxiter=4 * n, method="minres",
+        M_local=m_local)
+    assert bool(info_b.converged)
+    assert int(info_a.iterations) == int(info_b.iterations)
+    np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_a),
+                               rtol=1e-10, atol=1e-12)
