@@ -52,6 +52,7 @@ from .solver import (
     lanczos_eigs,
     condition_estimate,
     block_jacobi_preconditioner,
+    fsai_preconditioner,
     jacobi_preconditioner,
     multigrid_preconditioner,
     rigid_body_modes,
@@ -100,6 +101,7 @@ __all__ = [
     "condition_estimate",
     "block_jacobi_preconditioner",
     "jacobi_preconditioner",
+    "fsai_preconditioner",
     "multigrid_preconditioner",
     "rigid_body_modes",
     "smoothed_aggregation_preconditioner",

@@ -42,6 +42,7 @@ from .precond import (
 )
 from .multigrid import multigrid_preconditioner
 from .amg import rigid_body_modes, smoothed_aggregation_preconditioner
+from .fsai import fsai_preconditioner
 
 __all__ = [
     "BatchedCGState",
@@ -84,6 +85,7 @@ __all__ = [
     "RefineInfo",
     "refined_cg_solve",
     "jacobi_preconditioner",
+    "fsai_preconditioner",
     "block_jacobi_preconditioner",
     "chebyshev_preconditioner",
     "estimate_spectral_bounds",

@@ -57,11 +57,13 @@ def main(argv=None) -> int:
                     help="solve dtype (float64 matches the reference's double)")
     ap.add_argument("--precond",
                     choices=("none", "jacobi", "blockjacobi", "chebyshev",
-                             "amg"),
+                             "amg", "fsai"),
                     default="none",
                     help="amg = multigrid: smoothed-aggregation AMG on "
                          "--layout csr inputs, the geometric V-cycle on "
-                         "stencil: inputs")
+                         "stencil: inputs; fsai = factorized sparse "
+                         "approximate inverse (apply = two SpMVs, no "
+                         "triangular solves; --layout csr inputs)")
     ap.add_argument("--method",
                     choices=("standard", "pipelined", "sstep", "block",
                              "minres"),
@@ -107,6 +109,9 @@ def main(argv=None) -> int:
                          "polynomial)")
     ap.add_argument("--block-size", type=int, default=8, dest="block_size",
                     help="diagonal-block size (with --precond blockjacobi)")
+    ap.add_argument("--fsai-power", type=int, default=1, dest="fsai_power",
+                    help="FSAI pattern power: G's sparsity = "
+                         "tril(pattern(|A|^power)) (with --precond fsai)")
     ap.add_argument("--bm", type=int, default=128, help="blocked-ELL row tile")
     ap.add_argument("--bn", type=int, default=128, help="blocked-ELL col tile")
     ap.add_argument("--nrhs", type=int, default=1,
@@ -217,6 +222,15 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(f"error: chebyshev setup failed: {e}", file=sys.stderr)
             return 2
+    elif args.precond == "fsai":
+        from conjugategradient_tpu.solver.fsai import fsai_preconditioner
+        from conjugategradient_tpu.types import CSRMatrix
+
+        if not isinstance(A, CSRMatrix):
+            print("error: --precond fsai needs --layout csr (the FSAI setup "
+                  "mines A's CSR pattern)", file=sys.stderr)
+            return 2
+        M = fsai_preconditioner(A, power=args.fsai_power)
     elif args.precond == "amg":
         from conjugategradient_tpu.solver.amg import (
             smoothed_aggregation_preconditioner,
