@@ -50,6 +50,7 @@ from .solver import (
     harvest_deflation_basis,
     EigsResult,
     lanczos_eigs,
+    lobpcg_eigs,
     condition_estimate,
     block_jacobi_preconditioner,
     fsai_preconditioner,
@@ -98,6 +99,7 @@ __all__ = [
     "harvest_deflation_basis",
     "EigsResult",
     "lanczos_eigs",
+    "lobpcg_eigs",
     "condition_estimate",
     "block_jacobi_preconditioner",
     "jacobi_preconditioner",

@@ -35,7 +35,7 @@ import numpy as np
 from .solver.cg import cg_solve
 from .types import as_linear_operator
 
-__all__ = ["cg", "minres"]
+__all__ = ["cg", "minres", "lobpcg"]
 
 
 def _check_traceable(fn, n, dtype, what: str):
@@ -212,3 +212,87 @@ def minres(
     if bool(state.nan):
         return state.x, -1
     return state.x, 0 if bool(state.done) else mi
+
+
+def lobpcg(
+    A: Any,
+    X,
+    B: Any = None,
+    M: Optional[Any] = None,
+    Y=None,
+    tol: Optional[float] = None,
+    maxiter: Optional[int] = None,
+    largest: bool = True,
+    verbosityLevel: int = 0,
+    retLambdaHistory: bool = False,
+    retResidualNormsHistory: bool = False,
+    restartControl: int = 20,
+):
+    """Drop-in for ``scipy.sparse.linalg.lobpcg`` (solver/lobpcg.py).
+
+    Same conventions as scipy: ``X`` is the required (n, k) initial block
+    (its column count sets the number of pairs), eigenvalues come back
+    descending for ``largest=True`` / ascending otherwise, convergence is
+    the ABSOLUTE test ``‖A xᵢ − λᵢ (B) xᵢ‖ ≤ tol`` with scipy's default
+    ``tol = n · sqrt(eps)``, maxiter defaults to 20, and the optional
+    history returns are lists of (k,) arrays (entry 0 = the initial
+    Rayleigh–Ritz, matching scipy's).  ``B`` (generalized pencil) and
+    ``M`` (preconditioner, applied as ``M @ r``) take anything
+    `as_linear_operator` ingests.
+
+    Intentional differences: ``Y`` (constraint subspace) is not supported
+    — orthogonality constraints against known eigenvectors are this
+    framework's deflation surface (:func:`~conjugategradient_tpu.
+    deflated_cg_solve` / ``make_deflation_basis``); ``verbosityLevel``
+    prints and ``restartControl`` are no-ops (the compiled loop re-
+    orthonormalizes the [X, W, P] basis by a full QR every iteration, so
+    there is no separate restart heuristic to control).
+    """
+    if Y is not None:
+        raise NotImplementedError(
+            "lobpcg(Y=...) constraint subspaces are not supported; "
+            "project the operator or use the deflation surface "
+            "(make_deflation_basis / deflated_cg_solve) instead"
+        )
+    from .solver.lobpcg import lobpcg_eigs
+
+    X = jnp.asarray(X)
+    if X.ndim != 2:
+        raise ValueError(f"X must be 2-D (n, k), got shape {X.shape}")
+    n, k = int(X.shape[0]), int(X.shape[1])
+    op = as_linear_operator(A, n=n, dtype=X.dtype)
+    _check_traceable(op.matvec, n, X.dtype, "A")
+
+    M_fn = None
+    if M is not None:
+        if callable(M) and not hasattr(M, "matvec"):
+            M_fn = M
+        else:
+            M_fn = as_linear_operator(M, n=n, dtype=X.dtype).matvec
+        _check_traceable(M_fn, n, X.dtype, "M")
+
+    if tol is None:
+        tol = n * float(np.sqrt(np.finfo(np.asarray(X).dtype).eps))
+    mi = 20 if maxiter is None else int(maxiter)  # scipy default: 20
+
+    result, lam_h, rn_h = lobpcg_eigs(
+        op,
+        k=k,
+        M=M_fn,
+        which="largest" if largest else "smallest",
+        X0=X,
+        tol=float(tol),
+        maxiter=mi,
+        B=B,
+        dtype=X.dtype,
+        tol_absolute=True,
+        return_history=True,
+    )
+    w = result.values
+    v = np.asarray(result.vectors)
+    out = [w, v]
+    if retLambdaHistory:
+        out.append([row for row in lam_h])
+    if retResidualNormsHistory:
+        out.append([row for row in rn_h])
+    return tuple(out) if len(out) > 2 else (w, v)

@@ -27,6 +27,7 @@ from .deflated import (
     make_deflation_basis,
 )
 from .eigs import EigsResult, condition_estimate, lanczos_eigs
+from .lobpcg import lobpcg_eigs
 from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
 from .minres import MinresInfo, minres_solve
@@ -61,6 +62,7 @@ __all__ = [
     "basis_quality",
     "EigsResult",
     "lanczos_eigs",
+    "lobpcg_eigs",
     "condition_estimate",
     "load_state",
     "run_cg",
