@@ -113,19 +113,46 @@ def make_deflation_basis(
     n: Optional[int] = None,
     seed: int = 0,
     v0: Optional[jax.Array] = None,
+    method: str = "lanczos",
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    maxiter: Optional[int] = None,
 ) -> DeflationBasis:
     """Harvest the k LOWEST Ritz vectors of A into a deflation basis.
 
-    Runs ``lanczos_iters`` (default ``max(2k, k+10)``) reorthogonalized
-    Lanczos steps through the public eigensolver (:func:`solver.eigs.
-    lanczos_eigs`, one jitted device dispatch) and wraps the k smallest
-    Ritz vectors.  Cost: one Lanczos pass (m SpMVs) amortized over every
-    subsequent solve — the recycling pattern for solve sequences.
-    """
-    from .eigs import lanczos_eigs
+    ``method="lanczos"`` (default) runs ``lanczos_iters`` (default
+    ``max(2k, k+10)``) reorthogonalized Lanczos steps through the public
+    eigensolver (:func:`solver.eigs.lanczos_eigs`, one jitted device
+    dispatch) and wraps the k smallest Ritz vectors.  Cost: one Lanczos
+    pass (m SpMVs) amortized over every subsequent solve — the recycling
+    pattern for solve sequences.
 
+    ``method="lobpcg"`` harvests through :func:`solver.lobpcg.lobpcg_eigs`
+    instead — pass any of the framework's preconditioners as ``M`` (AMG/
+    MG/FSAI/Jacobi) and the basis converges at M⁻¹A's rate, which is the
+    better trade exactly when the small end is clustered (where an
+    unpreconditioned Krylov pass needs many iterations per converged
+    pair); ``maxiter`` caps the LOBPCG iterations (default 50).
+    """
     op = as_linear_operator(A, n=n)
     m_rows = op.shape[0]
+    if method == "lobpcg":
+        from .lobpcg import lobpcg_eigs
+
+        res = lobpcg_eigs(
+            op, k=k, M=M, which="smallest",
+            maxiter=50 if maxiter is None else int(maxiter), seed=seed,
+        )
+        return deflation_basis_from_vectors(op, res.vectors)
+    if method != "lanczos":
+        raise ValueError(
+            f"method must be 'lanczos' or 'lobpcg', got {method!r}")
+    if M is not None:
+        raise ValueError(
+            "M (preconditioned harvesting) requires method='lobpcg' — "
+            "the Lanczos pass is unpreconditioned"
+        )
+    from .eigs import lanczos_eigs
+
     m = int(min(
         lanczos_iters if lanczos_iters is not None else max(2 * k, k + 10),
         m_rows,

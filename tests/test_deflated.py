@@ -97,6 +97,40 @@ class TestLanczosBasis:
         assert b2.k == basis.k
 
 
+class TestLobpcgBasis:
+    def test_lobpcg_harvest_cuts_iterations(self, poisson):
+        A, b, plain_iters = poisson
+        basis = make_deflation_basis(A, k=8, method="lobpcg", maxiter=60)
+        x, info = deflated_cg_solve(A, b, basis, tol=1e-10)
+        assert int(info.iterations) < plain_iters
+        assert float(jnp.linalg.norm(b - A.matvec(x))) < 1e-8
+
+    def test_preconditioned_harvest_quality(self, poisson):
+        """M-preconditioned LOBPCG at a fixed budget must produce a basis
+        at least as good as the unpreconditioned run."""
+        A, _, _ = poisson
+        M = jacobi_preconditioner(A)
+        q_plain = float(
+            basis_quality(
+                A, make_deflation_basis(A, k=6, method="lobpcg", maxiter=25)
+            ).max()
+        )
+        q_prec = float(
+            basis_quality(
+                A,
+                make_deflation_basis(A, k=6, method="lobpcg", maxiter=25, M=M),
+            ).max()
+        )
+        assert q_prec <= q_plain * 1.5  # Jacobi ≈ identity here; no regression
+
+    def test_method_validation(self, poisson):
+        A, _, _ = poisson
+        with pytest.raises(ValueError, match="lanczos.*lobpcg"):
+            make_deflation_basis(A, k=4, method="arnoldi")
+        with pytest.raises(ValueError, match="lobpcg"):
+            make_deflation_basis(A, k=4, M=lambda z: z)
+
+
 class TestRecycling:
     def test_harvested_basis_speeds_second_solve(self, poisson):
         """The recycling workflow: harvest from a solve on b1, deflate a
