@@ -112,6 +112,24 @@ def main(argv=None) -> int:
     ap.add_argument("--fsai-power", type=int, default=1, dest="fsai_power",
                     help="FSAI pattern power: G's sparsity = "
                          "tril(pattern(|A|^power)) (with --precond fsai)")
+    ap.add_argument("--eigs", type=int, default=0, metavar="K",
+                    help="eigensolver mode: instead of solving Ax=b, compute "
+                         "the K extreme eigenpairs of the loaded operator "
+                         "and print the 4-column line as 'dim NNZ time_ms "
+                         "max_rel_residual' plus one JSON line with the "
+                         "eigenvalues (lobpcg takes --precond as the "
+                         "eigensolver preconditioner)")
+    ap.add_argument("--eigs-method", choices=("lobpcg", "lanczos"),
+                    default="lobpcg", dest="eigs_method",
+                    help="lobpcg = preconditioned block iteration (pairs "
+                         "with --precond); lanczos = one unpreconditioned "
+                         "Krylov pass (--eigs-iters SpMVs, one dispatch)")
+    ap.add_argument("--eigs-which", choices=("smallest", "largest"),
+                    default="smallest", dest="eigs_which",
+                    help="which end of the spectrum to converge")
+    ap.add_argument("--eigs-iters", type=int, default=None, dest="eigs_iters",
+                    help="iteration budget: LOBPCG maxiter (default 100) or "
+                         "Lanczos Krylov dimension (default max(2K, K+10))")
     ap.add_argument("--bm", type=int, default=128, help="blocked-ELL row tile")
     ap.add_argument("--bn", type=int, default=128, help="blocked-ELL col tile")
     ap.add_argument("--nrhs", type=int, default=1,
@@ -263,6 +281,69 @@ def main(argv=None) -> int:
             print(f"expected_steps {k_est} (eps={eps:.3g})")
         except ValueError as e:
             print(f"expected_steps unavailable: {e}", file=sys.stderr)
+
+    if args.eigs > 0:
+        if (args.method != "standard" or args.nrhs > 1 or args.deflate > 0
+                or args.refine != "off" or args.progress > 0):
+            print("error: --eigs is an eigensolver lane (no --method/--nrhs/"
+                  "--deflate/--refine/--progress)", file=sys.stderr)
+            return 2
+        if args.eigs_method == "lanczos":
+            if M is not None:
+                print("error: --eigs-method lanczos is unpreconditioned "
+                      "(drop --precond or use --eigs-method lobpcg)",
+                      file=sys.stderr)
+                return 2
+            if args.history:
+                print("error: --history needs --eigs-method lobpcg (the "
+                      "Lanczos pass is one dispatch, no per-iteration "
+                      "trace)", file=sys.stderr)
+                return 2
+            from conjugategradient_tpu import lanczos_eigs
+
+            def run_eigs():
+                return lanczos_eigs(
+                    A, k=args.eigs, which=args.eigs_which,
+                    iters=args.eigs_iters,
+                ), None
+        else:
+            from conjugategradient_tpu import lobpcg_eigs
+
+            def run_eigs():
+                out = lobpcg_eigs(
+                    A, k=args.eigs, M=M, which=args.eigs_which,
+                    maxiter=100 if args.eigs_iters is None
+                    else args.eigs_iters,
+                    return_history=args.history,
+                )
+                return (out[0], out[1:]) if args.history else (out, None)
+
+        res, _ = run_eigs()  # warm-up: compile + execute outside the timing
+        t = Timer().start_measure()
+        res, hists = run_eigs()
+        t.stop_measure(sync=res.vectors)
+        vals = np.asarray(res.values, dtype=np.float64)
+        resid = np.asarray(res.residuals, dtype=np.float64)
+        scale = max(float(np.abs(vals).max()), 1e-300)
+        print(f"{n} {nnz} {t.get_duration()} {float(resid.max()) / scale}")
+        print(json.dumps({
+            "eigenvalues": [float(v) for v in vals],
+            "residuals": [float(v) for v in resid],
+            "converged": [bool(v) for v in np.asarray(res.converged)],
+            "iterations": int(res.iters),
+            "which": args.eigs_which,
+            "method": args.eigs_method,
+        }))
+        if args.history and hists is not None:
+            lam_h, rn_h = hists
+            upto = int(res.iters) + 1
+            print(json.dumps({
+                "eigenvalue_history":
+                    np.asarray(lam_h, np.float64)[:upto].tolist(),
+                "residual_history":
+                    np.asarray(rn_h, np.float64)[:upto].tolist(),
+            }))
+        return 0
 
     # Warm-up outside the timed region: the reference times only solve()
     # (its kernels are compiled at build time); we match by running one

@@ -259,3 +259,66 @@ class TestScipyDropIn:
         X = np.ones((30, 2))
         with pytest.raises(NotImplementedError, match="deflation"):
             lobpcg(A, X, Y=np.ones((30, 1)))
+
+
+class TestTesterEigsFlag:
+    """tester.py --eigs: the eigensolver CLI lane."""
+
+    def _mtx(self):
+        import pathlib
+
+        return str(pathlib.Path(__file__).resolve().parent.parent
+                   / "problems" / "poisson2d_34.mtx")
+
+    def test_lobpcg_lane_prints_protocol_and_json(self, capsys):
+        import json
+
+        import tester
+
+        rc = tester.main([self._mtx(), "--eigs", "4", "--dtype", "float32",
+                          "--precond", "jacobi", "--eigs-iters", "80"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        parts = out[-2].split()
+        assert len(parts) == 4 and int(parts[0]) == 1156
+        rec = json.loads(out[-1])
+        assert rec["method"] == "lobpcg" and rec["which"] == "smallest"
+        lam = rec["eigenvalues"]
+        assert lam == sorted(lam) and len(lam) == 4
+        # 2-D Poisson h=1/35: lambda_min = 2*(2 - cos(pi h) - cos(pi h))
+        lam_min = 4.0 * (1.0 - np.cos(np.pi / 35.0))
+        np.testing.assert_allclose(lam[0], lam_min, rtol=1e-3)
+
+    def test_lanczos_lane_and_rejections(self, capsys):
+        import json
+
+        import tester
+
+        rc = tester.main([self._mtx(), "--eigs", "3", "--eigs-method",
+                          "lanczos", "--eigs-which", "largest",
+                          "--eigs-iters", "60", "--dtype", "float32"])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        lam = rec["eigenvalues"]
+        assert lam == sorted(lam, reverse=True)
+        assert lam[0] > 7.0  # lambda_max of 2-D Poisson -> 8
+
+        assert tester.main([self._mtx(), "--eigs", "3", "--eigs-method",
+                            "lanczos", "--precond", "jacobi"]) == 2
+        assert tester.main([self._mtx(), "--eigs", "3", "--nrhs", "2"]) == 2
+        assert tester.main([self._mtx(), "--eigs", "3", "--eigs-method",
+                            "lanczos", "--history"]) == 2
+
+    def test_history_flag_lobpcg(self, capsys):
+        import json
+
+        import tester
+
+        rc = tester.main([self._mtx(), "--eigs", "2", "--dtype", "float32",
+                          "--eigs-iters", "15", "--history"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        hist = json.loads(out[-1])
+        rec = json.loads(out[-2])
+        assert len(hist["eigenvalue_history"]) == rec["iterations"] + 1
+        assert len(hist["eigenvalue_history"][0]) == 2
