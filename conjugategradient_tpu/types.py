@@ -206,6 +206,53 @@ class CSRMatrix(LinearOperator):
             tuple(a.shape), dtype=dtype,
         )
 
+    @staticmethod
+    def from_bcoo(a: Any, dtype=None) -> "CSRMatrix":
+        """Ingest a ``jax.experimental.sparse`` matrix (BCOO or BCSR).
+
+        The JAX-ecosystem counterpart of :meth:`from_scipy` (the reference's
+        foreign-matrix ``setMatrix`` overload, CG.hpp:105-151): models built
+        on jax.experimental.sparse hand their operator straight to the
+        solver.  BCOO buffers padded past the true nse carry OUT-OF-BOUNDS
+        indices with zero data (that is ``bcoo_fromdense``'s padding
+        convention) — those entries are dropped here.  Batched
+        (``n_batch > 0``) and dense-block (``n_dense > 0``) layouts have no
+        CSR equivalent and are rejected.
+        """
+        from jax.experimental import sparse as jsparse
+
+        if isinstance(a, jsparse.BCSR):
+            a = a.to_bcoo()
+        if not isinstance(a, jsparse.BCOO):
+            raise TypeError(
+                f"not a jax.experimental.sparse BCOO/BCSR: {type(a)!r}")
+        if a.n_batch or a.n_dense:
+            raise ValueError(
+                "BCOO with batch/dense dimensions (n_batch="
+                f"{a.n_batch}, n_dense={a.n_dense}) has no CSR equivalent; "
+                "index a single unbatched (n_batch=0, n_dense=0) matrix out"
+            )
+        ind = np.asarray(a.indices)
+        vals = np.asarray(a.data)
+        rows, cols = ind[:, 0], ind[:, 1]
+        keep = (rows >= 0) & (rows < a.shape[0]) \
+            & (cols >= 0) & (cols < a.shape[1])
+        return CSRMatrix.from_coo(
+            rows[keep], cols[keep], vals[keep], tuple(a.shape), dtype=dtype)
+
+    def to_bcoo(self):
+        """Export as a ``jax.experimental.sparse.BCOO`` (sorted, unique)."""
+        from jax.experimental import sparse as jsparse
+
+        ind = jnp.stack(
+            [self.row_ids.astype(jnp.int32), self.indices.astype(jnp.int32)],
+            axis=1,
+        )
+        return jsparse.BCOO(
+            (self.data, ind), shape=self.shape,
+            indices_sorted=True, unique_indices=True,
+        )
+
     # -- properties ----------------------------------------------------------
     @property
     def nnz(self) -> int:
@@ -1508,17 +1555,26 @@ def _is_scipy_sparse(a: Any) -> bool:
     )
 
 
+def _is_jax_sparse(a: Any) -> bool:
+    """jax.experimental.sparse check by module path — no import cost when
+    the feature is unused, and no isinstance against a lazily-loaded class."""
+    return (type(a).__module__ or "").startswith("jax.experimental.sparse")
+
+
 def as_linear_operator(a: Any, n: Optional[int] = None, dtype=None) -> LinearOperator:
     """Coerce common inputs into a LinearOperator.
 
     Accepts LinearOperator instances, scipy.sparse matrices (duck-typed),
-    dense 2-D arrays, and callables (requires ``n``).  This is the rebuild of
+    jax.experimental.sparse BCOO/BCSR matrices, dense 2-D arrays, and
+    callables (requires ``n``).  This is the rebuild of
     the reference's family of ``setMatrix`` overloads (CG.hpp:87-151) — incl.
     the external-framework adapter overload (CG.hpp:105-151) — as one
     functional ingest point.
     """
     if isinstance(a, LinearOperator):
         return a
+    if _is_jax_sparse(a):
+        return CSRMatrix.from_bcoo(a, dtype=dtype)
     if _is_scipy_sparse(a):
         return CSRMatrix.from_scipy(a, dtype=dtype)
     if callable(a) and not isinstance(a, (jnp.ndarray, np.ndarray)):

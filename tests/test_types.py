@@ -136,3 +136,74 @@ def test_poisson3d_coo_matches_loop_assembly():
     np.testing.assert_array_equal(
         np.asarray(a.matvec(jnp.asarray(x))), np.asarray(b.matvec(jnp.asarray(x)))
     )
+
+
+class TestJaxSparseIngest:
+    """BCOO/BCSR ingest (CSRMatrix.from_bcoo / as_linear_operator hook)."""
+
+    def _bcoo(self, nse=None):
+        from jax.experimental import sparse as jsparse
+
+        rows, cols, vals, shape = poisson2d_coo(8)
+        d = np.zeros(shape)
+        d[rows, cols] = vals
+        return jsparse.BCOO.fromdense(jnp.asarray(d), nse=nse), d
+
+    def test_bcoo_roundtrip_matvec(self):
+        m, d = self._bcoo()
+        A = CSRMatrix.from_bcoo(m)
+        assert A.nnz == int((d != 0).sum())
+        x = np.random.default_rng(0).standard_normal(d.shape[0])
+        np.testing.assert_allclose(
+            np.asarray(A.matvec(jnp.asarray(x))), d @ x, rtol=1e-12)
+
+    def test_padded_bcoo_drops_oob_entries(self):
+        _, d = self._bcoo()
+        nse_true = int((d != 0).sum())
+        m, d = self._bcoo(nse=nse_true + 17)  # over-padded buffer
+        A = CSRMatrix.from_bcoo(m)
+        assert A.nnz == nse_true
+        np.testing.assert_allclose(np.asarray(A.to_dense()), d, rtol=1e-12)
+
+    def test_bcsr_ingest(self):
+        from jax.experimental import sparse as jsparse
+
+        _, d = self._bcoo()
+        m = jsparse.BCSR.fromdense(jnp.asarray(d))
+        A = CSRMatrix.from_bcoo(m)
+        np.testing.assert_allclose(np.asarray(A.to_dense()), d, rtol=1e-12)
+
+    def test_as_linear_operator_dispatch(self):
+        m, d = self._bcoo()
+        op = as_linear_operator(m, dtype=jnp.float64)
+        assert isinstance(op, CSRMatrix) and op.dtype == jnp.float64
+
+    def test_batched_bcoo_rejected(self):
+        from jax.experimental import sparse as jsparse
+
+        dense = jnp.asarray(np.random.default_rng(1).random((2, 4, 4)))
+        m = jsparse.BCOO.fromdense(dense, n_batch=1)
+        with pytest.raises(ValueError, match="n_batch"):
+            CSRMatrix.from_bcoo(m)
+        with pytest.raises(TypeError, match="BCOO"):
+            CSRMatrix.from_bcoo(np.ones((3, 3)))
+
+    def test_to_bcoo_export(self):
+        from jax.experimental import sparse as jsparse
+
+        m, d = self._bcoo()
+        A = CSRMatrix.from_bcoo(m)
+        out = A.to_bcoo()
+        assert isinstance(out, jsparse.BCOO)
+        np.testing.assert_allclose(np.asarray(out.todense()), d, rtol=1e-12)
+
+    def test_cg_solve_on_bcoo(self):
+        from conjugategradient_tpu import cg_solve
+
+        m, d = self._bcoo()
+        n = d.shape[0]
+        b = jnp.arange(1.0, n + 1)
+        x, info = cg_solve(m, b, tol=1e-12)
+        assert bool(info.converged)
+        np.testing.assert_allclose(d @ np.asarray(x), np.asarray(b),
+                                   atol=1e-9)
