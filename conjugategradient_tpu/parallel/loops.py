@@ -782,6 +782,87 @@ def _sharded_pipelined_cg(
     return x, k, done, rnorm_final, rnorm_final, hist
 
 
+def _sharded_pipelined_pcg(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    inv_diag_s,
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+):
+    """Ghysels–Vanroose pipelined PCG per shard: the preconditioned
+    counterpart of :func:`_sharded_pipelined_cg`, still ONE psum per
+    iteration — the THREE scalars the preconditioned recurrences need
+    (γ = r·u, δ = w·u, and the termination observable ‖r‖²) stack into one
+    reduction where standard PCG pays two sequential rounds.  Recurrences
+    and rounding trade documented in solver/pipelined.py; ``inv_diag_s``
+    follows _precond_apply's contract (Jacobi array or general callable —
+    a callable may issue its own collectives, e.g. the sharded AMG
+    V-cycle)."""
+    acc = jnp.promote_types(b_s.dtype, jnp.float32)
+
+    def triple(r, u, w):
+        ra, ua, wa = r.astype(acc), u.astype(acc), w.astype(acc)
+        part = jnp.stack([
+            jnp.sum(ra * ua),
+            jnp.sum(wa * ua),
+            jnp.sum(ra * ra),
+        ])
+        return jax.lax.psum(part, axis)  # the iteration's ONLY reduction
+
+    r0 = b_s - local_matvec(x0_s)
+    u0 = _precond_apply(inv_diag_s, r0)
+    w0 = local_matvec(u0)
+    rnorm0 = jax.lax.psum(jnp.sum(r0.astype(acc) * r0.astype(acc)), axis)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=rnorm0.dtype)
+    hist = hist.at[0].set(rnorm0)
+    zerov = jnp.zeros_like(r0)
+    one = jnp.ones_like(rnorm0)
+    carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             x0_s, r0, u0, w0, zerov, zerov, zerov, zerov,
+             one, one, rnorm0, one, hist)
+
+    def body(c):
+        (k, done, x, r, u, w, z, q, s, p,
+         gamma_old, alpha_old, rnorm, _rho, hist) = c
+        gamma, delta, rr = [t for t in triple(r, u, w)]
+        # rr IS the pre-update ‖r_k‖² — record + test it with NO extra
+        # collective (matches the standard path's SURVEY §2.3(5) contract)
+        hist = hist.at[k].set(rr)
+        done = jnp.isnan(rr) | (jnp.sqrt(rr) <= tol_arr)
+        m = _precond_apply(inv_diag_s, w)
+        nu = local_matvec(m)
+        first = k == 0
+        exact = gamma == 0
+        beta = jnp.where(first | exact, 0.0, gamma / gamma_old)
+        denom = jnp.where(first, delta, delta - beta * gamma / alpha_old)
+        safe = jnp.where(denom == 0, 1.0, denom)
+        alpha = jnp.where(denom == 0, jnp.nan * one, gamma / safe)
+        alpha = jnp.where(exact, 0.0, alpha)
+        z = nu + (beta * z).astype(nu.dtype)
+        q = m + (beta * q).astype(m.dtype)
+        s = w + (beta * s).astype(w.dtype)
+        p = u + (beta * p).astype(u.dtype)
+        x = (x + alpha * p).astype(x.dtype)
+        r = (r - alpha * s).astype(r.dtype)
+        u = (u - alpha * q).astype(u.dtype)
+        w = (w - alpha * z).astype(w.dtype)
+        return (k + 1, done, x, r, u, w, z, q, s, p,
+                gamma, alpha, rr, gamma, hist)
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    out = jax.lax.while_loop(cond, body, carry)
+    k, done, x, r = out[0], out[1], out[2], out[3]
+    rho, hist = out[13], out[14]
+    # one post-loop reduction records the final residual
+    rnorm_final = jax.lax.psum(jnp.sum(r.astype(acc) * r.astype(acc)), axis)
+    hist = hist.at[k].set(rnorm_final)
+    return x, k, done, rho, rnorm_final, hist
+
+
 def _sharded_sstep_cg(
     local_matvec: Callable[[jax.Array], jax.Array],
     b_s: jax.Array,

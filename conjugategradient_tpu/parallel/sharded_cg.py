@@ -75,6 +75,7 @@ from .loops import (
     _sharded_minres,
     _sharded_pcg,
     _sharded_pipelined_cg,
+    _sharded_pipelined_pcg,
     _sharded_sstep_cg,
     _sstep_default_rcond,
 )
@@ -196,11 +197,12 @@ def _resolve_single_rhs_method(method, with_m, recompute_r_every, s, rcond, dtyp
     (and its cache key), so non-sstep methods pin them to inert constants."""
     if method not in ("standard", "pipelined", "sstep", "minres"):
         raise ValueError(f"unknown method {method!r}")
-    if method not in ("standard", "minres"):
-        if with_m:
-            raise ValueError(
-                f"method={method!r} is unpreconditioned (inv_diag=None)"
-            )
+    if method == "sstep" and with_m:
+        # pipelined composes with preconditioning (Ghysels–Vanroose,
+        # loops._sharded_pipelined_pcg); only s-step stays unpreconditioned
+        raise ValueError(
+            f"method={method!r} is unpreconditioned (inv_diag=None)"
+        )
     if method != "standard":
         if recompute_r_every:
             raise ValueError(
@@ -305,13 +307,13 @@ def _sharded_solve(
     if M_local is not None:
         if with_m:
             raise ValueError("pass either inv_diag or M_local, not both")
-        if method not in ("standard", "minres"):
-            # minres composes too (_sharded_minres preconditions through
-            # the same _precond_apply contract; M must be SPD) — the
-            # communication-avoiding methods are unpreconditioned
+        if method not in ("standard", "minres", "pipelined"):
+            # minres and pipelined compose too (both precondition through
+            # the same _precond_apply contract; M must be SPD) — s-step
+            # stays unpreconditioned
             raise ValueError(
-                f"M_local runs the standard or minres per-shard loop "
-                f"(method={method!r})"
+                f"M_local runs the standard, minres, or pipelined "
+                f"per-shard loop (method={method!r})"
             )
         if basis is not None:
             raise ValueError("M_local and basis= (deflation) are exclusive")
@@ -395,6 +397,11 @@ def _sharded_solve(
                     axis,
                 )
             if method == "pipelined":
+                if inv_diag_s is not None:
+                    return _sharded_pipelined_pcg(
+                        local_matvec, b_s, x0_s, inv_diag_s, tol_arr,
+                        maxiter, axis,
+                    )
                 return _sharded_pipelined_cg(
                     local_matvec, b_s, x0_s, tol_arr, maxiter, axis
                 )
@@ -491,12 +498,13 @@ def sharded_cg_solve(
         the r·z reduction).  ``interpret`` runs those kernels in interpret
         mode (CPU testing).
       method: "standard" (Hestenes–Stiefel, two psum rounds/iteration),
-        "pipelined" (Chronopoulos–Gear, ONE psum of the stacked [γ, δ]
-        pair/iteration — halves collective latency; see solver/pipelined.py
-        for the rounding trade), or "sstep" (communication-avoiding, ONE
-        psum of a (3s+1)² Gram per ``s`` iterations — see solver/sstep.py
-        for the algebra and the κ(A)ˢ rounding trade).  Both extensions are
-        unpreconditioned.
+        "pipelined" (ONE psum of stacked scalars per iteration — halves
+        collective latency; Chronopoulos–Gear, or the Ghysels–Vanroose
+        preconditioned recurrences when ``inv_diag``/``M_local`` is given;
+        see solver/pipelined.py for the rounding trade), or "sstep"
+        (communication-avoiding, ONE psum of a (3s+1)² Gram per ``s``
+        iterations — see solver/sstep.py for the algebra and the κ(A)ˢ
+        rounding trade; unpreconditioned).
       recompute_r_every: if > 0, replace the recurrence residual with the
         true residual AND reset the direction every that many iterations
         (full restart — solver/cg.py's residual-replacement semantics on the
@@ -744,8 +752,9 @@ def sharded_dia_cg_solve(
         (Chronopoulos–Gear, ONE psum round), or "sstep" (ONE Gram psum per
         ``s`` iterations; method="sstep" rides the matrix-powers kernel —
         the whole s-matvec basis from ONE widened ring halo — when
-        s·w <= rows_per_shard).  Extensions are unpreconditioned; the
-        ring-halo SpMV count is unchanged.
+        s·w <= rows_per_shard).  Pipelined composes with ``inv_diag``
+        (Ghysels–Vanroose); s-step is unpreconditioned.  The ring-halo
+        SpMV count is unchanged either way.
       s / rcond: s-step block size / Gram cutoff (method="sstep" only).
     """
     mesh = mesh or make_row_mesh(axis=axis)
@@ -876,8 +885,9 @@ def sharded_sell_cg_solve(
       sell_sharded: the (diag, pos, cols_flat, vals_flat, bucket_meta,
         n_padded) tuple from :func:`partition_sell_rows`.
       method: "standard" (two psum rounds/iteration), "pipelined"
-        (Chronopoulos–Gear, ONE psum round), or "sstep" (ONE Gram psum per
-        ``s`` iterations; solver/sstep.py).  Extensions are unpreconditioned.
+        (ONE psum round; Ghysels–Vanroose when preconditioned), or "sstep"
+        (ONE Gram psum per ``s`` iterations; solver/sstep.py —
+        unpreconditioned).
       s / rcond: s-step block size / Gram cutoff (method="sstep" only).
     """
     diag, pos, cols_flat, vals_flat, meta, n_padded_meta = sell_sharded

@@ -17,8 +17,27 @@ collective:
 Mathematically identical to CG; in floating point the extra q-recurrence
 accumulates slightly more rounding than Hestenes–Stiefel, which is the
 classic trade for one synchronization per iteration (Chronopoulos & Gear
-1989).  Use ``recompute`` to refresh q = A·p periodically if running many
-thousands of f32 iterations.
+1989).
+
+With a preconditioner (``M=``) the recurrences are Ghysels–Vanroose
+(SIAM J. Sci. Comput. 36(4), 2014) — the production distributed-PCG
+algorithm.  Three auxiliary vectors keep u = M·r and w = A·u consistent
+so the THREE scalars the iteration needs (γ = r·u, δ = w·u, and the
+termination observable ‖r‖²) are dots over the same vector trio, fused
+into one reduction pass — on a device mesh, ONE psum per iteration where
+standard PCG takes two sequential rounds:
+
+    γ   = r·u,  δ = w·u,  rr = r·r   (one fused reduction)
+    m   = M·w;  ν = A·m               (the iteration's apply pair)
+    β   = γ/γ₋  (0 at k=0)
+    α   = γ / (δ − β·γ/α₋)            (γ/δ at k=0)
+    z   = ν + β·z;  q = m + β·q;  s = w + β·s;  p = u + β·p
+    x  += α·p;  r −= α·s;  u −= α·q;  w −= α·z
+
+(z ≡ A·M·s, q ≡ M·s, s ≡ A·p by induction.)  Two extra vector
+recurrences beyond Chronopoulos–Gear is the price; the rounding drift
+grows accordingly — refresh with a true residual for many-thousand-
+iteration f32 runs.
 
 Termination matches the framework contract (SURVEY §2.3): the pre-update
 ‖r_k‖² tests against the absolute tolerance; NaN exits; maxiter caps.
@@ -27,7 +46,7 @@ Termination matches the framework contract (SURVEY §2.3): the pre-update
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,13 +63,18 @@ def pipelined_cg_solve(
     tol: float = 0.0,
     maxiter: Optional[int] = None,
     n: Optional[int] = None,
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> Tuple[jax.Array, CGInfo]:
     """Solve SPD ``A x = b`` with single-sync CG.  Same call shape and
-    CGInfo contract as :func:`~conjugategradient_tpu.cg_solve`."""
+    CGInfo contract as :func:`~conjugategradient_tpu.cg_solve`; with
+    ``M`` the loop runs the Ghysels–Vanroose preconditioned recurrences
+    (module docstring) — still one fused reduction per iteration."""
     op = as_linear_operator(A, n=n, dtype=getattr(b, "dtype", None))
     N = op.shape[0]
     maxiter = int(N + 1 if maxiter is None else maxiter)
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
+    if M is not None:
+        return _prec_core(op, b, x0, tol_arr, maxiter, M)
     if x0 is None:
         return _solve_core(op, b, None, tol_arr, maxiter)
     return _solve_core(op, b, x0, tol_arr, maxiter)
@@ -113,6 +137,78 @@ def _solve_core(op, b, x0, tol_arr, maxiter):
         iterations=k,
         converged=done & ~jnp.isnan(rnorm),
         rho=gamma,
+        rnorm_sq=rnorm,
+        rho_history=hist,
+    )
+    return x, info
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter", "M"))
+def _prec_core(op, b, x0, tol_arr, maxiter, M):
+    """Ghysels–Vanroose pipelined PCG (module docstring).  ``M`` is a
+    static closure like cg_solve's — each distinct preconditioner object
+    compiles its own loop."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - op.matvec(x)
+    u0 = M(r0)
+    w0 = op.matvec(u0)
+    rnorm0 = jnp.sum(r0 * r0)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=rnorm0.dtype)
+    hist = hist.at[0].set(rnorm0)
+    zerov = jnp.zeros_like(r0)
+    one = jnp.ones_like(rnorm0)
+    carry = (
+        jnp.asarray(0, jnp.int32),  # k
+        jnp.asarray(False),  # done
+        x, r0, u0, w0,
+        zerov, zerov, zerov, zerov,  # z, q, s, p
+        one,  # γ_{k-1} placeholder (unused at k=0 via β=0)
+        one,  # α_{k-1} placeholder
+        rnorm0,  # current ‖r‖² for the termination test
+        one,  # ρ = γ for CGInfo
+        hist,
+    )
+
+    def body(c):
+        (k, done, x, r, u, w, z, q, s, p,
+         gamma_old, alpha_old, rnorm, _rho, hist) = c
+        gamma = jnp.sum(r * u)
+        delta = jnp.sum(w * u)  # fused with gamma: one reduction pass
+        m = M(w)
+        nu = op.matvec(m)
+        first = k == 0
+        exact = gamma == 0  # converged exactly: freeze (cg.py's ρ==0 guard)
+        beta = jnp.where(first | exact, 0.0, gamma / gamma_old)
+        denom = jnp.where(first, delta, delta - beta * gamma / alpha_old)
+        safe = jnp.where(denom == 0, 1.0, denom)
+        alpha = jnp.where(denom == 0, jnp.nan * one, gamma / safe)
+        alpha = jnp.where(exact, 0.0, alpha)
+        z = nu + beta * z
+        q = m + beta * q
+        s = w + beta * s
+        p = u + beta * p
+        x = x + alpha * p
+        r = r - alpha * s
+        u = u - alpha * q
+        w = w - alpha * z
+        # pre-update termination on the carried ‖r_k‖² (SURVEY §2.3(5))
+        done = jnp.isnan(rnorm) | (jnp.sqrt(rnorm) <= tol_arr)
+        rnorm_next = jnp.sum(r * r)
+        k = k + 1
+        hist = hist.at[k].set(rnorm_next)
+        return (k, done, x, r, u, w, z, q, s, p,
+                gamma, alpha, rnorm_next, gamma, hist)
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    out = jax.lax.while_loop(cond, body, carry)
+    k, done, x = out[0], out[1], out[2]
+    rnorm, rho, hist = out[12], out[13], out[14]
+    info = CGInfo(
+        iterations=k,
+        converged=done & ~jnp.isnan(rnorm),
+        rho=rho,
         rnorm_sq=rnorm,
         rho_history=hist,
     )

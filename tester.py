@@ -68,9 +68,10 @@ def main(argv=None) -> int:
                     choices=("standard", "pipelined", "sstep", "block",
                              "minres"),
                     default="standard",
-                    help="pipelined = single-synchronization Chronopoulos-"
-                         "Gear CG (one global reduction per iteration; "
-                         "unpreconditioned); sstep = communication-avoiding "
+                    help="pipelined = single-synchronization CG (one global "
+                         "reduction per iteration; Chronopoulos-Gear, or "
+                         "Ghysels-Vanroose when --precond is given); sstep "
+                         "= communication-avoiding "
                          "s-step CG (one Gram reduction per --sstep-s "
                          "iterations; unpreconditioned); block = block CG "
                          "(with --nrhs R: one shared Krylov space, fewer "
@@ -368,8 +369,8 @@ def main(argv=None) -> int:
               "(no --method/--nrhs/--refine/--progress)", file=sys.stderr)
         return 2
     if args.method in ("pipelined", "sstep"):
-        if M is not None:
-            print(f"error: --method {args.method} is unpreconditioned",
+        if M is not None and args.method == "sstep":
+            print("error: --method sstep is unpreconditioned",
                   file=sys.stderr)
             return 2
         if args.nrhs > 1:
@@ -385,13 +386,15 @@ def main(argv=None) -> int:
                 )
             )
         else:
+            # --precond composes: the Ghysels–Vanroose preconditioned
+            # recurrences keep the single fused reduction per iteration
             from conjugategradient_tpu.solver.pipelined import (
                 pipelined_cg_solve,
             )
 
             solve = jax.jit(
                 lambda b_: pipelined_cg_solve(
-                    A, b_, tol=args.tol, maxiter=args.maxiter
+                    A, b_, tol=args.tol, maxiter=args.maxiter, M=M
                 )
             )
     elif args.method == "minres":

@@ -93,6 +93,41 @@ def test_pipelined_one_reduction_per_iteration():
     assert ag == 1
 
 
+def test_pipelined_pcg_one_reduction_per_iteration():
+    """The preconditioned (Ghysels–Vanroose) pipelined loop must keep the
+    single fused reduction — that is the variant's entire reason to exist
+    next to standard PCG's two sequential psum rounds."""
+    rows, cols, vals, shape = poisson2d_coo(16)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    blocks, bcols, n_pad = partition_csr_rows(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, N_DEV, bm=8, bn=8,
+    )
+    n = shape[0]
+    b = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        jnp.asarray(reference_rhs(n, dtype=np.float32))
+    )
+    inv_diag = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        1.0 / A.diagonal()
+    )
+    mesh = make_row_mesh(jax.devices()[:N_DEV])
+    sc._SOLVE_CACHE.clear()
+    sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, mesh=mesh,
+        tol=0.0, maxiter=4, method="pipelined", inv_diag=inv_diag,
+        use_fused="never",
+    )
+    ((key, fn),) = list(sc._SOLVE_CACHE.items())
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P("rows")))
+    args = [put(jnp.asarray(blocks)), put(jnp.asarray(bcols)), put(b),
+            put(jnp.zeros_like(b)), put(inv_diag)]
+    txt = fn.lower(*args).compile().as_text()
+    sc._SOLVE_CACHE.clear()
+    ar, ag = _while_body_collectives(txt)
+    assert ar == 1, f"pipelined PCG must psum ONCE per iteration, got {ar}"
+    assert ag == 1  # ONE SpMV per GV iteration (ν = A·m); w rides a recurrence
+
+
 def test_minres_matches_cg_collective_pattern():
     """MINRES's whole point on the mesh: indefinite capability at CG's
     exact communication cost — 2 psums (v·y, the Lanczos β norm) + 1

@@ -303,20 +303,83 @@ def test_sharded_pipelined_single_psum_matches_standard():
     )
 
 
-def test_sharded_pipelined_rejects_preconditioner():
-    rows, cols, vals, shape = poisson2d_coo(10)
+def test_sharded_pipelined_pcg_matches_standard_pcg():
+    """Ghysels–Vanroose pipelined PCG (one psum of [γ, δ, ‖r‖²] per
+    iteration) must match the two-psum standard Jacobi-PCG path."""
+    from conjugategradient_tpu import jacobi_preconditioner
+
+    rows, cols, vals, shape = poisson2d_coo(20)
     A = CSRMatrix.from_coo(rows, cols, vals, shape)
     blocks, bcols, n_pad = partition_csr_rows(
         np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
         shape, N_DEV, bm=8, bn=8,
     )
-    b = jnp.ones((n_pad,))
+    n = shape[0]
+    b = jnp.zeros((n_pad,)).at[:n].set(jnp.asarray(reference_rhs(n)))
+    inv_diag = jnp.zeros((n_pad,)).at[:n].set(1.0 / A.diagonal())
+    x_s, i_s = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-10,
+        maxiter=n + 1, inv_diag=inv_diag, use_fused="never",
+    )
+    x_p, i_p = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-10,
+        maxiter=n + 1, inv_diag=inv_diag, method="pipelined",
+    )
+    assert int(i_p.iterations) == int(i_s.iterations)
+    assert bool(i_p.converged)
+    np.testing.assert_allclose(
+        np.asarray(x_p[:n]), np.asarray(x_s[:n]), rtol=1e-8, atol=1e-10
+    )
+    # history parity outside the converged tail (both record ‖r_k‖²)
+    k = int(i_s.iterations)
+    h_s = np.asarray(i_s.rho_history)[:k]
+    h_p = np.asarray(i_p.rho_history)[:k]
+    sel = h_s > h_s[0] * 1e-12
+    np.testing.assert_allclose(h_p[sel], h_s[sel], rtol=1e-6)
+
+
+def test_sharded_pipelined_m_local_and_sstep_rejection():
+    """General M_local callables ride the pipelined loop too; s-step
+    stays unpreconditioned."""
+    rows, cols, vals, shape = poisson2d_coo(12)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    blocks, bcols, n_pad = partition_csr_rows(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, N_DEV, bm=8, bn=8,
+    )
+    n = shape[0]
+    b = jnp.zeros((n_pad,)).at[:n].set(jnp.asarray(reference_rhs(n)))
+    inv_diag = jnp.zeros((n_pad,)).at[:n].set(1.0 / A.diagonal())
+    x_ref, i_ref = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-10,
+        maxiter=n + 1, inv_diag=inv_diag, method="pipelined",
+    )
+    d_host = np.asarray(inv_diag).reshape(N_DEV, -1)
+
+    def make_apply(shards):
+        (d_s,) = shards
+        return lambda r: d_s * r
+
+    from conjugategradient_tpu.parallel import ShardedPreconditioner
+
+    M_local = ShardedPreconditioner(
+        op_arrays=(jnp.asarray(d_host),), make_local_apply=make_apply,
+    )
+    x_m, i_m = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-10,
+        maxiter=n + 1, M_local=M_local, method="pipelined",
+    )
+    assert int(i_m.iterations) == int(i_ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(x_m[:n]), np.asarray(x_ref[:n]), rtol=1e-10, atol=1e-12
+    )
+
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="pipelined"):
+    with _pytest.raises(ValueError, match="sstep"):
         sharded_cg_solve(
             jnp.asarray(blocks), jnp.asarray(bcols), b,
-            inv_diag=jnp.ones((n_pad,)), method="pipelined",
+            inv_diag=inv_diag, method="sstep",
         )
 
 

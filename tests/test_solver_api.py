@@ -233,6 +233,77 @@ def test_pipelined_cg_matches_plain():
     np.testing.assert_allclose(h2, h1, rtol=1e-8)
 
 
+def test_pipelined_pcg_matches_preconditioned_cg():
+    """Ghysels–Vanroose preconditioned pipelined CG (M=) reproduces the
+    standard PCG trajectory: same iteration count, same solution, matching
+    ‖r‖² history."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import CSRMatrix, cg_solve, jacobi_preconditioner
+    from conjugategradient_tpu.problems import poisson2d_coo, reference_rhs
+    from conjugategradient_tpu.solver.pipelined import pipelined_cg_solve
+
+    rows, cols, vals, shape = poisson2d_coo(16)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    # scale rows/cols so Jacobi actually changes the trajectory
+    d = jnp.exp(jnp.linspace(0.0, 2.0, shape[0]))
+    A = CSRMatrix.from_coo(
+        rows, cols,
+        np.asarray(vals) * np.asarray(d)[rows] * np.asarray(d)[cols], shape,
+    )
+    b = jnp.asarray(reference_rhs(shape[0]))
+    M = jacobi_preconditioner(A)
+    x_ref, i_ref = cg_solve(A, b, tol=1e-10, M=M, fused="never")
+    x_p, i_p = pipelined_cg_solve(A, b, tol=1e-10, M=M)
+    assert int(i_p.iterations) == int(i_ref.iterations)
+    assert bool(i_p.converged)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref),
+                               rtol=1e-8, atol=1e-10)
+    k = int(i_ref.iterations)
+    h1 = np.asarray(i_ref.rho_history)[:k]
+    h2 = np.asarray(i_p.rho_history)[:k]
+    sel = h1 > h1[0] * 1e-12
+    np.testing.assert_allclose(h2[sel], h1[sel], rtol=1e-6)
+    # CGInfo.rho carries γ = r·u (the PCG ρ convention, like cg.py)
+    assert float(i_p.rnorm_sq) <= 1e-20
+
+
+def test_pipelined_pcg_zero_rhs_and_breakdown():
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solver.pipelined import pipelined_cg_solve
+
+    x, info = pipelined_cg_solve(
+        jnp.eye(8), jnp.zeros((8,)), tol=1e-30, M=lambda z: 0.5 * z
+    )
+    assert bool(jnp.all(x == 0))
+    sing = jnp.zeros((8, 8))
+    x2, i2 = pipelined_cg_solve(
+        sing, jnp.ones((8,)), tol=1e-10, maxiter=20, M=lambda z: z
+    )
+    assert not bool(i2.converged)
+    assert int(i2.iterations) < 20  # NaN exit, not a spin to the cap
+
+
+def test_tester_pipelined_precond_flag(capsys):
+    """CLI surface: --method pipelined now composes with --precond
+    (Ghysels–Vanroose); --method sstep still rejects it."""
+    import pathlib
+
+    import tester
+
+    mtx = str(pathlib.Path(__file__).resolve().parent.parent
+              / "problems" / "poisson2d_34.mtx")
+    rc = tester.main([mtx, "--method", "pipelined", "--precond", "jacobi",
+                      "--tol", "1e-8"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parts = line.split()
+    assert len(parts) == 4 and int(parts[0]) == 1156
+    assert float(parts[3]) < 1e-10
+    assert tester.main([mtx, "--method", "sstep", "--precond", "jacobi"]) == 2
+
+
 def test_pipelined_cg_zero_rhs_and_breakdown():
     import jax.numpy as jnp
 
