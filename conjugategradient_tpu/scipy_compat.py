@@ -35,7 +35,7 @@ import numpy as np
 from .solver.cg import cg_solve
 from .types import as_linear_operator
 
-__all__ = ["cg", "minres", "lobpcg"]
+__all__ = ["cg", "minres", "lobpcg", "eigsh"]
 
 
 def _check_traceable(fn, n, dtype, what: str):
@@ -296,3 +296,103 @@ def lobpcg(
     if retResidualNormsHistory:
         out.append([row for row in rn_h])
     return tuple(out) if len(out) > 2 else (w, v)
+
+
+def eigsh(
+    A: Any,
+    k: int = 6,
+    M: Any = None,
+    sigma: Optional[float] = None,
+    which: str = "LM",
+    v0=None,
+    ncv: Optional[int] = None,
+    maxiter: Optional[int] = None,
+    tol: float = 0,
+    return_eigenvectors: bool = True,
+    Minv: Any = None,
+    OPinv: Any = None,
+    mode: str = "normal",
+):
+    """Drop-in for ``scipy.sparse.linalg.eigsh`` on SPD operators.
+
+    Same conventions as scipy/ARPACK for the supported surface:
+    eigenvalues return ASCENDING regardless of ``which``; ``which`` picks
+    the converged end — ``"LM"``/``"LA"`` the largest, ``"SM"``/``"SA"``
+    the smallest (identical pairs on the SPD domain this framework
+    serves); convergence is ARPACK's ``‖A xᵢ − λᵢ xᵢ‖ ≤ tol·|λᵢ|``;
+    ``ncv`` seeds the Krylov subspace size (ARPACK's default
+    ``min(n, max(2k+1, 20))``); ``v0`` starts the iteration.
+
+    Standard problems run the one-dispatch reorthogonalized Lanczos pass
+    (:func:`~conjugategradient_tpu.lanczos_eigs`), doubling the subspace
+    until every requested pair converges — the restart-free analogue of
+    ARPACK's implicit restarts (``maxiter`` caps the total Krylov
+    dimension instead of a restart count; default: the full space,
+    where reorthogonalized Lanczos is exact).  Generalized problems
+    (``M`` = the SPD mass matrix, ``A x = λ M x``) run preconditioned
+    LOBPCG (:func:`~conjugategradient_tpu.lobpcg_eigs`), where ``maxiter``
+    caps LOBPCG iterations (default 200).
+
+    Intentional differences: ``tol=0`` (ARPACK: machine precision) maps
+    to ``sqrt(eps)`` of the operator dtype — the single-pass Lanczos
+    residual bound stagnates near there; shift-invert (``sigma``/
+    ``Minv``/``OPinv``/``mode != "normal"``) is not supported — interior
+    eigenvalues need inner solves this API deliberately does not grow
+    (``which="SM"`` converges the small end DIRECTLY, no factorization,
+    which is the usual reason scipy users reach for sigma=0); ``"BE"``
+    (both ends) is not supported.
+    """
+    if sigma is not None or Minv is not None or OPinv is not None \
+            or mode != "normal":
+        raise NotImplementedError(
+            "shift-invert (sigma/Minv/OPinv/mode) is not supported: the "
+            "small end converges directly with which='SM' (Lanczos) or "
+            "via preconditioned LOBPCG (scipy_compat.lobpcg / "
+            "lobpcg_eigs(M=...)) — no factorization needed"
+        )
+    if which not in ("LM", "LA", "SM", "SA"):
+        raise NotImplementedError(
+            f"which={which!r} is not supported (use 'LM'/'LA'/'SM'/'SA'; "
+            "'BE' needs two calls, one per end)"
+        )
+    from .solver.eigs import lanczos_eigs
+    from .solver.lobpcg import lobpcg_eigs
+
+    op = as_linear_operator(A)
+    n = op.shape[0]
+    k = int(k)
+    if not 0 < k < n:
+        raise ValueError(f"k={k} must satisfy 0 < k < n={n}")
+    end = "largest" if which in ("LM", "LA") else "smallest"
+    eps = float(np.finfo(np.dtype(op.dtype)).eps)
+    rtol = float(tol) if tol else float(np.sqrt(eps))
+
+    if M is not None:
+        op_m = as_linear_operator(M, n=n, dtype=op.dtype)
+        res = lobpcg_eigs(
+            op, k=k, B=op_m, which=end, tol=rtol,
+            maxiter=200 if maxiter is None else int(maxiter),
+        )
+    else:
+        m = int(ncv) if ncv is not None else min(n, max(2 * k + 1, 20))
+        m = max(m, 2 * k)
+        # default cap: the full space (reorthogonalized Lanczos at m = n is
+        # exact, so convergence is guaranteed); maxiter caps the total
+        # Krylov budget below that
+        m_cap = min(n, int(maxiter)) if maxiter is not None else n
+        m_cap = max(m_cap, min(m, n))
+        v0j = None if v0 is None else jnp.asarray(v0)
+        while True:
+            res = lanczos_eigs(
+                op, k=k, which=end, iters=min(m, m_cap), v0=v0j, rtol=rtol)
+            if bool(np.all(res.converged)) or m >= m_cap:
+                break
+            m = min(2 * m, m_cap)
+
+    # scipy returns ascending for eigsh regardless of which end converged
+    order = np.argsort(np.asarray(res.values, dtype=np.float64))
+    w = np.asarray(res.values)[order]
+    if not return_eigenvectors:
+        return w
+    v = np.asarray(res.vectors)[:, order]
+    return w, v

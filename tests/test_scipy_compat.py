@@ -174,3 +174,71 @@ class TestMinres:
         Ad, b = self._indefinite()
         x, info = minres(jnp.asarray(Ad), b, rtol=1e-14, maxiter=3)
         assert info == 3
+
+
+class TestEigsh:
+    """scipy.sparse.linalg.eigsh drop-in (scipy_compat.eigsh)."""
+
+    def _problem(self, nx=12):
+        A, _ = _scipy_problem(nx)
+        return A
+
+    @pytest.mark.parametrize("which", ["LM", "LA", "SM", "SA"])
+    def test_matches_scipy_both_ends(self, which):
+        from scipy.sparse.linalg import eigsh as scipy_eigsh
+
+        from conjugategradient_tpu.scipy_compat import eigsh
+
+        A = self._problem()
+        w, v = eigsh(A, k=4, which=which)
+        w_ref = np.sort(scipy_eigsh(A, k=4, which=which)[0])
+        np.testing.assert_allclose(w, w_ref, rtol=1e-8)
+        assert list(w) == sorted(w)  # ascending regardless of which
+        resid = np.linalg.norm(A @ v - v * w, axis=0)
+        assert (resid <= 1e-6 * np.abs(w)).all()
+
+    def test_return_eigenvectors_false_and_v0(self):
+        from conjugategradient_tpu.scipy_compat import eigsh
+
+        A = self._problem()
+        n = A.shape[0]
+        w = eigsh(A, k=3, return_eigenvectors=False,
+                  v0=np.ones(n) / np.sqrt(n))
+        assert w.shape == (3,) and list(w) == sorted(w)
+
+    def test_generalized_pencil(self):
+        import scipy.linalg
+
+        from conjugategradient_tpu.scipy_compat import eigsh
+
+        A = self._problem()
+        n = A.shape[0]
+        B = scipy_sparse.diags(np.linspace(1.0, 2.0, n)).tocsr()
+        w, v = eigsh(A, k=3, which="SM", M=B, tol=1e-8)
+        w_ref = scipy.linalg.eigh(A.toarray(), B.toarray(),
+                                  eigvals_only=True)[:3]
+        np.testing.assert_allclose(w, w_ref, rtol=1e-6)
+        # B-orthonormal Ritz vectors
+        g = v.T @ (B @ v)
+        np.testing.assert_allclose(g, np.eye(3), atol=1e-6)
+
+    def test_subspace_doubles_until_converged(self):
+        """A deliberately tiny ncv must still converge (the adaptive
+        doubling, ARPACK's implicit-restart analogue)."""
+        from conjugategradient_tpu.scipy_compat import eigsh
+
+        A = self._problem(16)
+        w, v = eigsh(A, k=2, which="SM", ncv=4, tol=1e-8)
+        resid = np.linalg.norm(A @ v - v * w, axis=0)
+        assert (resid <= 1e-7 * np.abs(w)).all()
+
+    def test_rejections(self):
+        from conjugategradient_tpu.scipy_compat import eigsh
+
+        A = self._problem()
+        with pytest.raises(NotImplementedError, match="shift-invert"):
+            eigsh(A, k=2, sigma=0.5)
+        with pytest.raises(NotImplementedError, match="BE"):
+            eigsh(A, k=2, which="BE")
+        with pytest.raises(ValueError, match="k="):
+            eigsh(A, k=0)
