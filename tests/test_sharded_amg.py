@@ -254,9 +254,24 @@ def test_validation():
     with pytest.raises(ValueError, match="not both"):
         sharded_cg_solve(blocks, bcols, b, mesh=mesh,
                          inv_diag=jnp.ones((n_padded,)), M_local=pre)
-    with pytest.raises(ValueError, match="standard"):
+    with pytest.raises(ValueError, match="sstep"):
         sharded_cg_solve(blocks, bcols, b, mesh=mesh,
-                         method="pipelined", M_local=pre)
+                         method="sstep", M_local=pre)
+    # pipelined now COMPOSES with M_local (Ghysels–Vanroose, round 4):
+    # the AMG V-cycle rides the single-psum loop
+    from conjugategradient_tpu.problems import reference_rhs
+
+    b_real = jnp.zeros((n_padded,), jnp.float64).at[:n].set(
+        jnp.asarray(reference_rhs(n)))
+    x_gv, i_gv = sharded_cg_solve(blocks, bcols, b_real, mesh=mesh,
+                                  method="pipelined", M_local=pre,
+                                  tol=1e-8, maxiter=200)
+    assert bool(i_gv.converged)
+    x_st, i_st = sharded_cg_solve(blocks, bcols, b_real, mesh=mesh,
+                                  M_local=pre, tol=1e-8, maxiter=200)
+    assert int(i_gv.iterations) == int(i_st.iterations)
+    np.testing.assert_allclose(np.asarray(x_gv[:n]), np.asarray(x_st[:n]),
+                               rtol=1e-8, atol=1e-10)
     with pytest.raises(ValueError, match="general-M"):
         sharded_cg_solve(blocks, bcols, b, mesh=mesh,
                          use_fused="always", M_local=pre)
