@@ -331,7 +331,11 @@ def eigsh(
     where reorthogonalized Lanczos is exact).  Generalized problems
     (``M`` = the SPD mass matrix, ``A x = λ M x``) run preconditioned
     LOBPCG (:func:`~conjugategradient_tpu.lobpcg_eigs`), where ``maxiter``
-    caps LOBPCG iterations (default 200).
+    caps LOBPCG iterations (default 200).  When the budget runs out before
+    every pair meets the per-pair test, scipy's own
+    ``ArpackNoConvergence`` is raised (carrying the converged
+    eigenvalues) — matching the failure contract migrating code relies
+    on.
 
     Intentional differences: ``tol=0`` (ARPACK: machine precision) maps
     to ``sqrt(eps)`` of the operator dtype — the single-pass Lanczos
@@ -367,31 +371,105 @@ def eigsh(
     eps = float(np.finfo(np.dtype(op.dtype)).eps)
     rtol = float(tol) if tol else float(np.sqrt(eps))
 
+    def _pair_converged(res):
+        # ARPACK's per-pair test ‖A xᵢ − λᵢ xᵢ‖ ≤ tol·|λᵢ| — recomputed
+        # here because lobpcg_eigs's own flag scales by the LARGEST Ritz
+        # value (looser for interior/small pairs)
+        vals = np.asarray(res.values, np.float64)
+        resid = np.asarray(res.residuals, np.float64)
+        return vals.size >= k and bool(
+            np.all(resid <= rtol * np.maximum(np.abs(vals), 1e-300))
+        )
+
+    def _lobpcg(tol_inner=None, absolute=False, X0=None, mi_default=200):
+        return lobpcg_eigs(
+            op, k=k, B=None if M is None else op_m, which=end,
+            tol=rtol if tol_inner is None else tol_inner,
+            tol_absolute=absolute, X0=X0,
+            maxiter=mi_default if maxiter is None else int(maxiter),
+        )
+
+    def _lobpcg_to_pair_tol():
+        # lobpcg_eigs's internal test scales by the LARGEST Ritz value of
+        # the whole pencil (≈ λ_max); the ARPACK contract is per-pair
+        # (rtol·|λᵢ|).  One warm-restarted refinement round at the
+        # ABSOLUTE tolerance rtol·min|λᵢ| (implied by the strictest pair)
+        # closes the gap when the first pass stopped at its looser test.
+        res = _lobpcg()
+        if not _pair_converged(res):
+            vals = np.abs(np.asarray(res.values, np.float64))
+            if vals.size and vals.min() > 0:
+                res = _lobpcg(tol_inner=rtol * float(vals.min()),
+                              absolute=True, X0=res.vectors)
+        return res
+
     if M is not None:
         op_m = as_linear_operator(M, n=n, dtype=op.dtype)
-        res = lobpcg_eigs(
-            op, k=k, B=op_m, which=end, tol=rtol,
-            maxiter=200 if maxiter is None else int(maxiter),
-        )
+        res = _lobpcg_to_pair_tol()
     else:
         m = int(ncv) if ncv is not None else min(n, max(2 * k + 1, 20))
         m = max(m, 2 * k)
         # default cap: the full space (reorthogonalized Lanczos at m = n is
         # exact, so convergence is guaranteed); maxiter caps the total
-        # Krylov budget below that
+        # Krylov budget below that (floored at 2k so k pairs exist at all)
         m_cap = min(n, int(maxiter)) if maxiter is not None else n
-        m_cap = max(m_cap, min(m, n))
+        m_cap = max(m_cap, min(2 * k, n))
         v0j = None if v0 is None else jnp.asarray(v0)
         while True:
             res = lanczos_eigs(
-                op, k=k, which=end, iters=min(m, m_cap), v0=v0j, rtol=rtol)
-            if bool(np.all(res.converged)) or m >= m_cap:
+                op, k=k, which=end, iters=min(m, m_cap), v0=v0j, rtol=rtol,
+                return_vectors=return_eigenvectors,
+            )
+            if _pair_converged(res) or m >= m_cap:
                 break
             m = min(2 * m, m_cap)
+        if np.asarray(res.values).size < k:
+            # Lanczos hit an invariant subspace before k pairs existed
+            # (degenerate spectrum — identity-like operators); the BLOCK
+            # iteration is immune, so finish there — or, when n is too
+            # small for a 3k block, just diagonalize the materialized
+            # operator (n < 3k means n is tiny)
+            if 3 * k <= n:
+                res = _lobpcg_to_pair_tol()
+            else:
+                eye = jnp.eye(n, dtype=op.dtype)
+                # column-at-a-time (n < 3k, so n is ~tens at most; some
+                # layout matvecs do not vmap — Pallas)
+                dense = jnp.stack(
+                    [op.matvec(eye[:, j]) for j in range(n)], axis=1)
+                w_all, v_all = np.linalg.eigh(
+                    np.asarray(dense, np.float64))
+                sl = slice(0, k) if end == "smallest" else slice(n - k, n)
+                w = w_all[sl]
+                if not return_eigenvectors:
+                    return w
+                return w, v_all[:, sl]
+
+    vals = np.asarray(res.values, np.float64)
+    if not _pair_converged(res):
+        conv = (
+            np.asarray(res.residuals, np.float64)
+            <= rtol * np.maximum(np.abs(vals), 1e-300)
+        )
+        w_ok = np.sort(vals[conv[: vals.size]])
+        try:  # raise scipy's own exception type where available
+            from scipy.sparse.linalg import ArpackNoConvergence
+
+            raise ArpackNoConvergence(
+                f"eigsh: only {int(conv.sum())}/{k} pairs converged to "
+                f"tol={rtol:g} within the iteration budget (raise maxiter/"
+                "ncv, or precondition via lobpcg_eigs(M=...))",
+                w_ok, np.empty((n, 0)),
+            )
+        except ImportError:  # pragma: no cover - scipy always present here
+            raise RuntimeError(
+                f"eigsh: only {int(conv.sum())}/{k} pairs converged "
+                f"(tol={rtol:g}); converged eigenvalues: {w_ok}"
+            ) from None
 
     # scipy returns ascending for eigsh regardless of which end converged
-    order = np.argsort(np.asarray(res.values, dtype=np.float64))
-    w = np.asarray(res.values)[order]
+    order = np.argsort(vals)
+    w = vals[order]
     if not return_eigenvectors:
         return w
     v = np.asarray(res.vectors)[:, order]

@@ -138,8 +138,20 @@ def make_deflation_basis(
     if method == "lobpcg":
         from .lobpcg import lobpcg_eigs
 
+        if lanczos_iters is not None:
+            raise ValueError(
+                "lanczos_iters applies to method='lanczos'; cap the LOBPCG "
+                "iterations with maxiter= instead"
+            )
+        X0 = None
+        if v0 is not None:
+            # seed the block with the caller's direction (a prior solve's
+            # residual, typically) + the default random complement
+            key = jax.random.PRNGKey(seed)
+            X0 = jax.random.normal(key, (m_rows, k), dtype=v0.dtype)
+            X0 = X0.at[:, 0].set(v0)
         res = lobpcg_eigs(
-            op, k=k, M=M, which="smallest",
+            op, k=k, M=M, which="smallest", X0=X0,
             maxiter=50 if maxiter is None else int(maxiter), seed=seed,
         )
         return deflation_basis_from_vectors(op, res.vectors)

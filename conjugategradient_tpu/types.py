@@ -232,6 +232,9 @@ class CSRMatrix(LinearOperator):
                 f"{a.n_batch}, n_dense={a.n_dense}) has no CSR equivalent; "
                 "index a single unbatched (n_batch=0, n_dense=0) matrix out"
             )
+        if len(a.shape) != 2:
+            raise ValueError(
+                f"expected a 2-D sparse matrix, got shape {tuple(a.shape)}")
         ind = np.asarray(a.indices)
         vals = np.asarray(a.data)
         rows, cols = ind[:, 0], ind[:, 1]
@@ -241,16 +244,31 @@ class CSRMatrix(LinearOperator):
             rows[keep], cols[keep], vals[keep], tuple(a.shape), dtype=dtype)
 
     def to_bcoo(self):
-        """Export as a ``jax.experimental.sparse.BCOO`` (sorted, unique)."""
+        """Export as a ``jax.experimental.sparse.BCOO``.
+
+        The ``indices_sorted``/``unique_indices`` flags are VERIFIED, not
+        assumed: ``from_coo`` canonicalizes, but ``from_arrays``/
+        ``from_scipy`` accept valid CSR whose in-row columns are unsorted
+        or duplicated, and wrongly claiming uniqueness makes downstream
+        bcoo ops (duplicate-sum elision, dot_general transposes)
+        undefined.  The check is one host pass over concrete index
+        arrays; under tracing it conservatively claims neither flag."""
         from jax.experimental import sparse as jsparse
 
         ind = jnp.stack(
             [self.row_ids.astype(jnp.int32), self.indices.astype(jnp.int32)],
             axis=1,
         )
+        sorted_unique = False
+        try:
+            keys = (np.asarray(self.row_ids, np.int64) * self.shape[1]
+                    + np.asarray(self.indices, np.int64))
+            sorted_unique = bool(np.all(np.diff(keys) > 0))
+        except jax.errors.TracerArrayConversionError:
+            pass
         return jsparse.BCOO(
             (self.data, ind), shape=self.shape,
-            indices_sorted=True, unique_indices=True,
+            indices_sorted=sorted_unique, unique_indices=sorted_unique,
         )
 
     # -- properties ----------------------------------------------------------

@@ -131,6 +131,11 @@ def main(argv=None) -> int:
     ap.add_argument("--eigs-iters", type=int, default=None, dest="eigs_iters",
                     help="iteration budget: LOBPCG maxiter (default 100) or "
                          "Lanczos Krylov dimension (default max(2K, K+10))")
+    ap.add_argument("--eigs-tol", type=float, default=None, dest="eigs_tol",
+                    help="relative residual tolerance for the eigensolver "
+                         "(||A x - lambda x|| <= tol*|lambda|; default: the "
+                         "solver's sqrt(eps)-class default).  --tol is the "
+                         "LINEAR-solve tolerance and does not apply here")
     ap.add_argument("--bm", type=int, default=128, help="blocked-ELL row tile")
     ap.add_argument("--bn", type=int, default=128, help="blocked-ELL col tile")
     ap.add_argument("--nrhs", type=int, default=1,
@@ -303,19 +308,21 @@ def main(argv=None) -> int:
             from conjugategradient_tpu import lanczos_eigs
 
             def run_eigs():
+                kw = {} if args.eigs_tol is None else {"rtol": args.eigs_tol}
                 return lanczos_eigs(
                     A, k=args.eigs, which=args.eigs_which,
-                    iters=args.eigs_iters,
+                    iters=args.eigs_iters, **kw,
                 ), None
         else:
             from conjugategradient_tpu import lobpcg_eigs
 
             def run_eigs():
+                kw = {} if args.eigs_tol is None else {"tol": args.eigs_tol}
                 out = lobpcg_eigs(
                     A, k=args.eigs, M=M, which=args.eigs_which,
                     maxiter=100 if args.eigs_iters is None
                     else args.eigs_iters,
-                    return_history=args.history,
+                    return_history=args.history, **kw,
                 )
                 return (out[0], out[1:]) if args.history else (out, None)
 

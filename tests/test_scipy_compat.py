@@ -214,7 +214,9 @@ class TestEigsh:
         A = self._problem()
         n = A.shape[0]
         B = scipy_sparse.diags(np.linspace(1.0, 2.0, n)).tocsr()
-        w, v = eigsh(A, k=3, which="SM", M=B, tol=1e-8)
+        # tol must sit above LOBPCG's residual floor for the pencil
+        # (~1e-8·λ_max here); tighter tols honestly raise NoConvergence
+        w, v = eigsh(A, k=3, which="SM", M=B, tol=1e-6)
         w_ref = scipy.linalg.eigh(A.toarray(), B.toarray(),
                                   eigvals_only=True)[:3]
         np.testing.assert_allclose(w, w_ref, rtol=1e-6)
@@ -242,3 +244,33 @@ class TestEigsh:
             eigsh(A, k=2, which="BE")
         with pytest.raises(ValueError, match="k="):
             eigsh(A, k=0)
+
+    def test_no_convergence_raises_arpack_exception(self):
+        from scipy.sparse.linalg import ArpackNoConvergence
+
+        from conjugategradient_tpu.scipy_compat import eigsh
+
+        A = scipy_sparse.diags(np.linspace(1.0, 1e4, 400)).tocsr()
+        B = scipy_sparse.diags(np.linspace(1.0, 2.0, 400)).tocsr()
+        with pytest.raises(ArpackNoConvergence):
+            eigsh(A, k=3, which="SM", M=B, maxiter=1)
+        with pytest.raises(ArpackNoConvergence):
+            eigsh(A, k=3, which="SM", maxiter=5, tol=1e-10)
+
+    def test_degenerate_spectrum_returns_k_pairs(self):
+        """Identity-like operators break Lanczos down after one step; the
+        LOBPCG (or dense) fallback must still deliver k pairs."""
+        from conjugategradient_tpu.scipy_compat import eigsh
+
+        w, v = eigsh(scipy_sparse.identity(10, format="csr"), k=3)
+        np.testing.assert_allclose(w, 1.0)
+        assert v.shape == (10, 3)
+        # v0 spanning an invariant subspace must not truncate the return
+        w2 = eigsh(scipy_sparse.diags(np.arange(1.0, 11.0)).tocsr(), k=3,
+                   which="SM", v0=np.eye(10)[0],
+                   return_eigenvectors=False)
+        np.testing.assert_allclose(w2, [1.0, 2.0, 3.0], rtol=1e-10)
+        # n < 3k: the dense fallback corner
+        w3 = eigsh(scipy_sparse.identity(5, format="csr"), k=2,
+                   return_eigenvectors=False)
+        np.testing.assert_allclose(w3, 1.0)
