@@ -723,11 +723,15 @@ def _sharded_pipelined_cg(
     tol_arr: jax.Array,
     maxiter: int,
     axis: str,
+    recompute_r_every: int = 0,
 ):
     """Chronopoulos–Gear single-sync CG per shard: ONE psum (of the stacked
     [γ, δ] pair) per iteration instead of standard CG's two sequential
     reduction rounds — halves the collective latency on real meshes
-    (solver/pipelined.py documents the recurrences and the rounding trade)."""
+    (solver/pipelined.py documents the recurrences and the rounding trade).
+    ``recompute_r_every`` is the residual-replacement full restart — the
+    pipelined recurrences drift like O(eps·κ), so it matters more here
+    than in the standard loop (solver/pipelined.py)."""
     acc = jnp.promote_types(b_s.dtype, jnp.float32)
 
     def local_pair(r, s):
@@ -744,10 +748,11 @@ def _sharded_pipelined_cg(
     zerov = jnp.zeros_like(r0)
     one = jnp.ones_like(gamma0)
     carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             jnp.asarray(True),  # fresh: next iteration = k==0 formulas
              x0_s, r0, zerov, zerov, gamma0, one, gamma0, hist)
 
     def body(c):
-        k, done, x, r, p, q, gamma_old, alpha_old, rnorm, hist = c
+        k, done, fresh, x, r, p, q, gamma_old, alpha_old, rnorm, hist = c
         s = local_matvec(r)
         pair = local_pair(r, s)
         gamma, delta = pair[0], pair[1]
@@ -756,10 +761,9 @@ def _sharded_pipelined_cg(
         # termination and history need NO extra collective.
         hist = hist.at[k].set(gamma)
         done = jnp.isnan(gamma) | (jnp.sqrt(gamma) <= tol_arr)
-        first = k == 0
         exact = gamma == 0
-        beta = jnp.where(first | exact, 0.0, gamma / gamma_old)
-        denom = jnp.where(first, delta, delta - beta * gamma / alpha_old)
+        beta = jnp.where(fresh | exact, 0.0, gamma / gamma_old)
+        denom = jnp.where(fresh, delta, delta - beta * gamma / alpha_old)
         safe = jnp.where(denom == 0, 1.0, denom)
         alpha = jnp.where(exact, 0.0, gamma / safe)
         alpha = jnp.where(denom == 0, jnp.nan * one, alpha)
@@ -768,14 +772,31 @@ def _sharded_pipelined_cg(
         q = s + (beta * q).astype(s.dtype)
         x = (x + alpha * p).astype(x.dtype)
         r = (r - alpha * q).astype(r.dtype)
-        return (k + 1, done, x, r, p, q, gamma, alpha, gamma, hist)
+        return (k + 1, done, jnp.asarray(False), x, r, p, q, gamma, alpha,
+                gamma, hist)
+
+    def replace(c):
+        # masked no-op convention (solver/restart.py; no `k < maxiter`)
+        k, done, fresh, x, r, p, q, gamma_old, alpha_old, rnorm, hist = c
+        restart = (~done) & (k % recompute_r_every == 0)
+        r_t = b_s - local_matvec(x)
+        rnorm_t = jax.lax.psum(
+            jnp.sum(r_t.astype(acc) * r_t.astype(acc)), axis)
+        r = jnp.where(restart, r_t, r)
+        p = jnp.where(restart, 0.0, p).astype(p.dtype)
+        q = jnp.where(restart, 0.0, q).astype(q.dtype)
+        rnorm = jnp.where(restart, rnorm_t, rnorm)
+        hist = hist.at[k].set(jnp.where(restart, rnorm_t, hist[k]))
+        return (k, done, fresh | restart, x, r, p, q, gamma_old,
+                alpha_old, rnorm, hist)
 
     def cond(c):
         return (c[0] < maxiter) & (~c[1])
 
-    k, done, x, r, p, q, gamma, alpha, rnorm, hist = jax.lax.while_loop(
-        cond, body, carry
+    out = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda c: c[0], carry
     )
+    k, done, x, r, hist = out[0], out[1], out[3], out[4], out[10]
     # one post-loop reduction records the final residual
     rnorm_final = jax.lax.psum(jnp.sum(r.astype(acc) * r.astype(acc)), axis)
     hist = hist.at[k].set(rnorm_final)
@@ -790,6 +811,7 @@ def _sharded_pipelined_pcg(
     tol_arr: jax.Array,
     maxiter: int,
     axis: str,
+    recompute_r_every: int = 0,
 ):
     """Ghysels–Vanroose pipelined PCG per shard: the preconditioned
     counterpart of :func:`_sharded_pipelined_cg`, still ONE psum per
@@ -799,7 +821,9 @@ def _sharded_pipelined_pcg(
     and rounding trade documented in solver/pipelined.py; ``inv_diag_s``
     follows _precond_apply's contract (Jacobi array or general callable —
     a callable may issue its own collectives, e.g. the sharded AMG
-    V-cycle)."""
+    V-cycle).  ``recompute_r_every`` is the residual-replacement full
+    restart — essential for long f32 GV runs, whose recurrences drift
+    like O(eps·κ) (solver/pipelined.py)."""
     acc = jnp.promote_types(b_s.dtype, jnp.float32)
 
     def triple(r, u, w):
@@ -820,11 +844,12 @@ def _sharded_pipelined_pcg(
     zerov = jnp.zeros_like(r0)
     one = jnp.ones_like(rnorm0)
     carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             jnp.asarray(True),  # fresh: next iteration = k==0 formulas
              x0_s, r0, u0, w0, zerov, zerov, zerov, zerov,
              one, one, rnorm0, one, hist)
 
     def body(c):
-        (k, done, x, r, u, w, z, q, s, p,
+        (k, done, fresh, x, r, u, w, z, q, s, p,
          gamma_old, alpha_old, rnorm, _rho, hist) = c
         gamma, delta, rr = [t for t in triple(r, u, w)]
         # rr IS the pre-update ‖r_k‖² — record + test it with NO extra
@@ -833,10 +858,9 @@ def _sharded_pipelined_pcg(
         done = jnp.isnan(rr) | (jnp.sqrt(rr) <= tol_arr)
         m = _precond_apply(inv_diag_s, w)
         nu = local_matvec(m)
-        first = k == 0
         exact = gamma == 0
-        beta = jnp.where(first | exact, 0.0, gamma / gamma_old)
-        denom = jnp.where(first, delta, delta - beta * gamma / alpha_old)
+        beta = jnp.where(fresh | exact, 0.0, gamma / gamma_old)
+        denom = jnp.where(fresh, delta, delta - beta * gamma / alpha_old)
         safe = jnp.where(denom == 0, 1.0, denom)
         alpha = jnp.where(denom == 0, jnp.nan * one, gamma / safe)
         alpha = jnp.where(exact, 0.0, alpha)
@@ -848,15 +872,41 @@ def _sharded_pipelined_pcg(
         r = (r - alpha * s).astype(r.dtype)
         u = (u - alpha * q).astype(u.dtype)
         w = (w - alpha * z).astype(w.dtype)
-        return (k + 1, done, x, r, u, w, z, q, s, p,
+        return (k + 1, done, jnp.asarray(False), x, r, u, w, z, q, s, p,
                 gamma, alpha, rr, gamma, hist)
+
+    def replace(c):
+        # masked no-op convention (solver/restart.py; no `k < maxiter`):
+        # recompute the TRUE r/u/w from x, reset all four direction
+        # recurrences
+        (k, done, fresh, x, r, u, w, z, q, s, p,
+         gamma_old, alpha_old, rnorm, rho, hist) = c
+        restart = (~done) & (k % recompute_r_every == 0)
+        r_t = b_s - local_matvec(x)
+        u_t = _precond_apply(inv_diag_s, r_t)
+        w_t = local_matvec(u_t)
+        rnorm_t = jax.lax.psum(
+            jnp.sum(r_t.astype(acc) * r_t.astype(acc)), axis)
+        r = jnp.where(restart, r_t, r)
+        u = jnp.where(restart, u_t, u)
+        w = jnp.where(restart, w_t, w)
+        z = jnp.where(restart, 0.0, z).astype(z.dtype)
+        q = jnp.where(restart, 0.0, q).astype(q.dtype)
+        s = jnp.where(restart, 0.0, s).astype(s.dtype)
+        p = jnp.where(restart, 0.0, p).astype(p.dtype)
+        rnorm = jnp.where(restart, rnorm_t, rnorm)
+        hist = hist.at[k].set(jnp.where(restart, rnorm_t, hist[k]))
+        return (k, done, fresh | restart, x, r, u, w, z, q, s, p,
+                gamma_old, alpha_old, rnorm, rho, hist)
 
     def cond(c):
         return (c[0] < maxiter) & (~c[1])
 
-    out = jax.lax.while_loop(cond, body, carry)
-    k, done, x, r = out[0], out[1], out[2], out[3]
-    rho, hist = out[13], out[14]
+    out = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda c: c[0], carry
+    )
+    k, done, x, r = out[0], out[1], out[3], out[4]
+    rho, hist = out[14], out[15]
     # one post-loop reduction records the final residual
     rnorm_final = jax.lax.psum(jnp.sum(r.astype(acc) * r.astype(acc)), axis)
     hist = hist.at[k].set(rnorm_final)

@@ -203,8 +203,11 @@ def _resolve_single_rhs_method(method, with_m, recompute_r_every, s, rcond, dtyp
         raise ValueError(
             f"method={method!r} is unpreconditioned (inv_diag=None)"
         )
-    if method != "standard":
+    if method not in ("standard", "pipelined"):
         if recompute_r_every:
+            # pipelined NEEDS replacement more than standard (O(eps·κ)
+            # recurrence drift, solver/pipelined.py); sstep/minres have no
+            # variant
             raise ValueError(
                 f"method={method!r} has no residual-replacement variant "
                 "(recompute_r_every must be 0)"
@@ -401,9 +404,11 @@ def _sharded_solve(
                     return _sharded_pipelined_pcg(
                         local_matvec, b_s, x0_s, inv_diag_s, tol_arr,
                         maxiter, axis,
+                        recompute_r_every=recompute_r_every,
                     )
                 return _sharded_pipelined_cg(
-                    local_matvec, b_s, x0_s, tol_arr, maxiter, axis
+                    local_matvec, b_s, x0_s, tol_arr, maxiter, axis,
+                    recompute_r_every=recompute_r_every,
                 )
             if method == "sstep":
                 basis_fn = (
@@ -509,7 +514,9 @@ def sharded_cg_solve(
         true residual AND reset the direction every that many iterations
         (full restart — solver/cg.py's residual-replacement semantics on the
         mesh).  Takes the XLA per-shard path (no fused variant, like the
-        single-device dispatch) and excludes method="pipelined"/"sstep".
+        single-device dispatch).  Composes with method="pipelined" (where
+        the O(eps·κ) recurrence drift makes it essential for long f32
+        runs); excludes method="sstep"/"minres".
       s / rcond: s-step block size and Gram-pseudoinverse cutoff (None =
         dtype-adaptive); only read when method="sstep".
       basis: optional solver/deflated.DeflationBasis — runs the DEFLATED

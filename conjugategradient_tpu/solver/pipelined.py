@@ -64,24 +64,38 @@ def pipelined_cg_solve(
     maxiter: Optional[int] = None,
     n: Optional[int] = None,
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    recompute_r_every: int = 0,
 ) -> Tuple[jax.Array, CGInfo]:
     """Solve SPD ``A x = b`` with single-sync CG.  Same call shape and
     CGInfo contract as :func:`~conjugategradient_tpu.cg_solve`; with
     ``M`` the loop runs the Ghysels–Vanroose preconditioned recurrences
-    (module docstring) — still one fused reduction per iteration."""
+    (module docstring) — still one fused reduction per iteration.
+
+    ``recompute_r_every`` is residual replacement, and it matters MORE
+    here than in the standard loop: the pipelined recurrences amplify
+    local rounding like O(eps·κ) (Cools et al., SIAM J. Matrix Anal.
+    2018) vs standard CG's milder drift, so an f32 GV solve stalls at
+    ‖r‖ ≈ eps·κ·‖b‖ without it (measured: κ≈750 Poisson, f32, stall at
+    ~2e-5·‖b‖; every=50 restores the standard attainable floor).  At
+    each boundary the true residual is recomputed (2 SpMVs + an M apply
+    for GV) and the direction state reset — a FULL restart, same
+    semantics as cg_solve's."""
     op = as_linear_operator(A, n=n, dtype=getattr(b, "dtype", None))
     N = op.shape[0]
     maxiter = int(N + 1 if maxiter is None else maxiter)
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
+    every = int(recompute_r_every)
     if M is not None:
-        return _prec_core(op, b, x0, tol_arr, maxiter, M)
+        return _prec_core(op, b, x0, tol_arr, maxiter, M, every)
     if x0 is None:
-        return _solve_core(op, b, None, tol_arr, maxiter)
-    return _solve_core(op, b, x0, tol_arr, maxiter)
+        return _solve_core(op, b, None, tol_arr, maxiter, every)
+    return _solve_core(op, b, x0, tol_arr, maxiter, every)
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter",))
-def _solve_core(op, b, x0, tol_arr, maxiter):
+@functools.partial(jax.jit, static_argnames=("maxiter", "every"))
+def _solve_core(op, b, x0, tol_arr, maxiter, every=0):
+    from .restart import while_with_periodic_restart
+
     x = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - op.matvec(x)
     gamma0 = jnp.sum(r0 * r0)
@@ -92,26 +106,26 @@ def _solve_core(op, b, x0, tol_arr, maxiter):
     carry = (
         jnp.asarray(0, jnp.int32),  # k
         jnp.asarray(False),  # done
+        jnp.asarray(True),  # fresh: next iteration uses the k==0 formulas
         x,
         r0,
         zerov,  # p
         zerov,  # q = A p
-        gamma0,  # γ_{k-1} placeholder (unused at k=0 via β=0)
+        gamma0,  # γ_{k-1} placeholder (unused while fresh via β=0)
         one,  # α_{k-1} placeholder
         gamma0,  # current ‖r‖² for the termination test
         hist,
     )
 
     def body(c):
-        k, done, x, r, p, q, gamma_old, alpha_old, rnorm, hist = c
+        k, done, fresh, x, r, p, q, gamma_old, alpha_old, rnorm, hist = c
         s = op.matvec(r)
         gamma = jnp.sum(r * r)
         delta = jnp.sum(r * s)  # ONE pass / ONE reduction round with gamma
-        first = k == 0
         exact = gamma == 0  # converged exactly: freeze (cg.py's ρ==0 guard)
-        beta = jnp.where(first | exact, 0.0, gamma / gamma_old)
+        beta = jnp.where(fresh | exact, 0.0, gamma / gamma_old)
         denom = jnp.where(
-            first, delta, delta - beta * gamma / alpha_old
+            fresh, delta, delta - beta * gamma / alpha_old
         )
         safe = jnp.where(denom == 0, 1.0, denom)
         alpha = jnp.where(exact, 0.0, gamma / safe)
@@ -125,14 +139,33 @@ def _solve_core(op, b, x0, tol_arr, maxiter):
         rnorm_next = jnp.sum(r * r)
         k = k + 1
         hist = hist.at[k].set(rnorm_next)
-        return (k, done, x, r, p, q, gamma, alpha, rnorm_next, hist)
+        return (k, done, jnp.asarray(False), x, r, p, q, gamma, alpha,
+                rnorm_next, hist)
+
+    def replace(c):
+        # residual replacement: true residual + FULL direction reset; the
+        # masked no-op convention of solver/restart.py (no `k < maxiter`
+        # term — capping on a boundary still reports the true residual)
+        k, done, fresh, x, r, p, q, gamma_old, alpha_old, rnorm, hist = c
+        restart = (~done) & (k % every == 0)
+        r_t = b - op.matvec(x)
+        rnorm_t = jnp.sum(r_t * r_t)
+        r = jnp.where(restart, r_t, r)
+        p = jnp.where(restart, 0.0, p).astype(p.dtype)
+        q = jnp.where(restart, 0.0, q).astype(q.dtype)
+        rnorm = jnp.where(restart, rnorm_t, rnorm)
+        hist = hist.at[k].set(jnp.where(restart, rnorm_t, hist[k]))
+        return (k, done, fresh | restart, x, r, p, q, gamma_old,
+                alpha_old, rnorm, hist)
 
     def cond(c):
         return (c[0] < maxiter) & (~c[1])
 
-    k, done, x, r, p, q, gamma, alpha, rnorm, hist = jax.lax.while_loop(
-        cond, body, carry
+    out = while_with_periodic_restart(
+        cond, body, replace, every, lambda c: c[0], carry
     )
+    k, done, x = out[0], out[1], out[3]
+    gamma, rnorm, hist = out[7], out[9], out[10]
     info = CGInfo(
         iterations=k,
         converged=done & ~jnp.isnan(rnorm),
@@ -143,11 +176,13 @@ def _solve_core(op, b, x0, tol_arr, maxiter):
     return x, info
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter", "M"))
-def _prec_core(op, b, x0, tol_arr, maxiter, M):
+@functools.partial(jax.jit, static_argnames=("maxiter", "M", "every"))
+def _prec_core(op, b, x0, tol_arr, maxiter, M, every=0):
     """Ghysels–Vanroose pipelined PCG (module docstring).  ``M`` is a
     static closure like cg_solve's — each distinct preconditioner object
     compiles its own loop."""
+    from .restart import while_with_periodic_restart
+
     x = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - op.matvec(x)
     u0 = M(r0)
@@ -160,9 +195,10 @@ def _prec_core(op, b, x0, tol_arr, maxiter, M):
     carry = (
         jnp.asarray(0, jnp.int32),  # k
         jnp.asarray(False),  # done
+        jnp.asarray(True),  # fresh: next iteration uses the k==0 formulas
         x, r0, u0, w0,
         zerov, zerov, zerov, zerov,  # z, q, s, p
-        one,  # γ_{k-1} placeholder (unused at k=0 via β=0)
+        one,  # γ_{k-1} placeholder (unused while fresh via β=0)
         one,  # α_{k-1} placeholder
         rnorm0,  # current ‖r‖² for the termination test
         one,  # ρ = γ for CGInfo
@@ -170,16 +206,15 @@ def _prec_core(op, b, x0, tol_arr, maxiter, M):
     )
 
     def body(c):
-        (k, done, x, r, u, w, z, q, s, p,
+        (k, done, fresh, x, r, u, w, z, q, s, p,
          gamma_old, alpha_old, rnorm, _rho, hist) = c
         gamma = jnp.sum(r * u)
         delta = jnp.sum(w * u)  # fused with gamma: one reduction pass
         m = M(w)
         nu = op.matvec(m)
-        first = k == 0
         exact = gamma == 0  # converged exactly: freeze (cg.py's ρ==0 guard)
-        beta = jnp.where(first | exact, 0.0, gamma / gamma_old)
-        denom = jnp.where(first, delta, delta - beta * gamma / alpha_old)
+        beta = jnp.where(fresh | exact, 0.0, gamma / gamma_old)
+        denom = jnp.where(fresh, delta, delta - beta * gamma / alpha_old)
         safe = jnp.where(denom == 0, 1.0, denom)
         alpha = jnp.where(denom == 0, jnp.nan * one, gamma / safe)
         alpha = jnp.where(exact, 0.0, alpha)
@@ -196,15 +231,40 @@ def _prec_core(op, b, x0, tol_arr, maxiter, M):
         rnorm_next = jnp.sum(r * r)
         k = k + 1
         hist = hist.at[k].set(rnorm_next)
-        return (k, done, x, r, u, w, z, q, s, p,
+        return (k, done, jnp.asarray(False), x, r, u, w, z, q, s, p,
                 gamma, alpha, rnorm_next, gamma, hist)
+
+    def replace(c):
+        # residual replacement: recompute the TRUE r/u/w from x and reset
+        # the four direction recurrences (full restart — solver/restart.py
+        # masked-no-op convention, no `k < maxiter` term)
+        (k, done, fresh, x, r, u, w, z, q, s, p,
+         gamma_old, alpha_old, rnorm, rho, hist) = c
+        restart = (~done) & (k % every == 0)
+        r_t = b - op.matvec(x)
+        u_t = M(r_t)
+        w_t = op.matvec(u_t)
+        rnorm_t = jnp.sum(r_t * r_t)
+        r = jnp.where(restart, r_t, r)
+        u = jnp.where(restart, u_t, u)
+        w = jnp.where(restart, w_t, w)
+        z = jnp.where(restart, 0.0, z).astype(z.dtype)
+        q = jnp.where(restart, 0.0, q).astype(q.dtype)
+        s = jnp.where(restart, 0.0, s).astype(s.dtype)
+        p = jnp.where(restart, 0.0, p).astype(p.dtype)
+        rnorm = jnp.where(restart, rnorm_t, rnorm)
+        hist = hist.at[k].set(jnp.where(restart, rnorm_t, hist[k]))
+        return (k, done, fresh | restart, x, r, u, w, z, q, s, p,
+                gamma_old, alpha_old, rnorm, rho, hist)
 
     def cond(c):
         return (c[0] < maxiter) & (~c[1])
 
-    out = jax.lax.while_loop(cond, body, carry)
-    k, done, x = out[0], out[1], out[2]
-    rnorm, rho, hist = out[12], out[13], out[14]
+    out = while_with_periodic_restart(
+        cond, body, replace, every, lambda c: c[0], carry
+    )
+    k, done, x = out[0], out[1], out[3]
+    rnorm, rho, hist = out[13], out[14], out[15]
     info = CGInfo(
         iterations=k,
         converged=done & ~jnp.isnan(rnorm),

@@ -603,11 +603,14 @@ def test_sharded_restart_matches_single_device_restart():
     )
 
 
-def test_sharded_restart_rejects_pipelined_and_forced_fused():
+def test_sharded_restart_rejects_sstep_and_forced_fused():
+    # pipelined composes with recompute_r_every since round 4 (the GV
+    # drift fix — see test_sharded_pipelined_residual_replacement);
+    # sstep/minres and the fused loop still reject it
     rows, cols, vals, shape = poisson2d_coo(8)
     A, blocks, bcols, b_pad, n = _sharded_setup(rows, cols, vals, shape)
     with pytest.raises(ValueError, match="residual-replacement"):
-        sharded_cg_solve(blocks, bcols, b_pad, method="pipelined",
+        sharded_cg_solve(blocks, bcols, b_pad, method="sstep",
                          recompute_r_every=5)
     with pytest.raises(ValueError, match="residual-replacement"):
         sharded_cg_solve(blocks, bcols, b_pad, use_fused="always",
@@ -993,3 +996,62 @@ class TestSharded2D:
                 np.ones(1), np.zeros(1, np.int64), np.array([0, 1, 1]),
                 (2, 3), 2,
             )
+
+
+def test_sharded_pipelined_residual_replacement():
+    """recompute_r_every composes with method="pipelined" on the mesh:
+    the f32 GV drift stall (solver/pipelined.py) is escaped, and the f64
+    replacement trajectory matches single-device exactly."""
+    from conjugategradient_tpu import jacobi_preconditioner
+    from conjugategradient_tpu.solver.pipelined import pipelined_cg_solve
+
+    rows, cols, vals, shape = poisson2d_coo(34)
+    A32 = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    blocks, bcols, n_pad = partition_csr_rows(
+        np.asarray(A32.data), np.asarray(A32.indices),
+        np.asarray(A32.indptr), shape, N_DEV, bm=8, bn=8,
+    )
+    n = shape[0]
+    b = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        jnp.arange(1, n + 1, dtype=jnp.float32))
+    inv_diag = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        1.0 / A32.diagonal())
+    _, i_raw = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-3,
+        maxiter=n + 1, inv_diag=inv_diag, method="pipelined")
+    assert not bool(i_raw.converged)  # f32 GV stall, mesh edition
+    x_rr, i_rr = sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, tol=1e-3,
+        maxiter=n + 1, inv_diag=inv_diag, method="pipelined",
+        recompute_r_every=50)
+    assert bool(i_rr.converged) and int(i_rr.iterations) < 200
+
+    # f64: sharded replacement == single-device replacement exactly
+    A64 = CSRMatrix.from_coo(rows, cols, vals, shape)
+    blocks64, bcols64, _ = partition_csr_rows(
+        np.asarray(A64.data), np.asarray(A64.indices),
+        np.asarray(A64.indptr), shape, N_DEV, bm=8, bn=8,
+    )
+    b64 = jnp.zeros((n_pad,)).at[:n].set(jnp.asarray(reference_rhs(n)))
+    inv64 = jnp.zeros((n_pad,)).at[:n].set(1.0 / A64.diagonal())
+    x_sh, i_sh = sharded_cg_solve(
+        jnp.asarray(blocks64), jnp.asarray(bcols64), b64, tol=1e-10,
+        maxiter=n + 1, inv_diag=inv64, method="pipelined",
+        recompute_r_every=40)
+    M64 = jacobi_preconditioner(A64)
+    x_1d, i_1d = pipelined_cg_solve(
+        A64, jnp.asarray(reference_rhs(n)), tol=1e-10, M=M64,
+        recompute_r_every=40)
+    assert int(i_sh.iterations) == int(i_1d.iterations)
+    np.testing.assert_allclose(np.asarray(x_sh[:n]), np.asarray(x_1d),
+                               rtol=1e-9, atol=1e-11)
+
+    # sstep/minres keep the rejection
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="residual-replacement"):
+        sharded_cg_solve(jnp.asarray(blocks), jnp.asarray(bcols), b,
+                         method="sstep", recompute_r_every=10)
+    with _pytest.raises(ValueError, match="residual-replacement"):
+        sharded_cg_solve(jnp.asarray(blocks), jnp.asarray(bcols), b,
+                         method="minres", recompute_r_every=10)

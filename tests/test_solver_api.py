@@ -316,3 +316,37 @@ def test_pipelined_cg_zero_rhs_and_breakdown():
     sing = jnp.zeros((8, 8))
     x2, i2 = pipelined_cg_solve(sing, jnp.ones((8,)), tol=1e-10, maxiter=20)
     assert not bool(i2.converged)
+
+
+def test_pipelined_pcg_residual_replacement_escapes_drift_stall():
+    """The GV recurrences amplify rounding like O(eps*kappa): an f32
+    Jacobi-PCG pipelined solve of the 34^2 Poisson system STALLS above
+    an absolute tol of 1e-3 without replacement (measured floor
+    ~eps*kappa*||b|| ~ 2), and converges with recompute_r_every=50 —
+    CPU-reproducible, the exact failure observed on chip."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import jacobi_preconditioner, load_matrix
+    from conjugategradient_tpu.solver.pipelined import pipelined_cg_solve
+    import pathlib
+
+    mtx = str(pathlib.Path(__file__).resolve().parent.parent
+              / "problems" / "poisson2d_34.mtx")
+    A = load_matrix(mtx, layout="csr", dtype=jnp.float32)
+    n = A.shape[0]
+    b = jnp.arange(1, n + 1, dtype=jnp.float32)
+    M = jacobi_preconditioner(A)
+    x_raw, i_raw = pipelined_cg_solve(A, b, tol=1e-3, M=M)
+    assert not bool(i_raw.converged)  # the documented stall
+    x_rr, i_rr = pipelined_cg_solve(A, b, tol=1e-3, M=M,
+                                    recompute_r_every=50)
+    assert bool(i_rr.converged)
+    assert int(i_rr.iterations) < 200  # measured 147
+    # the recurrence residual it reports is HONEST (replaced 3 iterations
+    # before exit at most): true residual within a small factor of tol
+    true_r = float(jnp.linalg.norm(b - A.matvec(x_rr)))
+    assert true_r < 1.0  # f32 attainable floor; raw GV diverged to ~1.5e3
+
+    # unpreconditioned replacement path compiles and converges too
+    x_p, i_p = pipelined_cg_solve(A, b, tol=1e-3, recompute_r_every=50)
+    assert bool(i_p.converged)
