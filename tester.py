@@ -113,6 +113,12 @@ def main(argv=None) -> int:
     ap.add_argument("--fsai-power", type=int, default=1, dest="fsai_power",
                     help="FSAI pattern power: G's sparsity = "
                          "tril(pattern(|A|^power)) (with --precond fsai)")
+    ap.add_argument("--recompute", type=int, default=0, metavar="N",
+                    help="residual-replacement full restart every N "
+                         "iterations (standard and pipelined methods; "
+                         "essential for long f32 --method pipelined runs, "
+                         "whose recurrences drift like O(eps*kappa) - "
+                         "solver/pipelined.py)")
     ap.add_argument("--eigs", type=int, default=0, metavar="K",
                     help="eigensolver mode: instead of solving Ax=b, compute "
                          "the K extreme eigenpairs of the loaded operator "
@@ -364,6 +370,14 @@ def main(argv=None) -> int:
         print("error: --progress drives the standard single-RHS loop "
               "(no --nrhs/--method pipelined)", file=sys.stderr)
         return 2
+    if args.recompute > 0 and (
+        args.method not in ("standard", "pipelined") or args.nrhs > 1
+        or args.refine != "off" or args.deflate > 0 or args.progress > 0
+        or args.eigs > 0
+    ):
+        print("error: --recompute drives the standard or pipelined "
+              "single-RHS loop", file=sys.stderr)
+        return 2
     if args.refine != "off" and (args.method != "standard" or args.progress > 0):
         print("error: --refine drives the standard loop (no --method/"
               "--progress)", file=sys.stderr)
@@ -401,7 +415,8 @@ def main(argv=None) -> int:
 
             solve = jax.jit(
                 lambda b_: pipelined_cg_solve(
-                    A, b_, tol=args.tol, maxiter=args.maxiter, M=M
+                    A, b_, tol=args.tol, maxiter=args.maxiter, M=M,
+                    recompute_r_every=args.recompute,
                 )
             )
     elif args.method == "minres":
@@ -538,7 +553,8 @@ def main(argv=None) -> int:
             )
     else:
         solve = jax.jit(
-            lambda b_: cg_solve(A, b_, tol=args.tol, maxiter=args.maxiter, M=M)
+            lambda b_: cg_solve(A, b_, tol=args.tol, maxiter=args.maxiter,
+                                M=M, recompute_r_every=args.recompute)
         )
     np.asarray(solve(b)[0].ravel()[0:1])  # compile + execute + sync
     if args.progress > 0:

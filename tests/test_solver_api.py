@@ -304,6 +304,27 @@ def test_tester_pipelined_precond_flag(capsys):
     assert tester.main([mtx, "--method", "sstep", "--precond", "jacobi"]) == 2
 
 
+def test_tester_recompute_flag(capsys):
+    """--recompute N: the f32 GV solve that stalls without replacement
+    (chip-verified 133 iters on TPU / 147 on CPU) converges with it."""
+    import json
+    import pathlib
+
+    import tester
+
+    mtx = str(pathlib.Path(__file__).resolve().parent.parent
+              / "problems" / "poisson2d_34.mtx")
+    rc = tester.main([mtx, "--method", "pipelined", "--precond", "jacobi",
+                      "--tol", "1e-3", "--dtype", "float32",
+                      "--recompute", "50", "--summary"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["converged"] == [True]
+    assert rec["iterations"][0] < 300
+    assert tester.main([mtx, "--method", "sstep", "--recompute", "10"]) == 2
+    assert tester.main([mtx, "--recompute", "10", "--nrhs", "2"]) == 2
+
+
 def test_pipelined_cg_zero_rhs_and_breakdown():
     import jax.numpy as jnp
 
