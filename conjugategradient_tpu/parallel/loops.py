@@ -885,8 +885,13 @@ def _sharded_pipelined_pcg(
         r_t = b_s - local_matvec(x)
         u_t = _precond_apply(inv_diag_s, r_t)
         w_t = local_matvec(u_t)
-        rnorm_t = jax.lax.psum(
-            jnp.sum(r_t.astype(acc) * r_t.astype(acc)), axis)
+        # one psum of the stacked [‖r‖², γ] pair (ρ = γ = r·u doubles as
+        # the returned rho — replace it too, matching cg.py's replace)
+        pair_t = jax.lax.psum(jnp.stack([
+            jnp.sum(r_t.astype(acc) * r_t.astype(acc)),
+            jnp.sum(r_t.astype(acc) * u_t.astype(acc)),
+        ]), axis)
+        rnorm_t, rho_t = pair_t[0], pair_t[1]
         r = jnp.where(restart, r_t, r)
         u = jnp.where(restart, u_t, u)
         w = jnp.where(restart, w_t, w)
@@ -896,6 +901,7 @@ def _sharded_pipelined_pcg(
         p = jnp.where(restart, 0.0, p).astype(p.dtype)
         rnorm = jnp.where(restart, rnorm_t, rnorm)
         hist = hist.at[k].set(jnp.where(restart, rnorm_t, hist[k]))
+        rho = jnp.where(restart, rho_t, rho)
         return (k, done, fresh | restart, x, r, u, w, z, q, s, p,
                 gamma_old, alpha_old, rnorm, rho, hist)
 

@@ -53,6 +53,7 @@ import jax.numpy as jnp
 
 from ..types import as_linear_operator
 from .cg import CGInfo
+from .restart import while_with_periodic_restart
 
 
 def pipelined_cg_solve(
@@ -94,8 +95,6 @@ def pipelined_cg_solve(
 
 @functools.partial(jax.jit, static_argnames=("maxiter", "every"))
 def _solve_core(op, b, x0, tol_arr, maxiter, every=0):
-    from .restart import while_with_periodic_restart
-
     x = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - op.matvec(x)
     gamma0 = jnp.sum(r0 * r0)
@@ -155,6 +154,10 @@ def _solve_core(op, b, x0, tol_arr, maxiter, every=0):
         q = jnp.where(restart, 0.0, q).astype(q.dtype)
         rnorm = jnp.where(restart, rnorm_t, rnorm)
         hist = hist.at[k].set(jnp.where(restart, rnorm_t, hist[k]))
+        # γ doubles as CGInfo.rho at exit — replace it too (= r·r here);
+        # β ignores it after a restart (fresh), so this only fixes the
+        # capped-on-boundary report, matching cg.py's replace
+        gamma_old = jnp.where(restart, rnorm_t, gamma_old)
         return (k, done, fresh | restart, x, r, p, q, gamma_old,
                 alpha_old, rnorm, hist)
 
@@ -181,8 +184,6 @@ def _prec_core(op, b, x0, tol_arr, maxiter, M, every=0):
     """Ghysels–Vanroose pipelined PCG (module docstring).  ``M`` is a
     static closure like cg_solve's — each distinct preconditioner object
     compiles its own loop."""
-    from .restart import while_with_periodic_restart
-
     x = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - op.matvec(x)
     u0 = M(r0)
@@ -254,6 +255,9 @@ def _prec_core(op, b, x0, tol_arr, maxiter, M, every=0):
         p = jnp.where(restart, 0.0, p).astype(p.dtype)
         rnorm = jnp.where(restart, rnorm_t, rnorm)
         hist = hist.at[k].set(jnp.where(restart, rnorm_t, hist[k]))
+        # ρ = γ = r·u doubles as CGInfo.rho at exit — replace it too
+        # (matching cg.py's replace); β ignores γ_old after a restart
+        rho = jnp.where(restart, jnp.sum(r_t * u_t), rho)
         return (k, done, fresh | restart, x, r, u, w, z, q, s, p,
                 gamma_old, alpha_old, rnorm, rho, hist)
 

@@ -296,9 +296,11 @@ def main(argv=None) -> int:
 
     if args.eigs > 0:
         if (args.method != "standard" or args.nrhs > 1 or args.deflate > 0
-                or args.refine != "off" or args.progress > 0):
+                or args.refine != "off" or args.progress > 0
+                or args.recompute > 0):
             print("error: --eigs is an eigensolver lane (no --method/--nrhs/"
-                  "--deflate/--refine/--progress)", file=sys.stderr)
+                  "--deflate/--refine/--progress/--recompute)",
+                  file=sys.stderr)
             return 2
         if args.eigs_method == "lanczos":
             if M is not None:
@@ -373,7 +375,6 @@ def main(argv=None) -> int:
     if args.recompute > 0 and (
         args.method not in ("standard", "pipelined") or args.nrhs > 1
         or args.refine != "off" or args.deflate > 0 or args.progress > 0
-        or args.eigs > 0
     ):
         print("error: --recompute drives the standard or pipelined "
               "single-RHS loop", file=sys.stderr)
