@@ -407,70 +407,177 @@ def eigsh(
         op_m = as_linear_operator(M, n=n, dtype=op.dtype)
         res = _lobpcg_to_pair_tol()
     else:
-        m = int(ncv) if ncv is not None else min(n, max(2 * k + 1, 20))
-        m = max(m, 2 * k)
-        # default cap: the full space (reorthogonalized Lanczos at m = n is
-        # exact, so convergence is guaranteed); maxiter caps the total
-        # Krylov budget below that (floored at 2k so k pairs exist at all)
-        m_cap = min(n, int(maxiter)) if maxiter is not None else n
-        m_cap = max(m_cap, min(2 * k, n))
-        v0j = None if v0 is None else jnp.asarray(v0)
-        while True:
-            res = lanczos_eigs(
-                op, k=k, which=end, iters=min(m, m_cap), v0=v0j, rtol=rtol,
-                return_vectors=return_eigenvectors,
-            )
-            if _pair_converged(res) or m >= m_cap:
-                break
-            m = min(2 * m, m_cap)
-        if np.asarray(res.values).size < k:
-            # Lanczos hit an invariant subspace before k pairs existed
-            # (degenerate spectrum — identity-like operators); the BLOCK
-            # iteration is immune, so finish there — or, when n is too
-            # small for a 3k block, just diagonalize the materialized
-            # operator (n < 3k means n is tiny)
-            if 3 * k <= n:
-                res = _lobpcg_to_pair_tol()
-            else:
-                eye = jnp.eye(n, dtype=op.dtype)
-                # column-at-a-time (n < 3k, so n is ~tens at most; some
-                # layout matvecs do not vmap — Pallas)
-                dense = jnp.stack(
-                    [op.matvec(eye[:, j]) for j in range(n)], axis=1)
-                w_all, v_all = np.linalg.eigh(
-                    np.asarray(dense, np.float64))
-                sl = slice(0, k) if end == "smallest" else slice(n - k, n)
-                w = w_all[sl]
-                if not return_eigenvectors:
-                    return w
-                return w, v_all[:, sl]
-
-    vals = np.asarray(res.values, np.float64)
-    if not _pair_converged(res):
-        conv = (
-            np.asarray(res.residuals, np.float64)
-            <= rtol * np.maximum(np.abs(vals), 1e-300)
+        vals, vecs = _eigsh_lanczos_deflated(
+            op, lanczos_eigs, _lobpcg_to_pair_tol, k, end, rtol,
+            ncv, maxiter, v0, n,
         )
-        w_ok = np.sort(vals[conv[: vals.size]])
-        try:  # raise scipy's own exception type where available
-            from scipy.sparse.linalg import ArpackNoConvergence
+        res = None
 
-            raise ArpackNoConvergence(
-                f"eigsh: only {int(conv.sum())}/{k} pairs converged to "
-                f"tol={rtol:g} within the iteration budget (raise maxiter/"
-                "ncv, or precondition via lobpcg_eigs(M=...))",
-                w_ok, np.empty((n, 0)),
-            )
-        except ImportError:  # pragma: no cover - scipy always present here
-            raise RuntimeError(
-                f"eigsh: only {int(conv.sum())}/{k} pairs converged "
-                f"(tol={rtol:g}); converged eigenvalues: {w_ok}"
-            ) from None
+    if res is not None:
+        vals = np.asarray(res.values, np.float64)
+        if not _pair_converged(res):
+            _raise_no_convergence(res.values, res.residuals, k, rtol, n)
+        vecs = None if not return_eigenvectors else np.asarray(res.vectors)
 
     # scipy returns ascending for eigsh regardless of which end converged
     order = np.argsort(vals)
     w = vals[order]
     if not return_eigenvectors:
         return w
-    v = np.asarray(res.vectors)[:, order]
-    return w, v
+    return w, np.asarray(vecs)[:, order]
+
+
+def _raise_no_convergence(vals, resids, k, rtol, n):
+    vals = np.asarray(vals, np.float64)
+    conv = (np.asarray(resids, np.float64)
+            <= rtol * np.maximum(np.abs(vals), 1e-300))
+    w_ok = np.sort(vals[conv[: vals.size]])
+    try:  # raise scipy's own exception type where available
+        from scipy.sparse.linalg import ArpackNoConvergence
+
+        raise ArpackNoConvergence(
+            f"eigsh: only {int(conv.sum())}/{k} pairs converged to "
+            f"tol={rtol:g} within the iteration budget (raise maxiter/"
+            "ncv, or precondition via lobpcg_eigs(M=...))",
+            w_ok, np.empty((n, 0)),
+        )
+    except ImportError:  # pragma: no cover - scipy always present here
+        raise RuntimeError(
+            f"eigsh: only {int(conv.sum())}/{k} pairs converged "
+            f"(tol={rtol:g}); converged eigenvalues: {w_ok}"
+        ) from None
+
+
+def _eigsh_lanczos_deflated(op, lanczos_eigs, lobpcg_fallback, k, end,
+                            rtol, ncv, maxiter, v0, n):
+    """The eigsh standard-problem engine: adaptive Lanczos passes with
+    EXPLICIT DEFLATION between passes.
+
+    A single Krylov vector cannot resolve eigenvalue MULTIPLICITY — one
+    pass of (even exact) Lanczos finds at most ONE copy of a repeated
+    eigenvalue, so ``eigsh(I, k=3)`` would return one pair and a
+    degenerate pair like (1, 1) would come back as (1, next-distinct).
+    ARPACK splits multiplicities through its restarts; the equivalent
+    here is explicit deflation: after each pass, accepted eigenvectors V
+    are shifted OUT of the wanted end (``A ± σ·VVᵀ``, σ spanning the
+    spectral range) and the next pass — a fresh random start — finds
+    whatever the subspace hid, including further copies.  Passes repeat
+    until one adds nothing to the k-best set (the common
+    no-multiplicity case costs exactly two passes: find + verify).
+    Every accepted pair is re-checked against the UNDEFLATED operator:
+    Rayleigh quotient + exact ‖A v − ρ v‖ ≤ rtol·|ρ| after
+    orthogonalization against the accepted basis.
+    """
+    m0 = int(ncv) if ncv is not None else min(n, max(2 * k + 1, 20))
+    m0 = max(m0, 2 * k)
+    m_cap = min(n, int(maxiter)) if maxiter is not None else n
+    m_cap = max(m_cap, min(2 * k, n))
+    v0j = None if v0 is None else jnp.asarray(v0)
+
+    def adaptive(target, seed, use_v0):
+        m = m0
+        while True:
+            r = lanczos_eigs(
+                target, k=k, which=end, iters=min(m, m_cap),
+                v0=v0j if use_v0 else None, seed=seed, rtol=rtol, n=n,
+            )
+            vs = np.asarray(r.values, np.float64)
+            ok = (vs.size >= k and bool(np.all(
+                np.asarray(r.residuals, np.float64)
+                <= rtol * np.maximum(np.abs(vs), 1e-300))))
+            if ok or m >= m_cap:
+                return r
+            m = min(2 * m, m_cap)
+
+    # spectral-range probe for the deflation shift (one tiny pass at the
+    # opposite end; Ritz extremes are interior, hence the safety factor)
+    other = "largest" if end == "smallest" else "smallest"
+    probe = lanczos_eigs(op, k=1, which=other, iters=min(30, n), n=n,
+                         return_vectors=False)
+    span = float(np.abs(np.asarray(probe.values, np.float64)).max())
+    sgn = 1.0 if end == "smallest" else -1.0
+
+    found_w: list = []
+    V = np.zeros((n, 0), dtype=np.float64)
+
+    for attempt in range(k + 2):
+        # the shift must clear the whole spectral range so every accepted
+        # eigenvalue leaves the wanted end: scale by BOTH ends (the
+        # opposite-end probe and the largest accepted magnitude so far)
+        sigma = 4.0 * max(span, max((abs(w) for w in found_w), default=0.0),
+                          1.0)
+        if V.shape[1]:
+            Vj = jnp.asarray(V, dtype=op.dtype)
+
+            def mv(x, _V=Vj):
+                return op.matvec(x) + (sgn * sigma) * (_V @ (_V.T @ x))
+
+            # wrap explicitly so the Krylov pass runs in op.dtype — the
+            # bare-callable default is float32, which degrades the pass's
+            # vectors below the exact f64 acceptance residual
+            target = as_linear_operator(mv, n=n, dtype=op.dtype)
+        else:
+            target = op
+        r = adaptive(target, seed=attempt, use_v0=attempt == 0)
+        vs = np.asarray(r.values, np.float64)
+        rs = np.asarray(r.residuals, np.float64)
+        improved = False
+        for i in range(vs.size):
+            lam = float(vs[i])
+            # (deflated copies of found pairs need no eigenvalue filter:
+            # their vectors fail the new-direction check below, and any
+            # mixed candidate faces the exact undeflated residual test)
+            if rs[i] > rtol * max(abs(lam), 1e-300):
+                continue
+            v = np.asarray(r.vectors[:, i], np.float64)
+            if V.shape[1]:
+                v = v - V @ (V.T @ v)
+                nrm = float(np.linalg.norm(v))
+                if nrm < 0.5:  # same direction as an accepted vector
+                    continue
+                v = v / nrm
+            # exact acceptance vs the UNDEFLATED operator
+            av = np.asarray(
+                op.matvec(jnp.asarray(v, op.dtype)), np.float64)
+            rho = float(v @ av)
+            if float(np.linalg.norm(av - rho * v)) > rtol * max(
+                    abs(rho), 1e-300):
+                continue
+            # does it enter the k-best?
+            if len(found_w) >= k:
+                kth = (max(sorted(found_w)[:k]) if end == "smallest"
+                       else min(sorted(found_w)[-k:]))
+                better = rho < kth if end == "smallest" else rho > kth
+                if not better:
+                    continue
+            found_w.append(rho)
+            V = np.concatenate([V, v[:, None]], axis=1)
+            improved = True
+        if len(found_w) >= k and not improved:
+            break
+        if not improved and len(found_w) < k:
+            break  # another identical pass will not help; fall back
+
+    if len(found_w) < k:
+        # invariant-subspace starvation the deflation passes could not
+        # feed (or a genuinely unconverged end): block iteration when a
+        # 3k basis fits, dense diagonalization when n is tiny
+        if 3 * k <= n:
+            res = lobpcg_fallback()
+            vals = np.asarray(res.values, np.float64)
+            resid = np.asarray(res.residuals, np.float64)
+            if vals.size < k or bool(np.any(
+                    resid > rtol * np.maximum(np.abs(vals), 1e-300))):
+                _raise_no_convergence(vals, resid, k, rtol, n)
+            return vals, np.asarray(res.vectors, np.float64)
+        eye = jnp.eye(n, dtype=op.dtype)
+        # column-at-a-time (n < 3k, so n is ~tens at most; some layout
+        # matvecs do not vmap — Pallas)
+        dense = jnp.stack([op.matvec(eye[:, j]) for j in range(n)], axis=1)
+        w_all, v_all = np.linalg.eigh(np.asarray(dense, np.float64))
+        sl = slice(0, k) if end == "smallest" else slice(n - k, n)
+        return w_all[sl], v_all[:, sl]
+
+    order = np.argsort(np.asarray(found_w))
+    order = order[:k] if end == "smallest" else order[-k:]
+    return np.asarray(found_w)[order], V[:, order]

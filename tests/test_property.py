@@ -108,3 +108,45 @@ def test_cg_solves_random_spd(problem):
     assert bool(info.converged)
     r = np.asarray(b) - dense @ np.asarray(x)
     assert np.linalg.norm(r) <= 1e-8
+
+
+@given(sym_coo(max_n=20))
+@settings(**SETTINGS)
+def test_gv_pipelined_pcg_matches_pcg_on_random_spd(problem):
+    """Property: on every random SPD pattern, the Ghysels–Vanroose
+    pipelined recurrences reproduce standard Jacobi-PCG — same iteration
+    count and solution (f64: the recurrences are exact-arithmetic
+    identical, so only roundoff separates them)."""
+    from conjugategradient_tpu import jacobi_preconditioner
+    from conjugategradient_tpu.solver.pipelined import pipelined_cg_solve
+
+    rows, cols, vals, n, dense = problem
+    csr = CSRMatrix.from_coo(rows, cols, vals, (n, n))
+    b = jnp.asarray(np.linspace(-1, 1, n))
+    M = jacobi_preconditioner(csr)
+    x_ref, i_ref = cg_solve(csr, b, tol=1e-9, maxiter=5 * n, M=M,
+                            fused="never")
+    x_gv, i_gv = pipelined_cg_solve(csr, b, tol=1e-9, maxiter=5 * n, M=M)
+    assert bool(i_gv.converged) == bool(i_ref.converged)
+    assert abs(int(i_gv.iterations) - int(i_ref.iterations)) <= 1
+    r = np.asarray(b) - dense @ np.asarray(x_gv)
+    assert np.linalg.norm(r) <= 1e-7
+
+
+@given(sym_coo(max_n=18))
+@settings(**SETTINGS)
+def test_eigsh_extremes_match_dense_on_random_spd(problem):
+    """Property: scipy_compat.eigsh's converged extreme pairs match the
+    dense spectrum on every random SPD pattern (both ends)."""
+    from conjugategradient_tpu.scipy_compat import eigsh
+
+    rows, cols, vals, n, dense = problem
+    if n < 3:
+        return
+    csr = CSRMatrix.from_coo(rows, cols, vals, (n, n))
+    w_true = np.linalg.eigvalsh(dense)
+    k = min(2, n - 1)
+    for which, sl in (("SM", slice(0, k)), ("LM", slice(n - k, n))):
+        w = eigsh(csr, k=k, which=which, return_eigenvectors=False,
+                  tol=1e-8)
+        np.testing.assert_allclose(w, w_true[sl], rtol=1e-6, atol=1e-8)

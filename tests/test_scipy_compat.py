@@ -274,3 +274,40 @@ class TestEigsh:
         w3 = eigsh(scipy_sparse.identity(5, format="csr"), k=2,
                    return_eigenvectors=False)
         np.testing.assert_allclose(w3, 1.0)
+
+    def test_multiplicity_resolved_like_arpack(self):
+        """Hypothesis-caught: one Lanczos pass finds at most ONE copy of a
+        repeated eigenvalue; scipy/ARPACK splits multiplicities, so must
+        the drop-in (explicit deflation passes).  Both falsifying
+        examples pinned."""
+        from conjugategradient_tpu.scipy_compat import eigsh
+
+        # degenerate smallest pair: spectrum {1, 1, 1.264}
+        d = np.array([[1.0, 0, 0],
+                      [0, 1.132, -0.132],
+                      [0, -0.132, 1.132]])
+        w = eigsh(scipy_sparse.csr_matrix(d), k=2, which="SM",
+                  return_eigenvectors=False, tol=1e-8)
+        np.testing.assert_allclose(w, [1.0, 1.0], rtol=1e-10)
+        # block-diagonal multiplicity 4 at both ends
+        d2 = np.kron(np.eye(4), np.array([[2.0, -1], [-1, 2]]))
+        w2, v2 = eigsh(scipy_sparse.csr_matrix(d2), k=3, which="SM")
+        np.testing.assert_allclose(w2, 1.0, rtol=1e-9)
+        np.testing.assert_allclose(v2.T @ v2, np.eye(3), atol=1e-8)
+        w3 = eigsh(scipy_sparse.csr_matrix(d2), k=3, which="LM",
+                   return_eigenvectors=False)
+        np.testing.assert_allclose(w3, 3.0, rtol=1e-9)
+
+    def test_deflation_shift_does_not_discard_genuine_pairs(self):
+        """Hypothesis-caught: the old shifted-copy eigenvalue filter
+        threw away genuine eigenvalues above sigma/2 — [2.911, 4.397]
+        came back as [1.0, 4.397]."""
+        from conjugategradient_tpu.scipy_compat import eigsh
+
+        d = np.array([[2.351, 0.905, 0.446],
+                      [0.905, 3.208, -1.303],
+                      [0.446, -1.303, 2.749]])
+        w = eigsh(scipy_sparse.csr_matrix(d), k=2, which="LM",
+                  return_eigenvectors=False, tol=1e-8)
+        w_true = np.linalg.eigvalsh(d)[1:]
+        np.testing.assert_allclose(w, w_true, rtol=1e-9)
