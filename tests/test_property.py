@@ -150,3 +150,53 @@ def test_eigsh_extremes_match_dense_on_random_spd(problem):
         w = eigsh(csr, k=k, which=which, return_eigenvectors=False,
                   tol=1e-8)
         np.testing.assert_allclose(w, w_true[sl], rtol=1e-6, atol=1e-8)
+
+
+@st.composite
+def sym_indefinite(draw, n=16):
+    """Random symmetric INDEFINITE dense (n fixed so the jitted MINRES
+    while_loop compiles once across examples)."""
+    rng = np.random.default_rng(draw(st.integers(0, 2**31 - 1)))
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    half = n // 2
+    eigs = np.concatenate([
+        -draw(st.floats(0.5, 3.0)) * np.linspace(1.0, 2.0, half),
+        draw(st.floats(0.5, 3.0)) * np.linspace(1.0, 2.0, n - half),
+    ])
+    return Q @ np.diag(eigs) @ Q.T
+
+
+@given(sym_indefinite())
+@settings(**SETTINGS)
+def test_minres_solves_random_indefinite(dense):
+    """Property: MINRES converges on every random symmetric indefinite
+    system and the true residual meets the tolerance (CG has no such
+    guarantee off the SPD domain — that is why MINRES exists here)."""
+    from conjugategradient_tpu import minres_solve
+
+    n = dense.shape[0]
+    b = jnp.asarray(np.linspace(-1, 1, n))
+    x, info = minres_solve(jnp.asarray(dense), b, tol=1e-9, maxiter=20 * n)
+    assert bool(info.converged)
+    r = np.asarray(b) - dense @ np.asarray(x)
+    assert np.linalg.norm(r) <= 1e-7
+
+
+@given(sym_coo(max_n=18), st.booleans())
+@settings(max_examples=15, derandomize=True, deadline=None)
+def test_lobpcg_extremes_match_dense(problem, largest):
+    """Property: LOBPCG's converged block matches the dense spectrum's
+    extreme end on every random SPD pattern."""
+    from conjugategradient_tpu import lobpcg_eigs
+
+    rows, cols, vals, n, dense = problem
+    k = 2
+    if n < 3 * k + 1:
+        return
+    csr = CSRMatrix.from_coo(rows, cols, vals, (n, n))
+    res = lobpcg_eigs(csr, k=k, which="largest" if largest else "smallest",
+                      tol=1e-9, maxiter=300)
+    w_true = np.linalg.eigvalsh(dense)
+    want = w_true[::-1][:k] if largest else w_true[:k]
+    np.testing.assert_allclose(np.asarray(res.values), want,
+                               rtol=1e-5, atol=1e-7)
