@@ -271,6 +271,94 @@ class CSRMatrix(LinearOperator):
             indices_sorted=sorted_unique, unique_indices=sorted_unique,
         )
 
+    @staticmethod
+    def from_torch(a: Any, dtype=None) -> "CSRMatrix":
+        """Ingest a PyTorch sparse matrix (``torch.sparse_csr`` / ``_coo`` /
+        ``_csc`` / blocked layouts).
+
+        The PyTorch counterpart of :meth:`from_scipy` / :meth:`from_bcoo` —
+        the reference's foreign-framework ``setMatrix`` overload
+        (CG.hpp:105-151) for the third ecosystem operators arrive from.
+        Conversion is host-side, once at ingest (like every other setup
+        pass): the tensor is detached and moved to CPU, COO inputs are
+        coalesced (duplicates summed — the same canonicalization
+        ``from_scipy`` applies), CSC/BSR/BSC go through torch's own
+        ``to_sparse_csr``.  bfloat16 values survive the trip (numpy cannot
+        hold bf16, so they widen to f32 in transit and land as
+        ``jnp.bfloat16`` unless ``dtype`` overrides).  Complex tensors are
+        rejected — the framework is real-symmetric only, matching the
+        MatrixMarket ingest contract (io/mtx.py).
+        """
+        import torch
+
+        if not isinstance(a, torch.Tensor):
+            raise TypeError(f"not a torch.Tensor: {type(a)!r}")
+        if a.is_complex():
+            raise ValueError(
+                "complex torch operators are not supported: CG/MINRES here "
+                "cover the real-symmetric domain (same contract as the "
+                "MatrixMarket ingest, io/mtx.py)")
+        if a.dim() != 2:
+            raise ValueError(
+                f"expected a 2-D sparse matrix, got shape {tuple(a.shape)}")
+        if a.layout == torch.strided:
+            raise ValueError(
+                "dense (strided) torch tensor: pass it to as_linear_operator "
+                "(dense operators stay dense — DenseOperator), or call "
+                ".to_sparse_csr() first if CSR is really wanted")
+        a = a.detach().cpu()
+        shape = tuple(int(s) for s in a.shape)
+        if dtype is None and a.dtype == torch.bfloat16:
+            dtype = jnp.bfloat16
+
+        def _np(t):
+            # numpy has no bfloat16 — widen; dtype= above restores it
+            if t.dtype == torch.bfloat16:
+                t = t.float()
+            return t.numpy()
+
+        if a.layout == torch.sparse_coo:
+            a = a.coalesce()
+            idx = a.indices().numpy()
+            return CSRMatrix.from_coo(
+                idx[0], idx[1], _np(a.values()), shape, dtype=dtype)
+        if a.layout != torch.sparse_csr:
+            try:
+                a = a.to_sparse_csr()
+            except (RuntimeError, NotImplementedError) as e:
+                raise ValueError(
+                    f"torch layout {a.layout} has no CSR conversion in this "
+                    f"torch build: {e}") from e
+        return CSRMatrix.from_arrays(
+            _np(a.values()),
+            a.col_indices().numpy(),
+            a.crow_indices().numpy(),
+            shape,
+            dtype=dtype,
+        )
+
+    def to_torch(self):
+        """Export as a CPU ``torch.sparse_csr_tensor`` (the round-trip twin
+        of :meth:`from_torch`; bf16 data widens through f32 in transit and
+        lands as ``torch.bfloat16``)."""
+        import torch
+
+        # np.asarray of a device buffer is read-only — copy so torch owns
+        # writable storage (torch.from_numpy aliases, it doesn't copy)
+        data = np.array(jax.device_get(self.data))
+        if self.data.dtype == jnp.bfloat16:
+            vals = torch.from_numpy(data.astype(np.float32)).to(torch.bfloat16)
+        else:
+            vals = torch.from_numpy(data)
+        return torch.sparse_csr_tensor(
+            torch.from_numpy(np.array(jax.device_get(self.indptr),
+                                      dtype=np.int64)),
+            torch.from_numpy(np.array(jax.device_get(self.indices),
+                                      dtype=np.int64)),
+            vals,
+            size=self.shape,
+        )
+
     # -- properties ----------------------------------------------------------
     @property
     def nnz(self) -> int:
@@ -1579,11 +1667,18 @@ def _is_jax_sparse(a: Any) -> bool:
     return (type(a).__module__ or "").startswith("jax.experimental.sparse")
 
 
+def _is_torch_tensor(a: Any) -> bool:
+    """torch.Tensor check by module path — torch never imports unless a
+    torch object actually shows up at the ingest point."""
+    return (type(a).__module__ or "").split(".")[0] == "torch"
+
+
 def as_linear_operator(a: Any, n: Optional[int] = None, dtype=None) -> LinearOperator:
     """Coerce common inputs into a LinearOperator.
 
     Accepts LinearOperator instances, scipy.sparse matrices (duck-typed),
-    jax.experimental.sparse BCOO/BCSR matrices, dense 2-D arrays, and
+    jax.experimental.sparse BCOO/BCSR matrices, torch tensors (sparse
+    layouts → CSRMatrix, dense → DenseOperator), dense 2-D arrays, and
     callables (requires ``n``).  This is the rebuild of
     the reference's family of ``setMatrix`` overloads (CG.hpp:87-151) — incl.
     the external-framework adapter overload (CG.hpp:105-151) — as one
@@ -1595,6 +1690,21 @@ def as_linear_operator(a: Any, n: Optional[int] = None, dtype=None) -> LinearOpe
         return CSRMatrix.from_bcoo(a, dtype=dtype)
     if _is_scipy_sparse(a):
         return CSRMatrix.from_scipy(a, dtype=dtype)
+    if _is_torch_tensor(a):
+        import torch
+
+        if isinstance(a, torch.Tensor) and a.layout != torch.strided:
+            return CSRMatrix.from_torch(a, dtype=dtype)
+        if isinstance(a, torch.Tensor):
+            # dense tensor → the DenseOperator branch below (bf16 widens
+            # through f32 in transit, numpy has no bfloat16)
+            t = a.detach().cpu()
+            target = jnp.bfloat16 if t.dtype == torch.bfloat16 else None
+            if t.dtype == torch.bfloat16:
+                t = t.float()
+            a = jnp.asarray(t.numpy())
+            if target is not None:
+                a = a.astype(dtype or target)
     if callable(a) and not isinstance(a, (jnp.ndarray, np.ndarray)):
         if n is None:
             raise ValueError("matrix-free callables need n= (system dimension)")
