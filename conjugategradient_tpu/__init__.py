@@ -36,6 +36,8 @@ from .solver import (
     block_cg_solve,
     minres_solve,
     MinresInfo,
+    bicgstab_solve,
+    BicgstabInfo,
     refined_cg_solve,
     RefineInfo,
     cg_init,
@@ -87,6 +89,8 @@ __all__ = [
     "block_cg_solve",
     "sstep_cg_solve",
     "minres_solve",
+    "bicgstab_solve",
+    "BicgstabInfo",
     "MinresInfo",
     "refined_cg_solve",
     "RefineInfo",

@@ -623,6 +623,131 @@ def _sharded_minres(
     return x, k, done, rho, rho, hist
 
 
+def _sharded_bicgstab(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    inv_diag_s,
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+):
+    """Per-shard BiCGStab — the mesh composition of solver/bicgstab.py:
+    NONSYMMETRIC systems on the row mesh.
+
+    Collective pattern per iteration: TWO halo'd local matvecs (BiCGStab's
+    price for nonsymmetry) + THREE psum rounds — ρ = r̂·r, then r̂·v after
+    the first matvec, then ONE stacked psum of (t·s, t·t, s·s) after the
+    second.  The full-step residual norm needs no fourth round: with
+    ω = t·s/t·t, ‖r‖² = s·s − (t·s)²/t·t exactly, so the termination
+    observable falls out of the same stacked reduction (the single-device
+    version just dots r; on the mesh the identity saves a latency round).
+
+    ``inv_diag_s`` follows _precond_apply's contract (None / Jacobi array /
+    callable); SPD-ness is NOT required of M.  Breakdowns (ρ→0, r̂ᵀv→0,
+    ω→0, NaN) exit with the last FINITE iterate and flow to
+    ``converged=False`` via a NaN'd rnorm, like _sharded_minres's nan
+    channel.  Returns the core's ``(x, k, done, rho, rnorm, hist)`` tuple
+    with SQUARED norms so the CGInfo plumbing reads identically to the CG
+    loops.
+    """
+
+    def pdot(u, v):
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
+
+    def pdot3(t, sv):
+        # one psum of the stacked (t·s, t·t, s·s) triple
+        acc = jnp.promote_types(t.dtype, jnp.float32)
+        ta, sa = t.astype(acc), sv.astype(acc)
+        trip = jnp.stack(
+            [jnp.sum(ta * sa), jnp.sum(ta * ta), jnp.sum(sa * sa)])
+        return jax.lax.psum(trip, axis)
+
+    def precond(r):
+        return _precond_apply(inv_diag_s, r)
+
+    r0 = b_s - local_matvec(x0_s)
+    rnorm0_sq = pdot(r0, r0)
+    sdt = rnorm0_sq.dtype
+    tol_sq = (tol_arr * tol_arr).astype(sdt)
+    hist = jnp.full((maxiter + 1,), jnp.nan, dtype=sdt)
+    hist = hist.at[0].set(rnorm0_sq)
+    one = jnp.ones((), sdt)
+    carry = (
+        jnp.asarray(0, jnp.int32),
+        jnp.isnan(rnorm0_sq) | (rnorm0_sq <= tol_sq),  # done
+        jnp.isnan(rnorm0_sq),  # broke
+        x0_s,
+        r0,
+        jnp.zeros_like(b_s),  # p
+        jnp.zeros_like(b_s),  # v
+        one,  # rho
+        one,  # alpha
+        one,  # omega
+        rnorm0_sq.astype(sdt),
+        hist,
+    )
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    def body(c):
+        (k, done, broke, x, r, p, v, rho_p, alpha_p, omega_p,
+         rnorm_sq, hist) = c
+        rho = pdot(r0, r)  # r̂₀ = r₀ (van der Vorst's standard choice)
+        beta = (rho / rho_p) * (alpha_p / omega_p)
+        pn = (r + beta * (p - omega_p * v)).astype(r.dtype)
+        phat = precond(pn).astype(r.dtype)
+        vn = local_matvec(phat)
+        rhat_v = pdot(r0, vn)
+        alpha = rho / rhat_v
+        sv = (r - alpha * vn).astype(r.dtype)
+        x_half = (x + alpha * phat).astype(x.dtype)
+
+        shat = precond(sv).astype(r.dtype)
+        t = local_matvec(shat)
+        t_s, t_t, s_s = pdot3(t, sv)
+        half_done = s_s <= tol_sq
+        omega = t_s / t_t
+        x_full = (x_half + omega * shat).astype(x.dtype)
+        r_full = (sv - omega * t).astype(r.dtype)
+        # ‖r_full‖² from the same stacked reduction (see docstring); the
+        # clamp absorbs the tiny negative roundoff the subtraction can leave
+        rfull_sq = jnp.maximum(s_s - t_s * t_s / t_t, 0.0)
+
+        finite = (
+            jnp.isfinite(beta) & jnp.isfinite(alpha) & jnp.isfinite(omega)
+            & jnp.isfinite(rfull_sq)
+        )
+        broke_n = ~finite & ~half_done
+        rnorm_new = jnp.where(half_done, s_s, rfull_sq)
+        converged_now = half_done | (finite & (rfull_sq <= tol_sq))
+        broke_n = broke_n | (
+            finite & ((omega == 0) | (rho == 0)) & ~converged_now)
+
+        xn = jnp.where(broke_n, x, jnp.where(half_done, x_half, x_full))
+        rn = jnp.where(broke_n, r, jnp.where(half_done, sv, r_full))
+        pn = jnp.where(broke_n | half_done, p, pn)
+        vn = jnp.where(broke_n | half_done, v, vn)
+        rnorm_n = jnp.where(broke_n, rnorm_sq, rnorm_new).astype(sdt)
+        kn = k + 1
+        hist = hist.at[kn].set(rnorm_n)
+        return (
+            kn, converged_now | broke_n, broke_n, xn, rn, pn, vn,
+            jnp.where(broke_n, rho_p, rho),
+            jnp.where(broke_n, alpha_p, alpha),
+            jnp.where(broke_n, omega_p, omega),
+            rnorm_n, hist,
+        )
+
+    c = jax.lax.while_loop(cond, body, carry)
+    k, done, broke, x, rnorm_sq, hist = c[0], c[1], c[2], c[3], c[10], c[11]
+    # breakdown flows to _solve_info's converged = done & ~isnan(rnorm)
+    rho_out = jnp.where(broke, jnp.asarray(jnp.nan, sdt), rnorm_sq)
+    return x, k, done, rho_out, rho_out, hist
+
+
 def _sharded_fused_cg(
     blocks_s: jax.Array,
     cols_s: jax.Array,

@@ -73,6 +73,7 @@ from .loops import (
     _sharded_fused_cg,
     _sharded_lockstep_pcg,
     _sharded_minres,
+    _sharded_bicgstab,
     _sharded_pcg,
     _sharded_pipelined_cg,
     _sharded_pipelined_pcg,
@@ -195,7 +196,8 @@ def _resolve_single_rhs_method(method, with_m, recompute_r_every, s, rcond, dtyp
     """Validate the single-RHS method triple and normalize the s-step
     hyperparameters: (s_eff, rcond_eff) are baked into the compiled solve
     (and its cache key), so non-sstep methods pin them to inert constants."""
-    if method not in ("standard", "pipelined", "sstep", "minres"):
+    if method not in ("standard", "pipelined", "sstep", "minres",
+                      "bicgstab"):
         raise ValueError(f"unknown method {method!r}")
     if method == "sstep" and with_m:
         # pipelined composes with preconditioning (Ghysels–Vanroose,
@@ -310,13 +312,14 @@ def _sharded_solve(
     if M_local is not None:
         if with_m:
             raise ValueError("pass either inv_diag or M_local, not both")
-        if method not in ("standard", "minres", "pipelined"):
-            # minres and pipelined compose too (both precondition through
-            # the same _precond_apply contract; M must be SPD) — s-step
-            # stays unpreconditioned
+        if method not in ("standard", "minres", "pipelined", "bicgstab"):
+            # minres/pipelined/bicgstab compose too (all precondition
+            # through the same _precond_apply contract; minres/pipelined
+            # need an SPD M, bicgstab does not) — s-step stays
+            # unpreconditioned
             raise ValueError(
-                f"M_local runs the standard, minres, or pipelined "
-                f"per-shard loop (method={method!r})"
+                f"M_local runs the standard, minres, pipelined, or "
+                f"bicgstab per-shard loop (method={method!r})"
             )
         if basis is not None:
             raise ValueError("M_local and basis= (deflation) are exclusive")
@@ -396,6 +399,11 @@ def _sharded_solve(
                 )
             if method == "minres":
                 return _sharded_minres(
+                    local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter,
+                    axis,
+                )
+            if method == "bicgstab":
+                return _sharded_bicgstab(
                     local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter,
                     axis,
                 )

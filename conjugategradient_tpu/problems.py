@@ -71,6 +71,45 @@ def poisson3d_coo(nx: int, ny: int = None, nz: int = None):
     )
 
 
+def convection_diffusion_2d_coo(nx: int, ny: int = None, peclet: float = 10.0):
+    """5-point upwind convection-diffusion — the standard NONSYMMETRIC test
+    operator (for the BiCGStab lane; the SPD generators above cannot
+    exercise it).
+
+    Discretizes −Δu + β·∇u on the unit square (Dirichlet) with first-order
+    upwinding of the constant convection field β = peclet·(1, 1)/h, scaled
+    by h² like :func:`poisson2d_coo`.  Upwinding keeps the matrix an
+    M-matrix (positive-definite though NOT symmetric) for every ``peclet``,
+    so BiCGStab converges and the skew part grows with ``peclet`` — at 0 it
+    degenerates to the symmetric Poisson operator.
+    """
+    ny = ny or nx
+    n = nx * ny
+    # grid spacing folded out: the operator is the h²-scaled stencil
+    # (matching poisson2d_coo); bx,by are the per-cell upwind weights
+    bx = by = float(peclet) / (nx + 1)
+    ids = np.arange(n, dtype=np.int64)
+    i, j = np.divmod(ids, ny)
+    rows = [ids]
+    cols = [ids]
+    vals = [np.full(n, 4.0 + bx + by)]
+    for mask, stride, coeff in (
+        (i - 1 >= 0, -ny, -1.0 - bx),  # west: upwind side of the +x flow
+        (i + 1 < nx, +ny, -1.0),       # east
+        (j - 1 >= 0, -1, -1.0 - by),   # south: upwind side of the +y flow
+        (j + 1 < ny, +1, -1.0),        # north
+    ):
+        rows.append(ids[mask])
+        cols.append(ids[mask] + stride)
+        vals.append(np.full(int(mask.sum()), coeff))
+    return (
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.concatenate(vals),
+        (n, n),
+    )
+
+
 def random_spd_dense(n: int, seed: int = 0, cond: float = 100.0) -> np.ndarray:
     """Dense SPD with controlled condition number (for dense-CG config 1)."""
     rng = np.random.default_rng(seed)

@@ -35,7 +35,7 @@ import numpy as np
 from .solver.cg import cg_solve
 from .types import as_linear_operator
 
-__all__ = ["cg", "minres", "lobpcg", "eigsh"]
+__all__ = ["cg", "bicgstab", "minres", "lobpcg", "eigsh"]
 
 
 def _check_traceable(fn, n, dtype, what: str):
@@ -211,6 +211,76 @@ def minres(
         callback(np.asarray(state.x))
     if bool(state.nan):
         return state.x, -1
+    return state.x, 0 if bool(state.done) else mi
+
+
+def bicgstab(
+    A: Any,
+    b,
+    x0=None,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    M: Optional[Any] = None,
+    callback: Optional[Callable] = None,
+) -> Tuple[jax.Array, int]:
+    """Drop-in for ``scipy.sparse.linalg.bicgstab`` — NONSYMMETRIC systems
+    (solver/bicgstab.py).
+
+    Same conventions as :func:`cg` above: scipy's ``(x, info)`` return with
+    termination ``‖r_k‖₂ <= max(rtol·‖b‖₂, atol)`` on the recurrence
+    residual (tested after each half-step too, like scipy), maxiter default
+    10n (scipy's), ``callback(xk)`` via the eager step-at-a-time path.
+    Breakdown returns scipy's ``info = -10``.
+    """
+    b = jnp.asarray(b)
+    if b.ndim != 1:
+        raise ValueError(f"b must be 1-D, got shape {b.shape}")
+    op = as_linear_operator(A, n=int(b.shape[0]))
+    if b.shape[0] != op.shape[0]:
+        raise ValueError(
+            f"b has shape {b.shape}, expected ({op.shape[0]},)"
+        )
+    _check_traceable(op.matvec, op.shape[0], b.dtype, "A")
+    if x0 is not None:
+        x0 = jnp.asarray(x0, b.dtype)
+
+    M_fn = None
+    if M is not None:
+        if callable(M) and not hasattr(M, "matvec"):
+            M_fn = M
+        else:
+            M_fn = as_linear_operator(M, n=op.shape[0]).matvec
+        _check_traceable(M_fn, op.shape[0], b.dtype, "M")
+
+    from .solver.bicgstab import bicgstab_solve
+
+    n = op.shape[0]
+    tol = max(float(rtol) * float(jnp.linalg.norm(b)), float(atol))
+    mi = int(10 * n if maxiter is None else maxiter)  # scipy default: 10n
+
+    if callback is None:
+        x, info = bicgstab_solve(op, b, x0, tol=tol, maxiter=mi, M=M_fn)
+        if bool(info.breakdown):
+            return x, -10  # scipy's bicgstab breakdown code
+        return x, 0 if bool(info.converged) else mi
+
+    # callback path: step at a time so xk can be observed per iteration
+    from .solver.bicgstab import bicgstab_init, bicgstab_step
+
+    tol_arr = jnp.asarray(tol, b.dtype)
+    state = bicgstab_init(op, b, x0, tol_arr, mi, M_fn)
+    step = jax.jit(lambda s: bicgstab_step(op, s, tol_arr, M_fn))
+    for _ in range(mi):
+        if bool(state.broke):
+            return state.x, -10
+        if bool(state.done):
+            return state.x, 0
+        state = step(state)
+        callback(np.asarray(state.x))
+    if bool(state.broke):
+        return state.x, -10
     return state.x, 0 if bool(state.done) else mi
 
 

@@ -31,6 +31,7 @@ from .lobpcg import lobpcg_eigs
 from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
 from .minres import MinresInfo, minres_solve
+from .bicgstab import BicgstabInfo, bicgstab_solve
 from .pipelined import pipelined_cg_solve
 from .sstep import sstep_cg_solve
 from .refine import RefineInfo, refined_cg_solve
@@ -82,6 +83,8 @@ __all__ = [
     "fused_stencil_supported",
     "MinresInfo",
     "minres_solve",
+    "bicgstab_solve",
+    "BicgstabInfo",
     "pipelined_cg_solve",
     "sstep_cg_solve",
     "RefineInfo",

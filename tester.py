@@ -66,7 +66,7 @@ def main(argv=None) -> int:
                          "triangular solves; --layout csr inputs)")
     ap.add_argument("--method",
                     choices=("standard", "pipelined", "sstep", "block",
-                             "minres"),
+                             "minres", "bicgstab"),
                     default="standard",
                     help="pipelined = single-synchronization CG (one global "
                          "reduction per iteration; Chronopoulos-Gear, or "
@@ -78,7 +78,9 @@ def main(argv=None) -> int:
                          "iterations per lane than the lockstep loop); "
                          "minres = Paige-Saunders MINRES for symmetric "
                          "INDEFINITE systems (monotone residual norms; "
-                         "takes an SPD --precond)")
+                         "takes an SPD --precond); bicgstab = van der "
+                         "Vorst BiCGStab for NONSYMMETRIC systems (general "
+                         ".mtx inputs; 2 SpMVs/iteration; takes --precond)")
     ap.add_argument("--sstep-s", type=int, default=4, dest="sstep_s",
                     help="s-step block size (with --method sstep; the "
                          "monomial basis conditions like kappa(A)^s — "
@@ -441,6 +443,30 @@ def main(argv=None) -> int:
                 converged=minfo.converged,
                 rho=minfo.rnorm * minfo.rnorm,
                 rnorm_sq=minfo.rnorm * minfo.rnorm,
+                rho_history=hist * hist,
+            )
+            return x, info
+    elif args.method == "bicgstab":
+        from conjugategradient_tpu import bicgstab_solve
+        from conjugategradient_tpu.solver.cg import CGInfo
+
+        if args.nrhs > 1:
+            print("error: --nrhs > 1 uses the lockstep loop, not --method "
+                  "bicgstab", file=sys.stderr)
+            return 2
+
+        def solve(b_):
+            x, binfo = bicgstab_solve(
+                A, b_, tol=args.tol, maxiter=args.maxiter, M=M
+            )
+            # adapt to the CGInfo the printing paths consume (like the
+            # minres lane: history carries norm ESTIMATES, CGInfo squares)
+            hist = binfo.rnorm_history
+            info = CGInfo(
+                iterations=binfo.iterations,
+                converged=binfo.converged,
+                rho=binfo.rnorm * binfo.rnorm,
+                rnorm_sq=binfo.rnorm * binfo.rnorm,
                 rho_history=hist * hist,
             )
             return x, info

@@ -24,6 +24,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite compiles ~1000 XLA programs; a
+# warm cache turns reruns into disk loads.  Besides speed, this reduces
+# exposure to a FLAKY XLA:CPU compiler crash (SIGABRT/SIGSEGV inside
+# backend_compile, observed ~1-in-2 full-suite runs at the 600-test scale,
+# crash site varying run to run — docs/round4.md item 37).  min_entry_size
+# 0 caches even tiny programs; tests are correctness-, not timing-bound.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.default_backend() == "cpu", (
     "tests must run on the CPU backend; a TPU backend was already "
     "initialized before conftest.py ran"

@@ -39,6 +39,7 @@ def main(argv=None) -> int:
             "elasticity3d",
             "bcsstk17",
             "circuit",
+            "convdiff",
         ),
     )
     ap.add_argument("--nx", type=int, default=64)
@@ -49,6 +50,9 @@ def main(argv=None) -> int:
     ap.add_argument("--avg-degree", type=float, default=None,
                     help="target avg nnz/row (default: 3.5 powerlaw = "
                          "1138_bus profile, 4.83 circuit = G3_circuit)")
+    ap.add_argument("--peclet", type=float, default=10.0,
+                    help="convection strength for convdiff (0 = symmetric "
+                         "Poisson limit)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-o", "--out", required=True)
     args = ap.parse_args(argv)
@@ -119,6 +123,16 @@ def main(argv=None) -> int:
             "profile: n=10974 (3 dof x 59x31x2 shell), nnz~428650 "
             f"seed={args.seed}"
         )
+    elif args.kind == "convdiff":
+        from conjugategradient_tpu.problems import convection_diffusion_2d_coo
+
+        rows, cols, vals, shape = convection_diffusion_2d_coo(
+            args.nx, args.ny, peclet=args.peclet
+        )
+        comment = (
+            f"2-D upwind convection-diffusion (NONSYMMETRIC, bicgstab "
+            f"lane), {args.nx}x{args.ny or args.nx} peclet={args.peclet}"
+        )
     else:  # dense
         a = random_spd_dense(args.n, seed=args.seed)
         rows, cols = np.nonzero(a)
@@ -127,9 +141,14 @@ def main(argv=None) -> int:
         comment = f"dense random SPD, n={args.n} seed={args.seed}"
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    write_mtx(args.out, rows, cols, vals, shape, symmetric=True, comment=comment)
-    nnz_lower = int(np.sum(np.asarray(rows) >= np.asarray(cols)))
-    print(f"wrote {args.out}: n={shape[0]} nnz(stored,lower)={nnz_lower}")
+    write_mtx(args.out, rows, cols, vals, shape,
+              symmetric=args.kind != "convdiff", comment=comment)
+    if args.kind == "convdiff":
+        print(f"wrote {args.out}: n={shape[0]} "
+              f"nnz(stored,general)={len(np.asarray(vals))}")
+    else:
+        nnz_lower = int(np.sum(np.asarray(rows) >= np.asarray(cols)))
+        print(f"wrote {args.out}: n={shape[0]} nnz(stored,lower)={nnz_lower}")
     return 0
 
 
