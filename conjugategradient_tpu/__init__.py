@@ -38,6 +38,8 @@ from .solver import (
     MinresInfo,
     bicgstab_solve,
     BicgstabInfo,
+    gmres_solve,
+    GmresInfo,
     refined_cg_solve,
     RefineInfo,
     cg_init,
@@ -90,7 +92,9 @@ __all__ = [
     "sstep_cg_solve",
     "minres_solve",
     "bicgstab_solve",
+    "gmres_solve",
     "BicgstabInfo",
+    "GmresInfo",
     "MinresInfo",
     "refined_cg_solve",
     "RefineInfo",

@@ -748,6 +748,166 @@ def _sharded_bicgstab(
     return x, k, done, rho_out, rho_out, hist
 
 
+def _sharded_gmres(
+    local_matvec: Callable[[jax.Array], jax.Array],
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    inv_diag_s,
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+    m: int,
+):
+    """Per-shard GMRES(m) — the mesh composition of solver/gmres.py:
+    restarted minimal-residual for NONSYMMETRIC systems on the row mesh.
+
+    The Krylov basis is row-sharded like every other vector: ``V_s`` is the
+    shard's ``(m+1, n_local)`` slice, so orthogonalization's CGS2 matmuls
+    run shard-local and reduce with small ``(m+1,)``-payload psums.
+    Collective pattern per inner Arnoldi step: ONE halo'd local matvec +
+    THREE psums (the two CGS2 projection vectors + the new basis vector's
+    norm); per restart cycle one more matvec + psum for the TRUE-residual
+    recompute.  The Givens scalars, the (m×m) triangular solve, and all
+    termination logic are replicated bit-identically on every shard (their
+    inputs are psum outputs).
+
+    ``inv_diag_s`` follows _precond_apply's contract (None / Jacobi array /
+    callable — the callable may issue its own collectives, e.g. the
+    sharded-AMG V-cycle) and is applied as a RIGHT preconditioner, matching
+    solver/gmres.py: the residual the loop observes and tests is the TRUE
+    ``b − A x``.  Restart boundaries recompute the true residual, so the
+    recurrence-drift pathology ``recompute_r_every`` exists for cannot
+    occur.  Returns the core's ``(x, k, done, rho, rnorm, hist)`` tuple
+    with SQUARED norms so the CGInfo plumbing reads identically to the CG
+    loops (hist carries in-cycle Givens estimates², overwritten with the
+    recomputed true norm² at each cycle boundary).
+    """
+    hi = jax.lax.Precision.HIGHEST
+
+    def pdot(u, v):
+        acc = jnp.promote_types(u.dtype, jnp.float32)
+        return jax.lax.psum(jnp.sum(u.astype(acc) * v.astype(acc)), axis)
+
+    def precond(r):
+        return _precond_apply(inv_diag_s, r)
+
+    vdt = b_s.dtype
+    nloc = b_s.shape[0]
+    r0 = b_s - local_matvec(x0_s)
+    rnorm0_sq = pdot(r0, r0)
+    sdt = rnorm0_sq.dtype
+    tol_sq = (tol_arr * tol_arr).astype(sdt)
+    # scratch slot maxiter+1 absorbs masked history writes; trimmed on return
+    hist = jnp.full((maxiter + 2,), jnp.nan, dtype=sdt)
+    hist = hist.at[0].set(rnorm0_sq)
+
+    carry0 = (
+        jnp.zeros((), jnp.int32),
+        jnp.isnan(rnorm0_sq) | (rnorm0_sq <= tol_sq),  # done
+        jnp.isnan(rnorm0_sq),  # broke
+        x0_s,
+        rnorm0_sq,
+        hist,
+    )
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    def body(c):
+        k, _, broke, x, rnorm_sq, hist = c
+        r = b_s - local_matvec(x)
+        beta_sq = pdot(r, r)
+        beta = jnp.sqrt(beta_sq)
+        v0 = jnp.where(
+            beta > 0, (r.astype(sdt) / beta).astype(vdt), jnp.zeros_like(r))
+        V = jnp.zeros((m + 1, nloc), vdt).at[0].set(v0)
+        R = jnp.zeros((m + 1, m), sdt)
+        g = jnp.zeros((m + 1,), sdt).at[0].set(beta)
+        cs = jnp.ones((m,), sdt)
+        sn = jnp.zeros((m,), sdt)
+
+        def arnoldi(j, ic):
+            V, R, g, cs, sn, idone, ibroke, jused, hist = ic
+            active = (~idone) & (k + j < maxiter)
+            z = precond(V[j]).astype(vdt)
+            w = local_matvec(z).astype(vdt)
+            # CGS2 with psum'd projections (rows > j of V are zero)
+            Va = V.astype(sdt)
+            wa = w.astype(sdt)
+            h1 = jax.lax.psum(jnp.matmul(Va, wa, precision=hi), axis)
+            w1 = wa - jnp.matmul(Va.T, h1, precision=hi)
+            h2 = jax.lax.psum(jnp.matmul(Va, w1, precision=hi), axis)
+            w2 = w1 - jnp.matmul(Va.T, h2, precision=hi)
+            h = h1 + h2
+            hsub = jnp.sqrt(jax.lax.psum(jnp.sum(w2 * w2), axis))
+            vnext = jnp.where(hsub > 0, w2 / hsub, jnp.zeros_like(w2))
+            V = V.at[j + 1].set(
+                jnp.where(active, vnext.astype(vdt), V[j + 1]))
+
+            col = h.at[j + 1].set(hsub)
+
+            def rot(i, cv):
+                a0, a1 = cv[i], cv[i + 1]
+                apply = i < j
+                n0 = jnp.where(apply, cs[i] * a0 + sn[i] * a1, a0)
+                n1 = jnp.where(apply, -sn[i] * a0 + cs[i] * a1, a1)
+                return cv.at[i].set(n0).at[i + 1].set(n1)
+
+            col = jax.lax.fori_loop(0, m, rot, col)
+            a0, a1 = col[j], col[j + 1]
+            denom = jnp.sqrt(a0 * a0 + a1 * a1)
+            csj = jnp.where(denom > 0, a0 / denom, jnp.ones((), sdt))
+            snj = jnp.where(denom > 0, a1 / denom, jnp.zeros((), sdt))
+            col = col.at[j].set(denom).at[j + 1].set(jnp.zeros((), sdt))
+            gj = g[j]
+            g_new = g.at[j].set(csj * gj).at[j + 1].set(-snj * gj)
+            est_sq = g_new[j + 1] * g_new[j + 1]
+
+            R = R.at[:, j].set(jnp.where(active, col, R[:, j]))
+            cs = cs.at[j].set(jnp.where(active, csj, cs[j]))
+            sn = sn.at[j].set(jnp.where(active, snj, sn[j]))
+            g = jnp.where(active, g_new, g)
+
+            nonfinite = ~jnp.isfinite(est_sq)
+            step_done = active & (nonfinite | (est_sq <= tol_sq))
+            jused = jused + active.astype(jnp.int32)
+            idx = jnp.where(active, k + jused, maxiter + 1)
+            hist = hist.at[idx].set(est_sq)
+            return (V, R, g, cs, sn,
+                    idone | step_done, ibroke | (active & nonfinite),
+                    jused, hist)
+
+        f = jnp.zeros((), bool)
+        V, R, g, cs, sn, _, ibroke, jused, hist = jax.lax.fori_loop(
+            0, m, arnoldi,
+            (V, R, g, cs, sn, f, f, jnp.zeros((), jnp.int32), hist))
+
+        valid = jnp.arange(m) < jused
+        Rm = jnp.where(valid[None, :], R[:m, :m], jnp.eye(m, dtype=sdt))
+        gm = jnp.where(valid, g[:m], jnp.zeros((m,), sdt))
+        y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
+        zc = jnp.matmul(V[:m].astype(sdt).T, y, precision=hi).astype(vdt)
+        x_new = (x + precond(zc).astype(vdt)).astype(x.dtype)
+
+        r_new = b_s - local_matvec(x_new)
+        rnew_sq = pdot(r_new, r_new)
+        finite = jnp.isfinite(rnew_sq) & ~ibroke
+        x_out = jnp.where(finite, x_new, x)
+        rs_out = jnp.where(finite, rnew_sq, rnorm_sq)
+        k_new = k + jused
+        hist = hist.at[jnp.where(finite, k_new, maxiter + 1)].set(rnew_sq)
+        broke_n = broke | ~finite
+        done_n = broke_n | (rs_out <= tol_sq) | (jused == 0)
+        return (k_new, done_n, broke_n, x_out, rs_out, hist)
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    k, done, broke, x, rnorm_sq, hist = c
+    # breakdown flows to _solve_info's converged = done & ~isnan(rnorm)
+    rho_out = jnp.where(broke, jnp.asarray(jnp.nan, rnorm_sq.dtype),
+                        rnorm_sq)
+    return x, k, done, rho_out, rho_out, hist[: maxiter + 1]
+
+
 def _sharded_fused_cg(
     blocks_s: jax.Array,
     cols_s: jax.Array,

@@ -74,6 +74,7 @@ from .loops import (
     _sharded_lockstep_pcg,
     _sharded_minres,
     _sharded_bicgstab,
+    _sharded_gmres,
     _sharded_pcg,
     _sharded_pipelined_cg,
     _sharded_pipelined_pcg,
@@ -197,7 +198,7 @@ def _resolve_single_rhs_method(method, with_m, recompute_r_every, s, rcond, dtyp
     hyperparameters: (s_eff, rcond_eff) are baked into the compiled solve
     (and its cache key), so non-sstep methods pin them to inert constants."""
     if method not in ("standard", "pipelined", "sstep", "minres",
-                      "bicgstab"):
+                      "bicgstab", "gmres"):
         raise ValueError(f"unknown method {method!r}")
     if method == "sstep" and with_m:
         # pipelined composes with preconditioning (Ghysels–Vanroose,
@@ -209,7 +210,7 @@ def _resolve_single_rhs_method(method, with_m, recompute_r_every, s, rcond, dtyp
         if recompute_r_every:
             # pipelined NEEDS replacement more than standard (O(eps·κ)
             # recurrence drift, solver/pipelined.py); sstep/minres have no
-            # variant
+            # variant; gmres's restarts ARE residual replacement already
             raise ValueError(
                 f"method={method!r} has no residual-replacement variant "
                 "(recompute_r_every must be 0)"
@@ -277,6 +278,7 @@ def _sharded_solve(
     recompute_r_every: int = 0,
     s: int = 4,
     rcond: Optional[float] = None,
+    gmres_restart: int = 30,
     basis=None,
     op_specs: Optional[Sequence] = None,
     op_unwrap: Optional[Callable] = None,
@@ -312,14 +314,15 @@ def _sharded_solve(
     if M_local is not None:
         if with_m:
             raise ValueError("pass either inv_diag or M_local, not both")
-        if method not in ("standard", "minres", "pipelined", "bicgstab"):
-            # minres/pipelined/bicgstab compose too (all precondition
+        if method not in ("standard", "minres", "pipelined", "bicgstab",
+                          "gmres"):
+            # minres/pipelined/bicgstab/gmres compose too (all precondition
             # through the same _precond_apply contract; minres/pipelined
-            # need an SPD M, bicgstab does not) — s-step stays
-            # unpreconditioned
+            # need an SPD M, bicgstab/gmres do not — gmres applies it
+            # RIGHT-sided) — s-step stays unpreconditioned
             raise ValueError(
-                f"M_local runs the standard, minres, pipelined, or "
-                f"bicgstab per-shard loop (method={method!r})"
+                f"M_local runs the standard, minres, pipelined, bicgstab, "
+                f"or gmres per-shard loop (method={method!r})"
             )
         if basis is not None:
             raise ValueError("M_local and basis= (deflation) are exclusive")
@@ -357,9 +360,13 @@ def _sharded_solve(
             else (P(axis),) * len(precond.op_arrays)
         )
 
+    gmres_m = (
+        max(1, min(int(gmres_restart), maxiter, n_padded))
+        if method == "gmres" else 0
+    )
     key = (family, _mesh_key(mesh), axis, maxiter, float(tol), with_m,
            key_extra, str(b.dtype), method, recompute_r_every,
-           s_eff, rcond_eff, (basis.k if with_basis else 0),
+           s_eff, rcond_eff, gmres_m, (basis.k if with_basis else 0),
            fused_fn is not None,
            None if precond is None else precond.token)
     solve_jit = _cache_get(key)
@@ -406,6 +413,11 @@ def _sharded_solve(
                 return _sharded_bicgstab(
                     local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter,
                     axis,
+                )
+            if method == "gmres":
+                return _sharded_gmres(
+                    local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter,
+                    axis, gmres_m,
                 )
             if method == "pipelined":
                 if inv_diag_s is not None:
@@ -488,6 +500,7 @@ def sharded_cg_solve(
     recompute_r_every: int = 0,
     s: int = 4,
     rcond: Optional[float] = None,
+    gmres_restart: int = 30,
     basis=None,
     M_local=None,
 ):
@@ -593,7 +606,7 @@ def sharded_cg_solve(
         mesh=mesh, axis=axis, tol=tol, maxiter=maxiter, inv_diag=inv_diag,
         make_local_matvec=make_lm, key_extra=(bn, fused, interpret),
         method=method, recompute_r_every=recompute_r_every,
-        s=s, rcond=rcond, basis=basis,
+        s=s, rcond=rcond, gmres_restart=gmres_restart, basis=basis,
         fused_fn=fused_fn if fused else None,
         M_local=M_local,
     )
@@ -619,6 +632,7 @@ def sharded_symbell_cg_solve(
     recompute_r_every: int = 0,
     s: int = 4,
     rcond: Optional[float] = None,
+    gmres_restart: int = 30,
     basis=None,
 ):
     """Row-sharded (P)CG on SYMMETRIC blocked-ELL storage.
@@ -659,7 +673,7 @@ def sharded_symbell_cg_solve(
         mesh=mesh, axis=axis, tol=tol, maxiter=maxiter, inv_diag=inv_diag,
         make_local_matvec=make_lm, key_extra=(bn, interpret),
         method=method, recompute_r_every=recompute_r_every,
-        s=s, rcond=rcond, basis=basis,
+        s=s, rcond=rcond, gmres_restart=gmres_restart, basis=basis,
     )
 
 
@@ -677,6 +691,7 @@ def sharded_cg_solve_2d(
     recompute_r_every: int = 0,
     s: int = 4,
     rcond: Optional[float] = None,
+    gmres_restart: int = 30,
 ):
     """(P)CG on a p×p 2-D block decomposition of A.
 
@@ -728,7 +743,7 @@ def sharded_cg_solve_2d(
         mesh=mesh, axis=rp_ax, tol=tol, maxiter=maxiter, inv_diag=inv_diag,
         make_local_matvec=make_lm, key_extra=(bn,),
         method=method, recompute_r_every=recompute_r_every,
-        s=s, rcond=rcond,
+        s=s, rcond=rcond, gmres_restart=gmres_restart,
         op_specs=(P(rp_ax, cp_ax), P(rp_ax, cp_ax)),
         op_unwrap=lambda a: a[0, 0],
         supports_basis=False,
@@ -748,6 +763,7 @@ def sharded_dia_cg_solve(
     inv_diag: Optional[jax.Array] = None,
     method: str = "standard",
     recompute_r_every: int = 0,
+    gmres_restart: int = 30,
     s: int = 4,
     rcond: Optional[float] = None,
     basis=None,
@@ -798,6 +814,7 @@ def sharded_dia_cg_solve(
         mesh=mesh, axis=axis, tol=tol, maxiter=maxiter, inv_diag=inv_diag,
         make_local_matvec=make_lm, key_extra=(offsets,),
         method=method, recompute_r_every=recompute_r_every,
+        gmres_restart=gmres_restart,
         s=s, rcond=rcond, basis=basis,
         sstep_basis_factory=mpk_factory,
     )
@@ -816,6 +833,7 @@ def sharded_symdia_cg_solve(
     inv_diag: Optional[jax.Array] = None,
     method: str = "standard",
     recompute_r_every: int = 0,
+    gmres_restart: int = 30,
 ):
     """Row-sharded (P)CG on SYMMETRIC DIA storage (offsets ≥ 0 only).
 
@@ -867,6 +885,7 @@ def sharded_symdia_cg_solve(
         mesh=mesh, axis=axis, tol=tol, maxiter=maxiter, inv_diag=inv_diag,
         make_local_matvec=make_lm, key_extra=(offsets,),
         method=method, recompute_r_every=recompute_r_every,
+        gmres_restart=gmres_restart,
         supports_basis=False,
     )
 
@@ -885,6 +904,7 @@ def sharded_sell_cg_solve(
     recompute_r_every: int = 0,
     s: int = 4,
     rcond: Optional[float] = None,
+    gmres_restart: int = 30,
 ):
     """Row-sharded (P)CG with a SELL (degree-bucketed) operator — the
     scattered-pattern path (north-star config 5 on power-law/circuit
@@ -922,7 +942,7 @@ def sharded_sell_cg_solve(
         mesh=mesh, axis=axis, tol=tol, maxiter=maxiter, inv_diag=inv_diag,
         make_local_matvec=make_lm, key_extra=(meta,),
         method=method, recompute_r_every=recompute_r_every,
-        s=s, rcond=rcond,
+        s=s, rcond=rcond, gmres_restart=gmres_restart,
         supports_basis=False,
     )
 

@@ -284,6 +284,93 @@ def bicgstab(
     return state.x, 0 if bool(state.done) else mi
 
 
+def gmres(
+    A: Any,
+    b,
+    x0=None,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+    restart: Optional[int] = None,
+    maxiter: Optional[int] = None,
+    M: Optional[Any] = None,
+    callback: Optional[Callable] = None,
+    callback_type: Optional[str] = None,
+) -> Tuple[jax.Array, int]:
+    """Drop-in for ``scipy.sparse.linalg.gmres`` (solver/gmres.py).
+
+    scipy conventions kept: ``(x, info)`` return with ``info = 0`` on
+    success and ``info = maxiter`` (cycles) on a blown budget; termination
+    ``‖r‖₂ <= max(rtol·‖b‖₂, atol)``; ``restart`` defaults to scipy's 20;
+    ``maxiter`` counts RESTART CYCLES (scipy's meaning — the native
+    ``gmres_solve(maxiter=)`` counts inner steps instead), defaulting so
+    total inner steps ≈ 10n like the other compat wrappers.
+
+    Documented deviations: preconditioning is RIGHT preconditioning (the
+    residual tested is the TRUE ``b − A x``; scipy's legacy path tests the
+    left-preconditioned residual — ours is the stricter, unscaled test),
+    and ``callback(xk)`` fires once per restart CYCLE (callback_type "x";
+    the per-inner-step "pr_norm" / "legacy" modes are rejected — inner
+    state never leaves the compiled cycle).
+    """
+    b = jnp.asarray(b)
+    if b.ndim != 1:
+        raise ValueError(f"b must be 1-D, got shape {b.shape}")
+    op = as_linear_operator(A, n=int(b.shape[0]))
+    if b.shape[0] != op.shape[0]:
+        raise ValueError(
+            f"b has shape {b.shape}, expected ({op.shape[0]},)"
+        )
+    _check_traceable(op.matvec, op.shape[0], b.dtype, "A")
+    if x0 is not None:
+        x0 = jnp.asarray(x0, b.dtype)
+    if callback is not None and callback_type not in (None, "x"):
+        raise ValueError(
+            "callback_type 'pr_norm'/'legacy' is not supported (per-inner-"
+            "step state never leaves the compiled cycle); use "
+            "callback_type='x' (one callback per restart cycle)"
+        )
+
+    M_fn = None
+    if M is not None:
+        if callable(M) and not hasattr(M, "matvec"):
+            M_fn = M
+        else:
+            M_fn = as_linear_operator(M, n=op.shape[0]).matvec
+        _check_traceable(M_fn, op.shape[0], b.dtype, "M")
+
+    from .solver.gmres import gmres_solve
+
+    n = op.shape[0]
+    rst = min(20 if restart is None else int(restart), n)
+    cycles = (
+        max(1, -(-10 * n // rst)) if maxiter is None else int(maxiter)
+    )
+    tol = max(float(rtol) * float(jnp.linalg.norm(b)), float(atol))
+
+    if callback is None:
+        x, info = gmres_solve(
+            op, b, x0, tol=tol, maxiter=cycles * rst, restart=rst, M=M_fn
+        )
+        if bool(info.breakdown):
+            return x, -1
+        return x, 0 if bool(info.converged) else cycles
+
+    # callback path: one compiled CYCLE at a time so xk can be observed;
+    # warm-starting from x IS the restart (each call recomputes r)
+    x = x0
+    for _ in range(cycles):
+        x, info = gmres_solve(
+            op, b, x, tol=tol, maxiter=rst, restart=rst, M=M_fn
+        )
+        callback(np.asarray(x))
+        if bool(info.breakdown):
+            return x, -1
+        if bool(info.converged):
+            return x, 0
+    return x, cycles
+
+
 def lobpcg(
     A: Any,
     X,

@@ -32,6 +32,7 @@ from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
 from .minres import MinresInfo, minres_solve
 from .bicgstab import BicgstabInfo, bicgstab_solve
+from .gmres import GmresInfo, gmres_solve
 from .pipelined import pipelined_cg_solve
 from .sstep import sstep_cg_solve
 from .refine import RefineInfo, refined_cg_solve
@@ -84,6 +85,8 @@ __all__ = [
     "MinresInfo",
     "minres_solve",
     "bicgstab_solve",
+    "gmres_solve",
+    "GmresInfo",
     "BicgstabInfo",
     "pipelined_cg_solve",
     "sstep_cg_solve",

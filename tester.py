@@ -66,7 +66,7 @@ def main(argv=None) -> int:
                          "triangular solves; --layout csr inputs)")
     ap.add_argument("--method",
                     choices=("standard", "pipelined", "sstep", "block",
-                             "minres", "bicgstab"),
+                             "minres", "bicgstab", "gmres"),
                     default="standard",
                     help="pipelined = single-synchronization CG (one global "
                          "reduction per iteration; Chronopoulos-Gear, or "
@@ -80,7 +80,14 @@ def main(argv=None) -> int:
                          "INDEFINITE systems (monotone residual norms; "
                          "takes an SPD --precond); bicgstab = van der "
                          "Vorst BiCGStab for NONSYMMETRIC systems (general "
-                         ".mtx inputs; 2 SpMVs/iteration; takes --precond)")
+                         ".mtx inputs; 2 SpMVs/iteration; takes --precond); "
+                         "gmres = restarted GMRES(m) for NONSYMMETRIC "
+                         "systems (robust where bicgstab stagnates; "
+                         "--restart sets m; right --precond)")
+    ap.add_argument("--restart", type=int, default=30,
+                    help="GMRES restart length m (with --method gmres): "
+                         "the (m+1, n) Krylov basis held on device; larger "
+                         "m = fewer matvecs, more orthogonalization work")
     ap.add_argument("--sstep-s", type=int, default=4, dest="sstep_s",
                     help="s-step block size (with --method sstep; the "
                          "monomial basis conditions like kappa(A)^s — "
@@ -443,6 +450,32 @@ def main(argv=None) -> int:
                 converged=minfo.converged,
                 rho=minfo.rnorm * minfo.rnorm,
                 rnorm_sq=minfo.rnorm * minfo.rnorm,
+                rho_history=hist * hist,
+            )
+            return x, info
+    elif args.method == "gmres":
+        from conjugategradient_tpu import gmres_solve
+        from conjugategradient_tpu.solver.cg import CGInfo
+
+        if args.nrhs > 1:
+            print("error: --nrhs > 1 uses the lockstep loop, not --method "
+                  "gmres", file=sys.stderr)
+            return 2
+
+        def solve(b_):
+            x, ginfo = gmres_solve(
+                A, b_, tol=args.tol, maxiter=args.maxiter,
+                restart=args.restart, M=M,
+            )
+            # adapt to the CGInfo the printing paths consume (like the
+            # minres/bicgstab lanes: history carries norm ESTIMATES,
+            # CGInfo squares)
+            hist = ginfo.rnorm_history
+            info = CGInfo(
+                iterations=ginfo.iterations,
+                converged=ginfo.converged,
+                rho=ginfo.rnorm * ginfo.rnorm,
+                rnorm_sq=ginfo.rnorm * ginfo.rnorm,
                 rho_history=hist * hist,
             )
             return x, info

@@ -137,6 +137,45 @@ def test_minres_matches_cg_collective_pattern():
     assert ag == 1
 
 
+def _all_while_body_collectives(hlo: str):
+    """{body_name: (all_reduces, all_gathers)} for EVERY while loop —
+    needed for methods whose compiled solve nests loops (GMRES's Arnoldi
+    fori inside the restart-cycle while)."""
+    out = {}
+    for m in re.finditer(r"while\(.*body=%?([\w.\-]+)", hlo):
+        body = m.group(1)
+        start = re.search(rf"^%?{re.escape(body)} [^\n]*\{{", hlo, re.M)
+        if not start:
+            continue
+        rest = hlo[start.end():]
+        end = re.search(r"^\}", rest, re.M)
+        section = rest[: end.start()] if end else rest
+        out[body] = (
+            len(re.findall(r"all-reduce(?:-start)?\(", section)),
+            len(re.findall(r"all-gather(?:-start)?\(", section)),
+        )
+    return out
+
+
+def test_gmres_collective_pattern():
+    """GMRES's mesh contract (loops._sharded_gmres): the inner Arnoldi
+    step costs ONE halo all-gather (the SpMV) + THREE psums (two CGS2
+    projection vectors + the basis norm); the restart-cycle body adds the
+    true-residual recompute (one more matvec + psum) and the cycle-start
+    residual (one matvec + psum) — asserted on the compiled HLO."""
+    counts = _all_while_body_collectives(
+        _compiled_hlo("gmres", gmres_restart=4))
+    pairs = set(counts.values())
+    assert (3, 1) in pairs, (
+        f"no while body with the Arnoldi (3 psum, 1 all-gather) "
+        f"pattern; bodies: {counts}"
+    )
+    assert (2, 2) in pairs, (
+        f"no while body with the cycle-level (2 psum, 2 all-gather) "
+        f"pattern; bodies: {counts}"
+    )
+
+
 @pytest.mark.parametrize("s", [2, 4])
 def test_sstep_one_reduction_per_s_iterations(s):
     ar, ag = _while_body_collectives(_compiled_hlo("sstep", s=s))
