@@ -48,6 +48,7 @@ from .solver import (
     cg_step,
     expected_step_count,
     implicit_cg_solve,
+    implicit_gmres_solve,
     DeflationBasis,
     deflated_cg_solve,
     make_deflation_basis,
@@ -101,6 +102,7 @@ __all__ = [
     "cg_step",
     "expected_step_count",
     "implicit_cg_solve",
+    "implicit_gmres_solve",
     "DeflationBasis",
     "deflated_cg_solve",
     "make_deflation_basis",

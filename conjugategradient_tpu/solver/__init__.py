@@ -5,7 +5,7 @@ from .batched import (
     cg_solve_batched,
     run_batched_cg,
 )
-from .autodiff import implicit_cg_solve
+from .autodiff import implicit_cg_solve, implicit_gmres_solve
 from .blockcg import BlockCGState, block_cg_solve
 from .cg import (
     CGInfo,
@@ -56,6 +56,7 @@ __all__ = [
     "BlockCGState",
     "block_cg_solve",
     "implicit_cg_solve",
+    "implicit_gmres_solve",
     "DeflationBasis",
     "deflated_cg_solve",
     "deflation_basis_from_vectors",

@@ -129,3 +129,93 @@ def implicit_cg_solve(
         maxiter = op.shape[0] + 1
     return _solve(op, b, x0, float(tol), int(maxiter), M,
                   int(recompute_r_every), fused)
+
+
+# ---------------------------------------------------------------------------
+# differentiable GMRES — the NONSYMMETRIC implicit rule
+# ---------------------------------------------------------------------------
+#
+# For nonsymmetric A the adjoint system is Aᵀ w = ḡ, NOT A w = ḡ: the
+# implicit-CG shortcut of reusing the same operator is exactly the thing
+# that silently mis-differentiates a nonsymmetric solve.  The transpose
+# matvec comes from ``jax.linear_transpose`` of the operator's (linear)
+# matvec — generic over every layout pytree and every matrix-free callable,
+# with no transposed storage needed (XLA turns the CSR gather into a
+# scatter; the adjoint solve is a convergence-time cost only).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gmres_solve_vjp(A, b, x0, tol, maxiter, restart, M):
+    from .gmres import gmres_solve
+
+    return gmres_solve(
+        A, b, x0, tol=tol, maxiter=maxiter, restart=restart, M=M,
+    )
+
+
+def _gmres_fwd(A, b, x0, tol, maxiter, restart, M):
+    out = _gmres_solve_vjp(A, b, x0, tol, maxiter, restart, M)
+    return out, (A, out[0], x0, b)
+
+
+def _gmres_bwd(tol, maxiter, restart, M, res, ct):
+    from .gmres import gmres_solve
+
+    A, x, x0, b = res
+    gx, _ = ct  # GmresInfo cotangents carry no information back
+    # adjoint solve Aᵀ w = ḡ: transpose the matvec, not the storage
+    t_mv = jax.linear_transpose(lambda v: A.matvec(v), jnp.zeros_like(b))
+
+    def at_matvec(u):
+        (r,) = t_mv(u.astype(x.dtype))
+        return r
+
+    # M is passed through as the adjoint's right preconditioner: it only
+    # steers convergence — the converged w is M-independent
+    w, _ = gmres_solve(
+        at_matvec, gx.astype(x.dtype), tol=tol, maxiter=maxiter,
+        restart=restart, M=M, n=int(b.shape[0]),
+    )
+    y, matvec_vjp = jax.vjp(lambda op: op.matvec(x), A)
+    (gA,) = matvec_vjp((-w).astype(y.dtype))
+    gb = w.astype(x.dtype)
+    gx0 = jax.tree_util.tree_map(jnp.zeros_like, x0)
+    return (gA, gb, gx0)
+
+
+_gmres_solve_vjp.defvjp(_gmres_fwd, _gmres_bwd)
+
+
+def implicit_gmres_solve(
+    A: Any,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    tol: float = 0.0,
+    maxiter: Optional[int] = None,
+    restart: int = 30,
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    n: Optional[int] = None,
+):
+    """:func:`~conjugategradient_tpu.gmres_solve` with a custom reverse rule
+    — differentiable solves for NONSYMMETRIC operators.
+
+    Same signature, same forward values; under ``jax.grad``/``jax.vjp`` the
+    backward pass is ONE adjoint GMRES solve of ``Aᵀ w = ḡ`` (the
+    transposed matvec comes from ``jax.linear_transpose`` — no transposed
+    storage is built) plus one matvec-VJP at the solution.  This is the
+    rule :func:`implicit_cg_solve` cannot provide: its symmetric shortcut
+    ``A w = ḡ`` is wrong the moment A ≠ Aᵀ.
+
+    Gradients flow to ``b`` and to every array leaf of the operator pytree
+    (``jax.grad(..., allow_int=True)`` for operators carrying integer
+    structure leaves); ``x0`` receives zeros.  The rule is exact at the
+    solution — with loose ``tol`` forward and implicit gradients differ by
+    O(‖r‖), so use tight tolerances (same caveat as implicit_cg_solve).
+    """
+    op = as_linear_operator(A, n=n, dtype=getattr(b, "dtype", None))
+    if maxiter is None:
+        maxiter = op.shape[0]
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    return _gmres_solve_vjp(op, b, x0, float(tol), int(maxiter),
+                            int(restart), M)

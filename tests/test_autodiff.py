@@ -173,3 +173,90 @@ class TestForwardValues:
         x2, i2 = cg_solve(op, b, tol=1e-12)
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
         assert int(i1.iterations) == int(i2.iterations)
+
+
+class TestImplicitGmres:
+    """implicit_gmres_solve — the NONSYMMETRIC implicit rule (adjoint
+    system is Aᵀ w = ḡ via jax.linear_transpose, solver/autodiff.py)."""
+
+    def _convdiff(self):
+        import scipy.sparse as sp
+        from conjugategradient_tpu.problems import convection_diffusion_2d_coo
+
+        rows, cols, vals, shape = convection_diffusion_2d_coo(8, peclet=15.0)
+        return sp.coo_matrix((vals, (rows, cols)), shape=shape).tocsr()
+
+    def test_matches_dense_analytic_adjoint(self, rng):
+        from conjugategradient_tpu import implicit_gmres_solve
+
+        A_sp = self._convdiff()
+        n = A_sp.shape[0]
+        op = CSRMatrix.from_scipy(A_sp)
+        b = jnp.asarray(rng.standard_normal(n))
+
+        def loss(op_, b_):
+            x, _ = implicit_gmres_solve(op_, b_, tol=1e-12, maxiter=4 * n)
+            return jnp.sum(x ** 3)
+
+        g_op, g_b = jax.grad(loss, argnums=(0, 1), allow_int=True)(op, b)
+        Ad = A_sp.toarray()
+        x = np.linalg.solve(Ad, np.asarray(b))
+        # the TRANSPOSED system — implicit CG's symmetric shortcut would
+        # solve A w = ḡ instead and be wrong here
+        w = np.linalg.solve(Ad.T, 3 * x ** 2)
+        np.testing.assert_allclose(np.asarray(g_b), w, atol=1e-12)
+        gA_ref = -(w[:, None] * x[None, :])
+        data_ref = np.array(
+            [gA_ref[i, j] for i, j in zip(*A_sp.nonzero())])
+        np.testing.assert_allclose(np.asarray(g_op.data), data_ref,
+                                   atol=1e-12)
+
+    def test_symmetric_shortcut_would_be_wrong(self, rng):
+        """On a genuinely nonsymmetric A, A⁻ᵀḡ ≠ A⁻¹ḡ — pin that the
+        gmres rule picks the transpose (guards against a future
+        'reuse the forward operator' simplification)."""
+        A_sp = self._convdiff()
+        n = A_sp.shape[0]
+        b = np.asarray(rng.standard_normal(n))
+        Ad = A_sp.toarray()
+        x = np.linalg.solve(Ad, b)
+        g = 3 * x ** 2
+        w_t = np.linalg.solve(Ad.T, g)
+        w_s = np.linalg.solve(Ad, g)
+        assert np.abs(w_t - w_s).max() > 1e-3 * np.abs(w_t).max()
+
+    def test_dense_operator_gradient(self, rng):
+        """Gradients flow to a dense-array operator's values (array leaves
+        of the operator pytree; bare callables closing over traced arrays
+        are NOT differentiable — their closure is static aux data, same
+        contract as implicit_cg_solve)."""
+        from conjugategradient_tpu import implicit_gmres_solve
+
+        A_sp = self._convdiff()
+        n = A_sp.shape[0]
+        dense = jnp.asarray(A_sp.toarray())
+        b = jnp.asarray(rng.standard_normal(n))
+
+        def loss(dense_, b_):
+            x, _ = implicit_gmres_solve(
+                dense_, b_, tol=1e-12, maxiter=4 * n)
+            return jnp.sum(x ** 2)
+
+        g_dense, g_b = jax.grad(loss, argnums=(0, 1))(dense, b)
+        Ad = np.asarray(dense)
+        x = np.linalg.solve(Ad, np.asarray(b))
+        w = np.linalg.solve(Ad.T, 2 * x)
+        np.testing.assert_allclose(np.asarray(g_b), w, atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(g_dense), -(w[:, None] * x[None, :]), atol=1e-11)
+
+    def test_forward_matches_gmres_solve(self, rng):
+        from conjugategradient_tpu import gmres_solve, implicit_gmres_solve
+
+        A_sp = self._convdiff()
+        op = CSRMatrix.from_scipy(A_sp)
+        b = jnp.asarray(rng.standard_normal(A_sp.shape[0]))
+        x1, i1 = implicit_gmres_solve(op, b, tol=1e-10, restart=20)
+        x2, i2 = gmres_solve(op, b, tol=1e-10, restart=20)
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+        assert int(i1.iterations) == int(i2.iterations)
