@@ -90,10 +90,20 @@ class GmresInfo:
         return self.rnorm_history
 
 
-def _gmres_cycle(op, apply_m, b, x, rnorm, k, hist, tol_arr, maxiter, m, sdt):
+def _gmres_cycle(op, apply_m, b, x, rnorm, k, hist, tol_arr, maxiter, m, sdt,
+                 flexible):
     """One GMRES(m) cycle: masked Arnoldi + Givens, triangular solve,
     solution update, TRUE-residual restart.  Returns the updated outer
-    carry pieces."""
+    carry pieces.
+
+    ``flexible=True`` is Saad's FGMRES: the preconditioned vectors
+    ``z_j = M(v_j)`` are kept as a second (m, n) basis and the update is
+    ``x += Z y`` directly — correct for NONLINEAR / iteration-varying M
+    (an inner Krylov solve, an adaptive cycle), where standard
+    right-preconditioned GMRES's ``x += M(V y)`` assumes M is one fixed
+    linear operator.  Costs one extra basis of memory; with a fixed
+    linear M the two coincide in exact arithmetic.
+    """
     n = b.shape[0]
     vdt = b.dtype
 
@@ -103,16 +113,19 @@ def _gmres_cycle(op, apply_m, b, x, rnorm, k, hist, tol_arr, maxiter, m, sdt):
     # first resid_est is 0) and the cycle is a fixed point
     v0 = jnp.where(beta > 0, (r / beta.astype(vdt)), jnp.zeros_like(r))
     V = jnp.zeros((m + 1, n), vdt).at[0].set(v0.astype(vdt))
+    Z = jnp.zeros((m if flexible else 1, n), vdt)  # FGMRES's z-basis
     R = jnp.zeros((m + 1, m), sdt)
     g = jnp.zeros((m + 1,), sdt).at[0].set(beta)
     cs = jnp.ones((m,), sdt)
     sn = jnp.zeros((m,), sdt)
 
     def arnoldi(j, c):
-        V, R, g, cs, sn, idone, ibroke, jused, hist = c
+        V, Z, R, g, cs, sn, idone, ibroke, jused, hist = c
         active = (~idone) & (k + j < maxiter)
 
         z = apply_m(V[j]).astype(vdt)
+        if flexible:
+            Z = Z.at[j].set(jnp.where(active, z, Z[j]))
         w = op.matvec(z).astype(vdt)
         # CGS2: rows > j of V are zero, so no row masking is needed
         Va = V.astype(sdt)
@@ -162,14 +175,14 @@ def _gmres_cycle(op, apply_m, b, x, rnorm, k, hist, tol_arr, maxiter, m, sdt):
         # masked history writes land in the scratch slot maxiter+1
         idx = jnp.where(active, k + jused, maxiter + 1)
         hist = hist.at[idx].set(resid_est)
-        return (V, R, g, cs, sn,
+        return (V, Z, R, g, cs, sn,
                 idone | step_done, ibroke | (active & nonfinite),
                 jused, hist)
 
     f = jnp.zeros((), bool)
-    V, R, g, cs, sn, _, ibroke, jused, hist = jax.lax.fori_loop(
+    V, Z, R, g, cs, sn, _, ibroke, jused, hist = jax.lax.fori_loop(
         0, m, arnoldi,
-        (V, R, g, cs, sn, f, f, jnp.zeros((), jnp.int32), hist))
+        (V, Z, R, g, cs, sn, f, f, jnp.zeros((), jnp.int32), hist))
 
     # small replicated triangular solve on the leading jused×jused block;
     # unexecuted columns are replaced by identity columns (their g is 0)
@@ -177,8 +190,13 @@ def _gmres_cycle(op, apply_m, b, x, rnorm, k, hist, tol_arr, maxiter, m, sdt):
     Rm = jnp.where(valid[None, :], R[:m, :m], jnp.eye(m, dtype=sdt))
     gm = jnp.where(valid, g[:m], jnp.zeros((m,), sdt))
     y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
-    z = jnp.matmul(V[:m].astype(sdt).T, y, precision=_HI).astype(vdt)
-    x_new = (x + apply_m(z).astype(vdt)).astype(x.dtype)
+    if flexible:
+        # FGMRES update: x += Z y (each z_j kept as M saw it)
+        dx = jnp.matmul(Z.astype(sdt).T, y, precision=_HI).astype(vdt)
+    else:
+        z = jnp.matmul(V[:m].astype(sdt).T, y, precision=_HI).astype(vdt)
+        dx = apply_m(z).astype(vdt)
+    x_new = (x + dx).astype(x.dtype)
 
     # TRUE-residual restart: this recompute is the termination authority
     r_new = b - op.matvec(x_new).astype(vdt)
@@ -193,7 +211,7 @@ def _gmres_cycle(op, apply_m, b, x, rnorm, k, hist, tol_arr, maxiter, m, sdt):
     return x_out, rnorm_out, k_new, hist, done, broke
 
 
-def _gmres_impl(op, b, x0, tol_arr, maxiter, restart_m, M):
+def _gmres_impl(op, b, x0, tol_arr, maxiter, restart_m, M, flexible):
     apply_m = (lambda v: v) if M is None else M
     x0 = jnp.zeros_like(b) if x0 is None else x0
     sdt = dot(b[:1], b[:1]).dtype  # widened scalar dtype (>= f32)
@@ -223,7 +241,8 @@ def _gmres_impl(op, b, x0, tol_arr, maxiter, restart_m, M):
     def body(c):
         k, cyc, _, _, x, rnorm, hist = c
         x, rnorm, k, hist, done, broke = _gmres_cycle(
-            op, apply_m, b, x, rnorm, k, hist, tol_s, maxiter, m, sdt)
+            op, apply_m, b, x, rnorm, k, hist, tol_s, maxiter, m, sdt,
+            flexible)
         return (k, cyc + 1, done, broke, x, rnorm, hist)
 
     k, cyc, done, broke, x, rnorm, hist = jax.lax.while_loop(
@@ -241,7 +260,7 @@ def _gmres_impl(op, b, x0, tol_arr, maxiter, restart_m, M):
 
 
 _gmres_jit = functools.partial(
-    jax.jit, static_argnames=("maxiter", "restart_m", "M")
+    jax.jit, static_argnames=("maxiter", "restart_m", "M", "flexible")
 )(_gmres_impl)
 
 
@@ -254,6 +273,7 @@ def gmres_solve(
     maxiter: Optional[int] = None,
     restart: int = 30,
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    flexible: bool = False,
     n: Optional[int] = None,
 ) -> Tuple[jax.Array, GmresInfo]:
     """Solve the (possibly NONSYMMETRIC) system ``A x = b`` with GMRES(m).
@@ -280,6 +300,14 @@ def gmres_solve(
       M: RIGHT preconditioner apply ``v -> M⁻¹ v`` (the same objects
         ``cg_solve`` takes: Jacobi/block-Jacobi/FSAI/AMG/…).  Right
         preconditioning keeps the observed residual the TRUE residual.
+      flexible: Saad's FGMRES — keep each preconditioned vector
+        ``z_j = M(v_j)`` as a second on-device basis and update
+        ``x += Z y`` directly.  REQUIRED when M is not one fixed linear
+        operator: an inner Krylov solve (``lambda v: cg_solve(As, v,
+        tol=..., maxiter=...)[0]``), an adaptive multigrid cycle —
+        standard right preconditioning silently mis-updates with such M.
+        Costs one extra (m, n) basis of device memory; with a fixed
+        linear M the two variants coincide in exact arithmetic.
       n: dimension hint for callable operators.
 
     Returns:
@@ -293,4 +321,7 @@ def gmres_solve(
     maxiter = N if maxiter is None else int(maxiter)
     restart_m = max(1, min(int(restart), maxiter, N))
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
-    return _gmres_jit(op, b, x0, tol_arr, maxiter, restart_m, M)
+    if flexible and M is None:
+        flexible = False  # FGMRES with identity M degenerates to GMRES
+    return _gmres_jit(op, b, x0, tol_arr, maxiter, restart_m, M,
+                      bool(flexible))

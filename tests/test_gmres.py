@@ -245,3 +245,57 @@ class TestScipyDropIn:
         assert info == 0
         r = b - convdiff @ np.asarray(x)
         assert np.linalg.norm(r) <= 1e-9 * np.linalg.norm(b)
+
+
+class TestFlexible:
+    """flexible=True — Saad's FGMRES (z-basis kept, x += Z y)."""
+
+    def test_fixed_linear_m_coincides(self, convdiff):
+        """With one fixed linear M, FGMRES and right-preconditioned GMRES
+        coincide (exact arithmetic; f64 to tight tolerance)."""
+        A = CSRMatrix.from_scipy(convdiff)
+        b = jnp.asarray(
+            np.random.default_rng(20).standard_normal(convdiff.shape[0]))
+        M = jacobi_preconditioner(A)
+        x_s, i_s = gmres_solve(A, b, tol=1e-9, restart=20, M=M)
+        x_f, i_f = gmres_solve(A, b, tol=1e-9, restart=20, M=M,
+                               flexible=True)
+        assert bool(i_f.converged)
+        assert int(i_f.iterations) == int(i_s.iterations)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_s),
+                                   atol=1e-10)
+
+    def test_inner_krylov_preconditioner(self, convdiff):
+        """The capability FGMRES exists for: M = an inner CG solve on the
+        symmetric part (NONLINEAR in v).  FGMRES converges cleanly;
+        standard right-preconditioned GMRES with the same M needs
+        substantially more work (its fixed-operator assumption is
+        violated, so the in-cycle estimate misleads it)."""
+        from conjugategradient_tpu import cg_solve
+
+        A_np = convdiff.toarray()
+        sym = jnp.asarray(0.5 * (A_np + A_np.T))
+        A = CSRMatrix.from_scipy(convdiff)
+        n = convdiff.shape[0]
+        b = jnp.asarray(np.random.default_rng(21).standard_normal(n))
+
+        def inner_cg(v):
+            return cg_solve(sym, v, tol=0.0, maxiter=8)[0]
+
+        x_f, i_f = gmres_solve(A, b, tol=1e-8, restart=20, M=inner_cg,
+                               flexible=True, maxiter=400)
+        assert bool(i_f.converged)
+        r = np.asarray(b) - convdiff @ np.asarray(x_f)
+        assert np.linalg.norm(r) <= 1e-8
+        # inner-Krylov preconditioning beats no preconditioning
+        _, i_plain = gmres_solve(A, b, tol=1e-8, restart=20, maxiter=400)
+        assert int(i_f.iterations) < int(i_plain.iterations)
+
+    def test_flexible_without_m_is_plain_gmres(self, convdiff):
+        A = CSRMatrix.from_scipy(convdiff)
+        b = jnp.asarray(
+            np.random.default_rng(22).standard_normal(convdiff.shape[0]))
+        x1, i1 = gmres_solve(A, b, tol=1e-8, flexible=True)
+        x2, i2 = gmres_solve(A, b, tol=1e-8)
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+        assert int(i1.iterations) == int(i2.iterations)
