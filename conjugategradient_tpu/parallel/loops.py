@@ -757,6 +757,7 @@ def _sharded_gmres(
     maxiter: int,
     axis: str,
     m: int,
+    flexible: bool = False,
 ):
     """Per-shard GMRES(m) — the mesh composition of solver/gmres.py:
     restarted minimal-residual for NONSYMMETRIC systems on the row mesh.
@@ -775,7 +776,12 @@ def _sharded_gmres(
     callable — the callable may issue its own collectives, e.g. the
     sharded-AMG V-cycle) and is applied as a RIGHT preconditioner, matching
     solver/gmres.py: the residual the loop observes and tests is the TRUE
-    ``b − A x``.  Restart boundaries recompute the true residual, so the
+    ``b − A x``.  ``flexible=True`` is Saad's FGMRES on the mesh: the
+    preconditioned vectors ``z_j`` are kept as a second row-sharded
+    ``(m, n_local)`` basis and the update is ``x += Zᵀ y`` directly —
+    REQUIRED when the local preconditioner is nonlinear / iteration-
+    varying (an inner Krylov solve); with a fixed linear M_local the two
+    variants coincide in exact arithmetic.  Restart boundaries recompute the true residual, so the
     recurrence-drift pathology ``recompute_r_every`` exists for cannot
     occur.  Returns the core's ``(x, k, done, rho, rnorm, hist)`` tuple
     with SQUARED norms so the CGInfo plumbing reads identically to the CG
@@ -821,15 +827,18 @@ def _sharded_gmres(
         v0 = jnp.where(
             beta > 0, (r.astype(sdt) / beta).astype(vdt), jnp.zeros_like(r))
         V = jnp.zeros((m + 1, nloc), vdt).at[0].set(v0)
+        Z = jnp.zeros((m if flexible else 1, nloc), vdt)  # FGMRES z-basis
         R = jnp.zeros((m + 1, m), sdt)
         g = jnp.zeros((m + 1,), sdt).at[0].set(beta)
         cs = jnp.ones((m,), sdt)
         sn = jnp.zeros((m,), sdt)
 
         def arnoldi(j, ic):
-            V, R, g, cs, sn, idone, ibroke, jused, hist = ic
+            V, Z, R, g, cs, sn, idone, ibroke, jused, hist = ic
             active = (~idone) & (k + j < maxiter)
             z = precond(V[j]).astype(vdt)
+            if flexible:
+                Z = Z.at[j].set(jnp.where(active, z, Z[j]))
             w = local_matvec(z).astype(vdt)
             # CGS2 with psum'd projections (rows > j of V are zero)
             Va = V.astype(sdt)
@@ -873,21 +882,26 @@ def _sharded_gmres(
             jused = jused + active.astype(jnp.int32)
             idx = jnp.where(active, k + jused, maxiter + 1)
             hist = hist.at[idx].set(est_sq)
-            return (V, R, g, cs, sn,
+            return (V, Z, R, g, cs, sn,
                     idone | step_done, ibroke | (active & nonfinite),
                     jused, hist)
 
         f = jnp.zeros((), bool)
-        V, R, g, cs, sn, _, ibroke, jused, hist = jax.lax.fori_loop(
+        V, Z, R, g, cs, sn, _, ibroke, jused, hist = jax.lax.fori_loop(
             0, m, arnoldi,
-            (V, R, g, cs, sn, f, f, jnp.zeros((), jnp.int32), hist))
+            (V, Z, R, g, cs, sn, f, f, jnp.zeros((), jnp.int32), hist))
 
         valid = jnp.arange(m) < jused
         Rm = jnp.where(valid[None, :], R[:m, :m], jnp.eye(m, dtype=sdt))
         gm = jnp.where(valid, g[:m], jnp.zeros((m,), sdt))
         y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
-        zc = jnp.matmul(V[:m].astype(sdt).T, y, precision=hi).astype(vdt)
-        x_new = (x + precond(zc).astype(vdt)).astype(x.dtype)
+        if flexible:
+            # FGMRES update: x += Zᵀ y (each z_j kept as M_local saw it)
+            dx = jnp.matmul(Z.astype(sdt).T, y, precision=hi).astype(vdt)
+        else:
+            zc = jnp.matmul(V[:m].astype(sdt).T, y, precision=hi).astype(vdt)
+            dx = precond(zc).astype(vdt)
+        x_new = (x + dx).astype(x.dtype)
 
         r_new = b_s - local_matvec(x_new)
         rnew_sq = pdot(r_new, r_new)

@@ -279,6 +279,7 @@ def _sharded_solve(
     s: int = 4,
     rcond: Optional[float] = None,
     gmres_restart: int = 30,
+    gmres_flexible: bool = False,
     basis=None,
     op_specs: Optional[Sequence] = None,
     op_unwrap: Optional[Callable] = None,
@@ -366,7 +367,8 @@ def _sharded_solve(
     )
     key = (family, _mesh_key(mesh), axis, maxiter, float(tol), with_m,
            key_extra, str(b.dtype), method, recompute_r_every,
-           s_eff, rcond_eff, gmres_m, (basis.k if with_basis else 0),
+           s_eff, rcond_eff, gmres_m, bool(gmres_flexible),
+           (basis.k if with_basis else 0),
            fused_fn is not None,
            None if precond is None else precond.token)
     solve_jit = _cache_get(key)
@@ -417,7 +419,7 @@ def _sharded_solve(
             if method == "gmres":
                 return _sharded_gmres(
                     local_matvec, b_s, x0_s, inv_diag_s, tol_arr, maxiter,
-                    axis, gmres_m,
+                    axis, gmres_m, flexible=bool(gmres_flexible),
                 )
             if method == "pipelined":
                 if inv_diag_s is not None:
@@ -501,6 +503,7 @@ def sharded_cg_solve(
     s: int = 4,
     rcond: Optional[float] = None,
     gmres_restart: int = 30,
+    gmres_flexible: bool = False,
     basis=None,
     M_local=None,
 ):
@@ -540,6 +543,14 @@ def sharded_cg_solve(
         runs); excludes method="sstep"/"minres".
       s / rcond: s-step block size and Gram-pseudoinverse cutoff (None =
         dtype-adaptive); only read when method="sstep".
+      gmres_restart / gmres_flexible: only read when method="gmres" —
+        the restart cycle length m, and Saad's FGMRES variant (keep the
+        preconditioned vectors as a second row-sharded (m, n_local) basis
+        and update ``x += Zᵀ y`` directly).  Set ``gmres_flexible=True``
+        whenever ``M_local`` is not one fixed linear operator (an inner
+        Krylov solve, an adaptive cycle) — standard right-preconditioned
+        GMRES silently mis-updates with such M (solver/gmres.py
+        ``flexible=`` mirrors this on a single device).
       basis: optional solver/deflated.DeflationBasis — runs the DEFLATED
         per-shard loop (directions A-orthogonal to the basis; one extra
         (k,)-payload psum per iteration for the projector).  Standard
@@ -606,7 +617,8 @@ def sharded_cg_solve(
         mesh=mesh, axis=axis, tol=tol, maxiter=maxiter, inv_diag=inv_diag,
         make_local_matvec=make_lm, key_extra=(bn, fused, interpret),
         method=method, recompute_r_every=recompute_r_every,
-        s=s, rcond=rcond, gmres_restart=gmres_restart, basis=basis,
+        s=s, rcond=rcond, gmres_restart=gmres_restart,
+        gmres_flexible=gmres_flexible, basis=basis,
         fused_fn=fused_fn if fused else None,
         M_local=M_local,
     )
@@ -633,6 +645,7 @@ def sharded_symbell_cg_solve(
     s: int = 4,
     rcond: Optional[float] = None,
     gmres_restart: int = 30,
+    gmres_flexible: bool = False,
     basis=None,
 ):
     """Row-sharded (P)CG on SYMMETRIC blocked-ELL storage.
@@ -673,7 +686,8 @@ def sharded_symbell_cg_solve(
         mesh=mesh, axis=axis, tol=tol, maxiter=maxiter, inv_diag=inv_diag,
         make_local_matvec=make_lm, key_extra=(bn, interpret),
         method=method, recompute_r_every=recompute_r_every,
-        s=s, rcond=rcond, gmres_restart=gmres_restart, basis=basis,
+        s=s, rcond=rcond, gmres_restart=gmres_restart,
+        gmres_flexible=gmres_flexible, basis=basis,
     )
 
 
@@ -692,6 +706,7 @@ def sharded_cg_solve_2d(
     s: int = 4,
     rcond: Optional[float] = None,
     gmres_restart: int = 30,
+    gmres_flexible: bool = False,
 ):
     """(P)CG on a p×p 2-D block decomposition of A.
 
@@ -744,6 +759,7 @@ def sharded_cg_solve_2d(
         make_local_matvec=make_lm, key_extra=(bn,),
         method=method, recompute_r_every=recompute_r_every,
         s=s, rcond=rcond, gmres_restart=gmres_restart,
+        gmres_flexible=gmres_flexible,
         op_specs=(P(rp_ax, cp_ax), P(rp_ax, cp_ax)),
         op_unwrap=lambda a: a[0, 0],
         supports_basis=False,
@@ -764,6 +780,7 @@ def sharded_dia_cg_solve(
     method: str = "standard",
     recompute_r_every: int = 0,
     gmres_restart: int = 30,
+    gmres_flexible: bool = False,
     s: int = 4,
     rcond: Optional[float] = None,
     basis=None,
@@ -815,6 +832,7 @@ def sharded_dia_cg_solve(
         make_local_matvec=make_lm, key_extra=(offsets,),
         method=method, recompute_r_every=recompute_r_every,
         gmres_restart=gmres_restart,
+        gmres_flexible=gmres_flexible,
         s=s, rcond=rcond, basis=basis,
         sstep_basis_factory=mpk_factory,
     )
@@ -834,6 +852,7 @@ def sharded_symdia_cg_solve(
     method: str = "standard",
     recompute_r_every: int = 0,
     gmres_restart: int = 30,
+    gmres_flexible: bool = False,
 ):
     """Row-sharded (P)CG on SYMMETRIC DIA storage (offsets ≥ 0 only).
 
@@ -886,6 +905,7 @@ def sharded_symdia_cg_solve(
         make_local_matvec=make_lm, key_extra=(offsets,),
         method=method, recompute_r_every=recompute_r_every,
         gmres_restart=gmres_restart,
+        gmres_flexible=gmres_flexible,
         supports_basis=False,
     )
 
@@ -905,6 +925,7 @@ def sharded_sell_cg_solve(
     s: int = 4,
     rcond: Optional[float] = None,
     gmres_restart: int = 30,
+    gmres_flexible: bool = False,
 ):
     """Row-sharded (P)CG with a SELL (degree-bucketed) operator — the
     scattered-pattern path (north-star config 5 on power-law/circuit
@@ -943,6 +964,7 @@ def sharded_sell_cg_solve(
         make_local_matvec=make_lm, key_extra=(meta,),
         method=method, recompute_r_every=recompute_r_every,
         s=s, rcond=rcond, gmres_restart=gmres_restart,
+        gmres_flexible=gmres_flexible,
         supports_basis=False,
     )
 

@@ -342,6 +342,10 @@ def gmres(
     from .solver.gmres import gmres_solve
 
     n = op.shape[0]
+    if restart is not None and int(restart) < 1:
+        # restart=0 would otherwise surface as a ZeroDivisionError from the
+        # default-cycle-count ceil division below
+        raise ValueError(f"restart must be >= 1, got {restart}")
     rst = min(20 if restart is None else int(restart), n)
     cycles = (
         max(1, -(-10 * n // rst)) if maxiter is None else int(maxiter)

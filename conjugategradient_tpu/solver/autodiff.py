@@ -170,11 +170,33 @@ def _gmres_bwd(tol, maxiter, restart, M, res, ct):
         (r,) = t_mv(u.astype(x.dtype))
         return r
 
-    # M is passed through as the adjoint's right preconditioner: it only
-    # steers convergence — the converged w is M-independent
-    w, _ = gmres_solve(
+    # The adjoint's natural right preconditioner is Mᵀ (a good M ≈ A⁻¹
+    # makes Mᵀ ≈ A⁻ᵀ).  M only steers convergence — the converged w is
+    # M-independent — so when M is not structurally linear (an inner
+    # Krylov solve) fall back to M untransposed rather than fail.
+    Mt = M
+    if M is not None:
+        try:
+            t_m = jax.linear_transpose(M, jnp.zeros_like(b))
+            probe = jax.ShapeDtypeStruct(b.shape, b.dtype)
+            jax.eval_shape(lambda u: t_m(u)[0], probe)  # nonlinear M raises
+            Mt = lambda u: t_m(u.astype(b.dtype))[0]
+        except Exception:
+            Mt = M
+    w, winfo = gmres_solve(
         at_matvec, gx.astype(x.dtype), tol=tol, maxiter=maxiter,
-        restart=restart, M=M, n=int(b.shape[0]),
+        restart=restart, M=Mt, n=int(b.shape[0]),
+    )
+    # adjoint non-convergence is silent in the returned gradient (it is
+    # inaccurate beyond the documented O(||r||) caveat); surface it
+    jax.lax.cond(
+        winfo.converged | (jnp.asarray(tol) <= 0),
+        lambda: None,
+        lambda: jax.debug.print(
+            "implicit_gmres_solve: adjoint GMRES did not converge "
+            "(rnorm={r:.3e}, tol={t:.3e}) — gradient may be inaccurate",
+            r=winfo.rnorm, t=jnp.asarray(tol), ordered=False,
+        ),
     )
     y, matvec_vjp = jax.vjp(lambda op: op.matvec(x), A)
     (gA,) = matvec_vjp((-w).astype(y.dtype))
@@ -212,6 +234,11 @@ def implicit_gmres_solve(
     structure leaves); ``x0`` receives zeros.  The rule is exact at the
     solution — with loose ``tol`` forward and implicit gradients differ by
     O(‖r‖), so use tight tolerances (same caveat as implicit_cg_solve).
+    A linear ``M`` is transposed (``jax.linear_transpose``) for the adjoint
+    solve; a nonlinear ``M`` is reused untransposed (convergence steering
+    only).  If the adjoint solve fails to reach ``tol`` within ``maxiter``
+    a ``jax.debug.print`` warning is emitted — the returned gradient is
+    then inaccurate beyond the O(‖r‖) bound.
     """
     op = as_linear_operator(A, n=n, dtype=getattr(b, "dtype", None))
     if maxiter is None:

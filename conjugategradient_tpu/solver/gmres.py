@@ -109,8 +109,10 @@ def _gmres_cycle(op, apply_m, b, x, rnorm, k, hist, tol_arr, maxiter, m, sdt,
 
     r = b - op.matvec(x).astype(vdt)
     beta = jnp.sqrt(dot(r, r)).astype(sdt)
-    # beta == 0 → already exact; the masked inner loop then no-ops (its
-    # first resid_est is 0) and the cycle is a fixed point
+    # beta == 0 cannot occur here: it equals the recomputed rnorm the outer
+    # while condition already terminated on (done ⇐ rnorm <= tol with
+    # tol >= 0).  The where() exists only to keep the 0/0 division out of
+    # the trace, not as a reachable no-op path.
     v0 = jnp.where(beta > 0, (r / beta.astype(vdt)), jnp.zeros_like(r))
     V = jnp.zeros((m + 1, n), vdt).at[0].set(v0.astype(vdt))
     Z = jnp.zeros((m if flexible else 1, n), vdt)  # FGMRES's z-basis

@@ -27,9 +27,11 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the suite compiles ~1000 XLA programs; a
 # warm cache turns reruns into disk loads.  Besides speed, this reduces
 # exposure to a FLAKY XLA:CPU compiler crash (SIGABRT/SIGSEGV inside
-# backend_compile, observed ~1-in-2 full-suite runs at the 600-test scale,
-# crash site varying run to run — docs/round4.md item 37).  min_entry_size
-# 0 caches even tiny programs; tests are correctness-, not timing-bound.
+# backend_compile, observed in >50% of single-process full-suite runs at
+# the ~700-test scale, crash site varying run to run).  The reliable way
+# to run the whole suite is per-file subprocesses: ``python
+# tools/run_tests.py`` (which CI uses).  min_entry_size 0 caches even
+# tiny programs; tests are correctness-, not timing-bound.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

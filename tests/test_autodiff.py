@@ -260,3 +260,68 @@ class TestImplicitGmres:
         x2, i2 = gmres_solve(op, b, tol=1e-10, restart=20)
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
         assert int(i1.iterations) == int(i2.iterations)
+
+
+class TestAdjointPreconditioner:
+    """ADVICE r4: the adjoint GMRES solve preconditions with Mᵀ when M is
+    linear (a good M ≈ A⁻¹ gives Mᵀ ≈ A⁻ᵀ for the transposed system)."""
+
+    def _convdiff(self):
+        import scipy.sparse as sp
+
+        from conjugategradient_tpu.problems import convection_diffusion_2d_coo
+
+        rows, cols, vals, shape = convection_diffusion_2d_coo(8, peclet=15.0)
+        return sp.coo_matrix((vals, (rows, cols)), shape=shape).tocsr()
+
+    def test_linear_m_gradient_unchanged(self, rng):
+        """The converged gradient is M-independent whether or not M is
+        transposed — but a NON-symmetric linear M must not change it."""
+        from conjugategradient_tpu import implicit_gmres_solve
+
+        A_sp = self._convdiff()
+        n = A_sp.shape[0]
+        op = CSRMatrix.from_scipy(A_sp)
+        b = jnp.asarray(rng.standard_normal(n))
+        # a deliberately NON-symmetric linear M: circular-shifted scaling
+        d = jnp.asarray(1.0 / A_sp.diagonal())
+
+        def m_shift(v):
+            return d * (0.8 * v + 0.2 * jnp.roll(v, 1))
+
+        def loss(b_, M=None):
+            x, _ = implicit_gmres_solve(op, b_, tol=1e-12, maxiter=4 * n,
+                                        M=M)
+            return jnp.sum(x ** 3)
+
+        g_plain = jax.grad(loss)(b)
+        g_m = jax.grad(lambda b_: loss(b_, M=m_shift))(b)
+        np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_plain),
+                                   atol=1e-10)
+
+    def test_nonlinear_m_falls_back(self, rng):
+        """A structurally nonlinear M cannot be linear-transposed; the rule
+        must fall back to untransposed M and still produce the converged
+        (M-independent) gradient rather than raise."""
+        from conjugategradient_tpu import implicit_gmres_solve
+
+        A_sp = self._convdiff()
+        n = A_sp.shape[0]
+        op = CSRMatrix.from_scipy(A_sp)
+        b = jnp.asarray(rng.standard_normal(n))
+
+        def m_nl(v):
+            return v / (1.0 + 0.1 * jnp.abs(v))
+
+        def loss(b_, M=None):
+            # flexible right-preconditioning is what a nonlinear M needs
+            # in the forward solve; the adjoint uses plain gmres with the
+            # fallback M
+            x, _ = implicit_gmres_solve(op, b_, tol=1e-12, maxiter=4 * n,
+                                        M=M)
+            return jnp.sum(x ** 3)
+
+        g_plain = jax.grad(loss)(b)
+        g_m = jax.grad(lambda b_: loss(b_, M=m_nl))(b)
+        np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_plain),
+                                   atol=1e-10)

@@ -311,3 +311,18 @@ class TestEigsh:
                   return_eigenvectors=False, tol=1e-8)
         w_true = np.linalg.eigvalsh(d)[1:]
         np.testing.assert_allclose(w, w_true, rtol=1e-9)
+
+
+def test_gmres_restart_zero_rejected():
+    """ADVICE r4: restart=0 used to surface as ZeroDivisionError from the
+    default-cycle-count computation — now a clear ValueError."""
+    import scipy.sparse as sp
+
+    from conjugategradient_tpu.scipy_compat import gmres
+
+    A = sp.eye(8, format="csr") * 2.0
+    b = np.ones(8)
+    with pytest.raises(ValueError, match="restart"):
+        gmres(A, b, restart=0)
+    with pytest.raises(ValueError, match="restart"):
+        gmres(A, b, restart=-3)

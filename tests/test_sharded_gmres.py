@@ -146,3 +146,49 @@ def test_exclusions():
     with pytest.raises(ValueError, match="residual-replacement"):
         sharded_cg_solve(blocks, bcols, b_pad, tol=1e-8,
                          method="gmres", recompute_r_every=10)
+
+
+def test_flexible_matches_single_device_fgmres():
+    """gmres_flexible=True (mesh FGMRES) with a NONLINEAR M_local: the
+    z-basis update must match single-device gmres_solve(flexible=True)
+    with the same elementwise nonlinear M, and actually solve the system.
+    (ADVICE r4: the sharded path used to apply M as a fixed right
+    preconditioner only — a nonlinear M silently mis-updated.)"""
+    A, n = _convdiff_op(16, peclet=15.0)
+    blocks, bcols, b_pad, b = _bell_setup(A, n, seed=3)
+
+    def nonlinear_m(v):  # elementwise => identical per-shard and globally
+        return v / (1.0 + 0.3 * jnp.abs(v))
+
+    x_sh, info_sh = sharded_cg_solve(
+        blocks, bcols, b_pad, tol=1e-9, maxiter=6 * n, method="gmres",
+        gmres_restart=25, gmres_flexible=True, M_local=nonlinear_m)
+    x_sd, info_sd = gmres_solve(
+        A, b, tol=1e-9, maxiter=6 * n, restart=25, M=nonlinear_m,
+        flexible=True)
+    assert bool(info_sh.converged) and bool(info_sd.converged)
+    assert int(info_sh.iterations) == int(info_sd.iterations)
+    r = np.asarray(b) - np.asarray(A.matvec(jnp.asarray(x_sh[:n])))
+    assert np.linalg.norm(r) <= 5e-9
+    np.testing.assert_allclose(np.asarray(x_sh[:n]), np.asarray(x_sd),
+                               atol=1e-9 * max(1.0, float(np.linalg.norm(x_sd))))
+
+
+def test_flexible_coincides_with_standard_for_linear_m():
+    """With a fixed LINEAR M_local the two variants coincide in exact
+    arithmetic; in f64 the iteration counts match and solutions agree."""
+    A, n = _convdiff_op(14, peclet=10.0)
+    blocks, bcols, b_pad, b = _bell_setup(A, n, seed=4)
+
+    def linear_m(v):
+        return 0.5 * v
+
+    kw = dict(tol=1e-9, maxiter=6 * n, method="gmres", gmres_restart=20,
+              M_local=linear_m)
+    x_f, info_f = sharded_cg_solve(blocks, bcols, b_pad,
+                                   gmres_flexible=True, **kw)
+    x_s, info_s = sharded_cg_solve(blocks, bcols, b_pad, **kw)
+    assert bool(info_f.converged) and bool(info_s.converged)
+    assert int(info_f.iterations) == int(info_s.iterations)
+    np.testing.assert_allclose(np.asarray(x_f[:n]), np.asarray(x_s[:n]),
+                               rtol=0, atol=1e-10)
