@@ -225,7 +225,9 @@ def cg_solve(
         recurrence drifts from the true residual; replacement keeps the
         termination test and reported history honest at the cost of one
         extra SpMV per interval.  0 (default) reproduces the reference's
-        never-recompute semantics (CG.hpp:392).
+        never-recompute semantics (CG.hpp:392).  Composes with the fused
+        TPU path (round 5): the hot body stays the two-kernel loop and the
+        replacement runs at while-loop boundaries (solver/restart.py).
 
       fused: "auto" (default) dispatches f32 solves on TPU to the
         two-fused-Pallas-kernel iteration — blocked-ELL and SYMMETRIC
@@ -259,16 +261,13 @@ def cg_solve(
     # apply into the direction update and the ρ reduction (config 3's
     # "fused preconditioner-apply kernel").
     inv_diag = getattr(M, "inv_diag", None)
-    if (
-        fused in ("auto", "always")
-        and inv_diag is not None
-        and recompute_r_every == 0
-    ):
+    if fused in ("auto", "always") and inv_diag is not None:
         from .fused import fused_bell_pcg_solve, fused_supported
 
         if fused_supported(op, dtype=getattr(b, "dtype", None)):
             return fused_bell_pcg_solve(
-                op, b, inv_diag, x0, tol=tol, maxiter=maxiter
+                op, b, inv_diag, x0, tol=tol, maxiter=maxiter,
+                recompute_r_every=recompute_r_every,
             )
         if fused == "always":
             raise ValueError(
@@ -276,17 +275,16 @@ def cg_solve(
                 "blocked-ELL operator on a TPU backend (solver/fused.py)"
             )
 
-    if fused == "always" and (
-        (M is not None and inv_diag is None) or recompute_r_every != 0
-    ):
+    if fused == "always" and M is not None and inv_diag is None:
         # "always" must fail loudly rather than silently run the portable
-        # loop: only Jacobi preconditioning folds into the fused kernels,
-        # and restarts have no fused variant
+        # loop: only Jacobi preconditioning folds into the fused kernels.
+        # (Residual replacement DOES compose — solver/restart.py boundary
+        # chunks around the fused while_loop.)
         raise ValueError(
             "fused='always' supports only unpreconditioned or Jacobi "
-            "(jacobi_preconditioner) solves with recompute_r_every=0"
+            "(jacobi_preconditioner) solves"
         )
-    if fused != "never" and M is None and recompute_r_every == 0:
+    if fused != "never" and M is None:
         from .fused import fused_bell_cg_solve, fused_supported
         from .fused_stencil import (
             fused_stencil_cg_solve,
@@ -309,10 +307,14 @@ def cg_solve(
                     "interpret=True"
                 )
             if fused_supported(op, dtype=bdt):
-                return fused_bell_cg_solve(op, b, x0, tol=tol, maxiter=maxiter)
+                return fused_bell_cg_solve(
+                    op, b, x0, tol=tol, maxiter=maxiter,
+                    recompute_r_every=recompute_r_every,
+                )
             if fused_stencil_supported(op, dtype=bdt):
                 return fused_stencil_cg_solve(
-                    op, b, x0, tol=tol, maxiter=maxiter
+                    op, b, x0, tol=tol, maxiter=maxiter,
+                    recompute_r_every=recompute_r_every,
                 )
             raise ValueError(
                 "fused='always' needs a blocked-ELL operator with square "
@@ -321,10 +323,14 @@ def cg_solve(
             )
         if fused == "auto":
             if fused_supported(op, dtype=bdt):
-                return fused_bell_cg_solve(op, b, x0, tol=tol, maxiter=maxiter)
+                return fused_bell_cg_solve(
+                    op, b, x0, tol=tol, maxiter=maxiter,
+                    recompute_r_every=recompute_r_every,
+                )
             if fused_stencil_supported(op, dtype=bdt):
                 return fused_stencil_cg_solve(
-                    op, b, x0, tol=tol, maxiter=maxiter
+                    op, b, x0, tol=tol, maxiter=maxiter,
+                    recompute_r_every=recompute_r_every,
                 )
 
     # The WHOLE solve (init, loop, info assembly) runs as one jitted call:

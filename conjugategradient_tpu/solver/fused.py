@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..types import BlockedEllMatrix, SymBellMatrix
 from .cg import CGInfo
+from .restart import while_with_periodic_restart
 
 
 @jax.tree_util.register_pytree_node_class
@@ -231,9 +232,17 @@ def fused_bell_cg_solve(
     tol: float = 0.0,
     maxiter: Optional[int] = None,
     interpret: bool = False,
+    recompute_r_every: int = 0,
 ) -> Tuple[jax.Array, CGInfo]:
     """Whole fused solve in one jitted ``lax.while_loop`` — the drop-in fast
-    path :func:`~conjugategradient_tpu.cg_solve` dispatches to on TPU."""
+    path :func:`~conjugategradient_tpu.cg_solve` dispatches to on TPU.
+
+    ``recompute_r_every > 0`` composes residual replacement with the fused
+    iteration: the hot body stays the two-kernel loop, and every that many
+    iterations a boundary step (solver/restart.py) replaces the recurrence
+    residual with the true ``b − A x`` and resets the direction (β = 0 makes
+    the next K1 emit p = r_true) — the f32 honesty mechanism at the fused
+    per-iteration cost."""
     n = a.shape[0]
     if maxiter is None:
         maxiter = n + 1
@@ -241,7 +250,8 @@ def fused_bell_cg_solve(
     tol_arr = jnp.asarray(tol, jnp.float32)
     # one jitted call for the whole solve (eager setup ops cost a dispatch
     # round-trip each over remote relays; see solver/cg._cg_solve_core)
-    return _fused_solve_core(a, b, x0, tol_arr, maxiter, interpret)
+    return _fused_solve_core(a, b, x0, tol_arr, maxiter, interpret,
+                             int(recompute_r_every))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -279,21 +289,27 @@ def fused_bell_pcg_solve(
     tol: float = 0.0,
     maxiter: Optional[int] = None,
     interpret: bool = False,
+    recompute_r_every: int = 0,
 ) -> Tuple[jax.Array, CGInfo]:
     """Jacobi-PCG with the fused two-kernel iteration (BASELINE config 3's
     "fused preconditioner-apply kernel", literally: the M⁻¹ multiply happens
     inside K1's direction update and K2's ρ reduction — zero extra passes
-    beyond one read of inv_diag per kernel)."""
+    beyond one read of inv_diag per kernel).  ``recompute_r_every`` composes
+    like :func:`fused_bell_cg_solve` (restart boundary resets p to M⁻¹r)."""
     n = a.shape[0]
     if maxiter is None:
         maxiter = n + 1
     maxiter = int(maxiter)
     tol_arr = jnp.asarray(tol, jnp.float32)
-    return _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret)
+    return _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret,
+                           int(recompute_r_every))
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter", "interpret"))
-def _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("maxiter", "interpret", "recompute_r_every")
+)
+def _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret,
+                    recompute_r_every=0):
     from ..ops.pallas.fused_cg import (
         fused_dir_spmv_dot,
         fused_update_dot_pcg,
@@ -349,7 +365,30 @@ def _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret):
             beta=beta.reshape(1, 1), rho=rho_next, rnorm=rnorm, hist=hist,
         )
 
-    s = jax.lax.while_loop(cond, body, state0)
+    def replace(s):
+        # full restart at the chunk boundary (solver/cg.py replace):
+        # r ← b − A x (true residual), β ← 0 so the next K1 emits
+        # p = M⁻¹r — the drifted direction is dropped with the drifted r
+        mask = (~s.done) & (s.k % recompute_r_every == 0)
+        bp = jnp.zeros((s.r.size,), jnp.float32).at[:n].set(
+            b.astype(jnp.float32))
+        ax = a.matvec(s.x.reshape(-1)).astype(jnp.float32)
+        r_true = (bp - jnp.pad(ax, (0, s.r.size - n))).reshape(s.r.shape)
+        rnorm = jnp.sum(r_true * r_true).reshape(1, 1)
+        rho = jnp.sum(r_true * r_true * d2d).reshape(1, 1)
+        hist = s.hist.at[s.k].set(
+            jnp.where(mask, rnorm[0, 0], s.hist[s.k]))
+        sel = lambda a_, b_: jnp.where(mask, a_, b_)
+        return FusedPCGState(
+            k=s.k, done=s.done, x=s.x,
+            r=sel(r_true, s.r), p=s.p,
+            beta=sel(jnp.zeros((1, 1), jnp.float32), s.beta),
+            rho=sel(rho, s.rho), rnorm=sel(rnorm, s.rnorm), hist=hist,
+        )
+
+    s = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda s: s.k, state0
+    )
     rnorm = s.rnorm[0, 0]
     info = CGInfo(
         iterations=s.k,
@@ -361,8 +400,11 @@ def _fused_pcg_core(a, b, inv_diag, x0, tol_arr, maxiter, interpret):
     return s.x.reshape(-1)[:n].astype(b.dtype), info
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter", "interpret"))
-def _fused_solve_core(a, b, x0, tol_arr, maxiter, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("maxiter", "interpret", "recompute_r_every")
+)
+def _fused_solve_core(a, b, x0, tol_arr, maxiter, interpret,
+                      recompute_r_every=0):
     n = a.shape[0]
     state0 = fused_cg_init(a, b, x0, maxiter=maxiter)
 
@@ -372,7 +414,30 @@ def _fused_solve_core(a, b, x0, tol_arr, maxiter, interpret):
     def body(s: FusedCGState):
         return fused_cg_step(a, s, tol_arr, interpret=interpret)
 
-    s = jax.lax.while_loop(cond, body, state0)
+    def replace(s: FusedCGState) -> FusedCGState:
+        # full restart (solver/cg.py replace, fused representation):
+        # r ← b − A x, β ← 0 — the next K1's p = r + β·p then emits the
+        # reset direction p = r_true.  Runs at while-boundaries only
+        # (solver/restart.py), so the two-kernel hot body is untouched.
+        mask = (~s.done) & (s.k % recompute_r_every == 0)
+        bp = jnp.zeros((s.r.size,), jnp.float32).at[:n].set(
+            b.astype(jnp.float32))
+        ax = a.matvec(s.x.reshape(-1)).astype(jnp.float32)
+        r_true = (bp - jnp.pad(ax, (0, s.r.size - n))).reshape(s.r.shape)
+        rnorm = jnp.sum(r_true * r_true).reshape(1, 1)
+        hist = s.hist.at[s.k].set(
+            jnp.where(mask, rnorm[0, 0], s.hist[s.k]))
+        sel = lambda a_, b_: jnp.where(mask, a_, b_)
+        return FusedCGState(
+            k=s.k, done=s.done, x=s.x,
+            r=sel(r_true, s.r), p=s.p,
+            beta=sel(jnp.zeros((1, 1), jnp.float32), s.beta),
+            rho=sel(rnorm, s.rho), hist=hist,
+        )
+
+    s = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda s: s.k, state0
+    )
     rnorm = s.rho[0, 0]
     info = CGInfo(
         iterations=s.k,

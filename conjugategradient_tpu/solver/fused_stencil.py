@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..types import StencilOperator
 from .cg import CGInfo
 from .fused import FusedCGState
+from .restart import while_with_periodic_restart
 
 
 def fused_stencil_supported(op, dtype=None, interpret: bool = False) -> bool:
@@ -107,17 +108,21 @@ def fused_stencil_cg_solve(
     tol: float = 0.0,
     maxiter: Optional[int] = None,
     interpret: bool = False,
+    recompute_r_every: int = 0,
 ) -> Tuple[jax.Array, CGInfo]:
     n = op.shape[0]
     if maxiter is None:
         maxiter = n + 1
     maxiter = int(maxiter)
     tol_arr = jnp.asarray(tol, jnp.float32)
-    return _solve_core(op, b, x0, tol_arr, maxiter, interpret)
+    return _solve_core(op, b, x0, tol_arr, maxiter, interpret,
+                       int(recompute_r_every))
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter", "interpret"))
-def _solve_core(op, b, x0, tol_arr, maxiter, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("maxiter", "interpret", "recompute_r_every")
+)
+def _solve_core(op, b, x0, tol_arr, maxiter, interpret, recompute_r_every=0):
     n = op.shape[0]
     state0 = _init(op, b, x0, maxiter)
 
@@ -127,7 +132,27 @@ def _solve_core(op, b, x0, tol_arr, maxiter, interpret):
     def body(s):
         return _step(op, s, tol_arr, interpret)
 
-    s = jax.lax.while_loop(cond, body, state0)
+    def replace(s):
+        # full restart at the chunk boundary (solver/fused.py replace):
+        # r ← b − A x, β ← 0 — the next S1's p = r + β·p emits p = r_true
+        mask = (~s.done) & (s.k % recompute_r_every == 0)
+        b3 = b.astype(jnp.float32).reshape(s.r.shape)
+        r_true = b3 - op.matvec(s.x.reshape(-1)).astype(
+            jnp.float32).reshape(s.r.shape)
+        rnorm = jnp.sum(r_true * r_true).reshape(1, 1)
+        hist = s.hist.at[s.k].set(
+            jnp.where(mask, rnorm[0, 0], s.hist[s.k]))
+        sel = lambda a_, b_: jnp.where(mask, a_, b_)
+        return FusedCGState(
+            k=s.k, done=s.done, x=s.x,
+            r=sel(r_true, s.r), p=s.p,
+            beta=sel(jnp.zeros((1, 1), jnp.float32), s.beta),
+            rho=sel(rnorm, s.rho), hist=hist,
+        )
+
+    s = while_with_periodic_restart(
+        cond, body, replace, recompute_r_every, lambda s: s.k, state0
+    )
     rnorm = s.rho[0, 0]
     info = CGInfo(
         iterations=s.k,
