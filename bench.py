@@ -43,6 +43,13 @@ detail (bytes_streamed / stored_gbps).  Measured v5e: ~900 GB/s effective
                      gate: both operators as pre-blocked jit ARGUMENTS
                      (full windowed vs round-4 halo'd symmetric Pallas
                      kernel).  ~1 GB of uploads — last chip work only.
+  --config minres    fused MINRES iteration (solver/fused_minres.py) on
+                     the headline operator + the portable-loop A/B — the
+                     symmetric-indefinite family's chip lane
+  --config bicgstab  BiCGStab per-iteration cost, 1M-row nonsymmetric
+                     convection-diffusion (DIA layout — relay-safe upload)
+  --config gmres     GMRES(32) per-inner-step cost on the same operator
+                     (CGS2 basis traffic dominates; byte model in detail)
   --config mgpcg     full-solve time-to-tolerance A/B on 256^3 Poisson:
                      fused plain CG vs geometric-multigrid PCG
                      (solver/multigrid.py) — the algorithmic speedup on
@@ -966,6 +973,302 @@ def bench_symdia_big(n: int = 1 << 21, half_band: int = 20,
     }
 
 
+def bench_minres(n: int = 262144, iters: int = 256, storage: str = "sym"):
+    """Per-iteration time of the FUSED MINRES loop body (solver/fused_minres)
+    on the headline block-tridiagonal operator — the round-5 lane for the
+    symmetric-indefinite family.  MINRES has the same kernel shape as CG
+    (1 SpMV + 2 reductions, CG.hpp:374-407), so the target is the fused CG
+    number on the same operator within ~10%.
+
+    value = effective bandwidth with FULL-layout useful bytes over the
+    fused iteration time (the headline symmetric-SpMV convention); detail
+    carries the PORTABLE (~10-dispatch) per-iteration time measured in the
+    same process — the gap the fusion closes — and the streamed-byte rate.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solver.fused_minres import (
+        fused_minres_init,
+        fused_minres_step,
+        fused_minres_supported,
+    )
+    from conjugategradient_tpu.solver.minres import minres_init, minres_step
+    from conjugategradient_tpu.types import BlockedEllMatrix, SymBellMatrix
+    from conjugategradient_tpu.utils.benchmarking import (
+        rpc_overhead_s,
+        stream_roofline_gbps,
+    )
+
+    b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+    tol_arr = jnp.asarray(0.0, jnp.float32)
+    shift2 = jnp.zeros((1, 1), jnp.float32)
+    shift0 = jnp.asarray(0.0, jnp.float32)
+
+    if storage == "sym":
+        a = block_tridiag_sym_bell(n, 128, 128, jnp.float32)
+        shape_static, nnz_static = a.shape, a.nnz
+        fk_static, banded_static = a.full_kmax, a.banded
+
+        def make_a(diag, off, cols):
+            return SymBellMatrix(diag, off, cols, shape_static, nnz_static,
+                                 fk_static, banded_static)
+
+        op_args = (a.diag_blocks, a.off_blocks, a.off_cols)
+    else:
+        a = block_tridiag_bell(n, 128, 128, jnp.float32)
+        shape_static, nnz_static = a.shape, a.nnz
+
+        def make_a(blocks, cols):
+            return BlockedEllMatrix(blocks, cols, shape_static, nnz_static)
+
+        op_args = (a.blocks, a.block_cols)
+    if not fused_minres_supported(a, dtype=jnp.float32):
+        return {"metric": "minres_iteration_time", "value": -1.0,
+                "unit": "us", "vs_baseline": 0.0,
+                "detail": {"error": "fused path unsupported on this backend"}}
+
+    ovh = rpc_overhead_s()
+
+    def run_fused(K, reps=5):
+        def chain(*xs):
+            a_ = make_a(*xs[:-1])
+            s0 = fused_minres_init(a_, xs[-1], None, K, None, shift2)
+            s = jax.lax.fori_loop(
+                0, K, lambda i, s: fused_minres_step(a_, s, tol_arr, shift2),
+                s0)
+            return s.phibar.reshape(1)
+
+        f = jax.jit(chain)
+        args = op_args + (b,)
+        float(f(*args)[0])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*args)[0])
+            ts.append(time.perf_counter() - t0)
+        return sorted((x - ovh) / K for x in ts)
+
+    def run_portable(K, reps=3):
+        def chain(*xs):
+            a_ = make_a(*xs[:-1])
+            s0 = minres_init(a_, xs[-1], None, tol_arr, shift0, K)
+            s = jax.lax.fori_loop(
+                0, K, lambda i, s: minres_step(a_, s, tol_arr, shift0), s0)
+            return s.phibar.reshape(1)
+
+        f = jax.jit(chain)
+        args = op_args + (b,)
+        float(f(*args)[0])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*args)[0])
+            ts.append(time.perf_counter() - t0)
+        return sorted((x - ovh) / K for x in ts)
+
+    tf = run_fused(iters)
+    t = tf[len(tf) // 2]
+    tp = run_portable(max(iters // 4, 32))
+    t_port = tp[len(tp) // 2]
+
+    # K1 streams 6 vectors in + v/q/w/x out, K2 3 in + 1 out: 14 n-streams
+    streams = 14
+    if storage == "sym":
+        stored_tile_bytes = (
+            a.diag_blocks.size + a.off_blocks.size) * 4
+        full_tile_bytes = (a.full_tile_bytes() // a.dtype.itemsize) * 4
+    else:
+        stored_tile_bytes = full_tile_bytes = a.blocks.size * 4
+    eff_bytes = full_tile_bytes + streams * n * 4
+    streamed = stored_tile_bytes + streams * n * 4
+    gbps = eff_bytes / t / 1e9
+    peak = _hbm_peak_gbps()
+    roofline = stream_roofline_gbps(nbytes=1 << 27, K=256)
+    return {
+        "metric": "minres_iteration_effective_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / peak, 4),
+        "detail": {"n": n, "storage": storage,
+                   "time_per_iter_us": round(t * 1e6, 2),
+                   "time_per_iter_us_portable": round(t_port * 1e6, 2),
+                   "fused_speedup_vs_portable": round(t_port / t, 3),
+                   "iterations_run": iters,
+                   "bytes_per_iter": eff_bytes,
+                   "bytes_streamed": streamed,
+                   "stored_gbps": round(streamed / t / 1e9, 2),
+                   "reps_us": [round(x * 1e6, 2) for x in tf],
+                   "stream_roofline_gbps": round(roofline, 1)},
+    }
+
+
+def _convdiff_dia(n_target: int):
+    """Nonsymmetric convection-diffusion operator in DIA layout.
+
+    DIA is the right layout for this 5-diagonal stencil pattern (21 MB of
+    operator at n=1M vs ~2.7 GB as dense-tile blocked-ELL), and — critical
+    for this environment — keeps the bench upload relay-safe (CLAUDE.md
+    forbids multi-GB uploads mid-round).  The nonsymmetric lanes measure
+    iteration cost where it lives at this scale: the VECTOR/basis streams
+    (GMRES's CGS2 traffic, BiCGStab's ~25 unfused streams), which are
+    layout-independent.
+    """
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.problems import convection_diffusion_2d_coo
+    from conjugategradient_tpu.types import CSRMatrix, DIAMatrix
+
+    nx = int(np.sqrt(n_target))
+    rows, cols, vals, shape = convection_diffusion_2d_coo(nx, peclet=10.0)
+    order = np.lexsort((cols, rows))
+    r, c, v = rows[order], cols[order], vals[order].astype(np.float32)
+    n = shape[0]
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, r + 1, 1)
+    indptr = np.cumsum(indptr)
+    dia = DIAMatrix.from_csr_host(v, c, indptr, shape, dtype=np.float32)
+    return dia, n
+
+
+def bench_bicgstab(n: int = 1 << 20, iters: int = 128):
+    """Per-iteration cost of the BiCGStab loop (solver/bicgstab.py) on the
+    ~1M-row nonsymmetric convection-diffusion operator — the round-5 chip
+    lane for the nonsymmetric family.
+
+    One BiCGStab iteration = 2 SpMVs + 6 reductions + ~8 vector updates
+    (~25 unfused n-streams).  value = effective bandwidth from the
+    min(structural, XLA cost-analysis) byte model over the measured
+    per-iteration time; the DIA operator stream is negligible at this
+    pattern, so this measures the vector-stream-bound iteration the
+    portable loop pays.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solver.bicgstab import (
+        bicgstab_init,
+        bicgstab_step,
+    )
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s
+
+    dia, n = _convdiff_dia(n)
+    b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+    tol_arr = jnp.asarray(0.0, jnp.float32)
+    shape_static, nnz_static, offs_static = dia.shape, dia.nnz, dia.offsets
+
+    from conjugategradient_tpu.types import DIAMatrix
+
+    def make_a(diags):
+        return DIAMatrix(diags, offs_static, shape_static, nnz_static)
+
+    def chain(diags, b_):
+        a_ = make_a(diags)
+        s0 = bicgstab_init(a_, b_, None, tol_arr, iters)
+        s = jax.lax.fori_loop(
+            0, iters, lambda i, s: bicgstab_step(a_, s, tol_arr), s0)
+        return s.rnorm.reshape(1)
+
+    f = jax.jit(chain)
+    args = (dia.diags, b)
+    float(f(*args)[0])
+    ovh = rpc_overhead_s()
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(*args)[0])
+        ts.append(time.perf_counter() - t0)
+    ts = sorted((x - ovh) / iters for x in ts)
+    t = ts[len(ts) // 2]
+
+    step_arg = jax.jit(
+        lambda diags, s: bicgstab_step(make_a(diags), s, tol_arr))
+    s0 = bicgstab_init(dia, b, None, tol_arr, iters)
+    analytic = 2 * dia.diags.size * 4 + 25 * n * 4
+    bytes_it, bytes_src, bytes_all = _iteration_bytes_xla(
+        step_arg, (dia.diags, s0), analytic)
+    gbps = bytes_it / t / 1e9
+    peak = _hbm_peak_gbps()
+    return {
+        "metric": "bicgstab_iteration_effective_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / peak, 4),
+        "detail": {"n": n, "layout": "dia",
+                   "time_per_iter_us": round(t * 1e6, 2),
+                   "spmvs_per_iter": 2,
+                   "iterations_run": iters,
+                   "bytes_per_iter": bytes_it,
+                   "bytes_model": bytes_src,
+                   "bytes_models_all": bytes_all,
+                   "reps_us": [round(x * 1e6, 2) for x in ts]},
+    }
+
+
+def bench_gmres(n: int = 1 << 20, inner: int = 128, restart: int = 32):
+    """Per-inner-step cost of GMRES(m) (solver/gmres.py) on the ~1M-row
+    nonsymmetric convection-diffusion operator.
+
+    The dominant per-step traffic at this scale is the CGS2
+    orthogonalization: four (m+1, n) matmuls at Precision.HIGHEST read the
+    basis 4x per step — the byte/flop trade GMRES makes for BiCGStab-free
+    robustness.  value = measured effective bandwidth against the analytic
+    per-step byte model  op_stream + 2n (matvec io) + 4*(m+1)*n*4 (CGS2,
+    full-cycle average ~ 4*(m/2+1)) + 5n (basis write + rotations io);
+    detail carries measured-vs-model and the per-step time.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import gmres_solve
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s
+
+    dia, n = _convdiff_dia(n)
+    b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+
+    # tol=0 runs exactly `inner` Arnoldi steps (inner/restart full cycles)
+    x, info = gmres_solve(dia, b, tol=0.0, maxiter=inner, restart=restart)
+    float(info.rnorm)
+    ovh = rpc_overhead_s()
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        x, info = gmres_solve(dia, b, tol=0.0, maxiter=inner,
+                              restart=restart)
+        float(info.rnorm)
+        ts.append(time.perf_counter() - t0)
+    k = int(info.iterations)
+    cycles = int(info.cycles)
+    ts = sorted((x - ovh) / max(k, 1) for x in ts)
+    t = ts[len(ts) // 2]
+
+    m = restart
+    dia_bytes = dia.diags.size * 4
+    # full-cycle-average CGS2 traffic: step j reads V[:m+1] twice and
+    # writes corrections twice -> 4 basis passes of (m+1) rows each (the
+    # rows > j are zero but still stream); + matvec io + basis write
+    model = dia_bytes + 2 * n * 4 + 4 * (m + 1) * n * 4 + 5 * n * 4
+    gbps = model / t / 1e9
+    peak = _hbm_peak_gbps()
+    return {
+        "metric": "gmres_inner_step_effective_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / peak, 4),
+        "detail": {"n": n, "layout": "dia", "restart_m": m,
+                   "inner_steps": k, "cycles": cycles,
+                   "time_per_step_us": round(t * 1e6, 2),
+                   "bytes_per_step_model": model,
+                   "cgs2_share": round(4 * (m + 1) * n * 4 / model, 3),
+                   "reps_us": [round(x * 1e6, 2) for x in ts]},
+    }
+
+
 def bench_cg_headline(n: int = 262144, iters: int = 256):
     """The driver's default record: symmetric-storage CG iteration PLUS the
     round-1/2 full-storage configuration in one run, so the longitudinal
@@ -1031,6 +1334,9 @@ _CONFIGS = {
     "irregular": bench_irregular,
     "symdia": bench_symdia,
     "symdia-big": bench_symdia_big,
+    "minres": bench_minres,
+    "bicgstab": bench_bicgstab,
+    "gmres": bench_gmres,
     "mgpcg": bench_mgpcg,
     "amg": bench_amg,
 }

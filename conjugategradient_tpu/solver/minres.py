@@ -239,6 +239,7 @@ def minres_solve(
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
     shift: float = 0.0,
     n: Optional[int] = None,
+    fused: str = "auto",
 ) -> Tuple[jax.Array, MinresInfo]:
     """Solve the symmetric (indefinite-OK) system ``(A − shift·I) x = b``.
 
@@ -262,6 +263,12 @@ def minres_solve(
       shift: solve ``(A − shift·I) x = b`` (Paige–Saunders shift; useful
         near-singular for inverse iteration).
       n: dimension hint for callable operators.
+      fused: "auto" (default) dispatches f32 solves on TPU to the
+        two-fused-Pallas-kernel iteration (solver/fused_minres.py) for
+        blocked-ELL and SYMMETRIC blocked-ELL operators, unpreconditioned
+        or Jacobi (``jacobi_preconditioner``); "never" forces the portable
+        loop (the float64/parity path); "always" requires a fused-capable
+        operator.
 
     Returns:
       ``(x, MinresInfo)``; ``info.rnorm_history`` is the per-iteration
@@ -271,6 +278,29 @@ def minres_solve(
     op = as_linear_operator(A, n=n, dtype=getattr(b, "dtype", None))
     N = op.shape[0]
     maxiter = N if maxiter is None else int(maxiter)
+
+    # TPU fast path: same dispatch contract as cg_solve's fused= (the
+    # iteration shape is identical — 1 SpMV + 2 reductions, CG.hpp:374-407)
+    inv_diag = getattr(M, "inv_diag", None)
+    if fused in ("auto", "always") and (M is None or inv_diag is not None):
+        from .fused_minres import fused_minres_solve, fused_minres_supported
+
+        if fused_minres_supported(op, dtype=getattr(b, "dtype", None)):
+            return fused_minres_solve(
+                op, b, x0, tol=tol, maxiter=maxiter, shift=shift,
+                inv_diag=inv_diag,
+            )
+        if fused == "always":
+            raise ValueError(
+                "fused='always' needs a fused-capable blocked-ELL "
+                "operator on a TPU backend (solver/fused_minres.py)"
+            )
+    if fused == "always":
+        raise ValueError(
+            "fused='always' supports only unpreconditioned or Jacobi "
+            "(jacobi_preconditioner) MINRES solves"
+        )
+
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
     shift_arr = jnp.asarray(shift, dtype=b.dtype)
     return _minres_jit(op, b, x0, tol_arr, shift_arr, maxiter, M)
