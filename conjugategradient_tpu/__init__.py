@@ -37,8 +37,10 @@ from .solver import (
     minres_solve,
     MinresInfo,
     bicgstab_solve,
+    bicgstab_solve_batched,
     BicgstabInfo,
     gmres_solve,
+    gmres_solve_batched,
     GmresInfo,
     refined_cg_solve,
     RefineInfo,
@@ -93,7 +95,9 @@ __all__ = [
     "sstep_cg_solve",
     "minres_solve",
     "bicgstab_solve",
+    "bicgstab_solve_batched",
     "gmres_solve",
+    "gmres_solve_batched",
     "BicgstabInfo",
     "GmresInfo",
     "MinresInfo",

@@ -32,6 +32,7 @@ from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
 from .fused_minres import fused_minres_solve, fused_minres_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
 from .minres import MinresInfo, minres_solve
+from .batched_nonsym import bicgstab_solve_batched, gmres_solve_batched
 from .bicgstab import BicgstabInfo, bicgstab_solve
 from .gmres import GmresInfo, gmres_solve
 from .pipelined import pipelined_cg_solve
@@ -89,7 +90,9 @@ __all__ = [
     "MinresInfo",
     "minres_solve",
     "bicgstab_solve",
+    "bicgstab_solve_batched",
     "gmres_solve",
+    "gmres_solve_batched",
     "GmresInfo",
     "BicgstabInfo",
     "pipelined_cg_solve",

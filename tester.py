@@ -454,19 +454,24 @@ def main(argv=None) -> int:
             )
             return x, info
     elif args.method == "gmres":
-        from conjugategradient_tpu import gmres_solve
+        from conjugategradient_tpu import gmres_solve, gmres_solve_batched
         from conjugategradient_tpu.solver.cg import CGInfo
 
-        if args.nrhs > 1:
-            print("error: --nrhs > 1 uses the lockstep loop, not --method "
-                  "gmres", file=sys.stderr)
-            return 2
-
         def solve(b_):
-            x, ginfo = gmres_solve(
-                A, b_, tol=args.tol, maxiter=args.maxiter,
-                restart=args.restart, M=M,
-            )
+            if args.nrhs > 1:
+                # lockstep multi-RHS lanes (solver/batched_nonsym.py):
+                # lane j solves roll(b, j), matching the CG --nrhs lane
+                B = jnp.stack([jnp.roll(b_, j) for j in range(args.nrhs)])
+                X, ginfo = gmres_solve_batched(
+                    A, B, tol=args.tol, maxiter=args.maxiter,
+                    restart=args.restart, M=M,
+                )
+                x = X[0]
+            else:
+                x, ginfo = gmres_solve(
+                    A, b_, tol=args.tol, maxiter=args.maxiter,
+                    restart=args.restart, M=M,
+                )
             # adapt to the CGInfo the printing paths consume (like the
             # minres/bicgstab lanes: history carries norm ESTIMATES,
             # CGInfo squares)
@@ -480,18 +485,24 @@ def main(argv=None) -> int:
             )
             return x, info
     elif args.method == "bicgstab":
-        from conjugategradient_tpu import bicgstab_solve
+        from conjugategradient_tpu import (
+            bicgstab_solve,
+            bicgstab_solve_batched,
+        )
         from conjugategradient_tpu.solver.cg import CGInfo
 
-        if args.nrhs > 1:
-            print("error: --nrhs > 1 uses the lockstep loop, not --method "
-                  "bicgstab", file=sys.stderr)
-            return 2
-
         def solve(b_):
-            x, binfo = bicgstab_solve(
-                A, b_, tol=args.tol, maxiter=args.maxiter, M=M
-            )
+            if args.nrhs > 1:
+                # lockstep multi-RHS lanes (solver/batched_nonsym.py)
+                B = jnp.stack([jnp.roll(b_, j) for j in range(args.nrhs)])
+                X, binfo = bicgstab_solve_batched(
+                    A, B, tol=args.tol, maxiter=args.maxiter, M=M
+                )
+                x = X[0]
+            else:
+                x, binfo = bicgstab_solve(
+                    A, b_, tol=args.tol, maxiter=args.maxiter, M=M
+                )
             # adapt to the CGInfo the printing paths consume (like the
             # minres lane: history carries norm ESTIMATES, CGInfo squares)
             hist = binfo.rnorm_history
