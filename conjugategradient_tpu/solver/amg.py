@@ -698,6 +698,21 @@ def smoothed_aggregation_preconditioner(
     Returns an ``apply`` closure for ``cg_solve(..., M=apply)``.  Setup
     cost is one host pass over the matrix per level (scipy triple
     products); reuse the closure across solves.
+
+    Nonsymmetric operators (round 5): every stage of this construction is
+    well-defined for nonsymmetric A — |a_ij|-based symmetrized strength,
+    D^-1 A smoothing sweeps, Galerkin ``P^T A P`` triple products, and a
+    dense INVERSE (not Cholesky) coarsest solve — so the cycle serves as
+    a RIGHT preconditioner for ``gmres_solve``/``bicgstab_solve`` on
+    mildly nonsymmetric systems (upwinded convection-diffusion at
+    moderate Peclet: measured ~10x fewer GMRES iterations on the
+    convdiff problem family).  Caveats: the cycle is then itself
+    nonsymmetric (do NOT hand it to ``cg_solve``/``minres_solve`` — they
+    require an SPD M), and as convection dominates (grid Peclet >> 1)
+    the aggregates stop aligning with the flow and the smoothed
+    prolongator's rho(D^-1 A) bound degrades — raise ``theta`` and/or
+    set ``smooth_prolongator=False`` there, or precondition with
+    Jacobi/FSAI instead.
     """
     if nu < 1:
         raise ValueError(f"nu must be >= 1, got {nu}")

@@ -459,3 +459,51 @@ def test_amg_rides_batched_multi_rhs():
     for j in range(4):
         r = np.asarray(B[j]) - np.asarray(A.matvec(X[j]))
         assert np.linalg.norm(r) <= 10 * float(tol[j])
+
+
+class TestAmgGmresNonsymmetric:
+    """SA-AMG as a RIGHT preconditioner for GMRES on mildly nonsymmetric
+    convection-diffusion (round-5 VERDICT item 6)."""
+
+    def test_amg_gmres_beats_unpreconditioned(self):
+        from conjugategradient_tpu import gmres_solve
+        from conjugategradient_tpu.problems import convection_diffusion_2d_coo
+
+        rows, cols, vals, shape = convection_diffusion_2d_coo(
+            48, peclet=10.0)
+        A = CSRMatrix.from_coo(rows, cols, vals, shape)
+        n = shape[0]
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.standard_normal(n))
+        tol = 1e-8 * float(jnp.linalg.norm(b))
+
+        M = smoothed_aggregation_preconditioner(A)
+        x_pl, i_pl = gmres_solve(A, b, tol=tol, maxiter=6 * n, restart=30)
+        x_mg, i_mg = gmres_solve(A, b, tol=tol, maxiter=6 * n, restart=30,
+                                 M=M)
+        assert bool(i_mg.converged)
+        # the algorithmic win: several-fold fewer Krylov matvecs
+        assert int(i_mg.iterations) * 3 <= int(i_pl.iterations), (
+            int(i_mg.iterations), int(i_pl.iterations))
+        r = np.asarray(b) - np.asarray(A.matvec(x_mg))
+        assert np.linalg.norm(r) <= 5 * tol
+
+    def test_high_peclet_still_converges_with_tuning(self):
+        # convection-dominated: the documented guard — raise theta, drop
+        # prolongator smoothing — keeps AMG useful as a GMRES M
+        from conjugategradient_tpu import gmres_solve
+        from conjugategradient_tpu.problems import convection_diffusion_2d_coo
+
+        rows, cols, vals, shape = convection_diffusion_2d_coo(
+            32, peclet=60.0)
+        A = CSRMatrix.from_coo(rows, cols, vals, shape)
+        n = shape[0]
+        b = jnp.ones((n,), jnp.float64)
+        tol = 1e-8 * float(jnp.linalg.norm(b))
+        M = smoothed_aggregation_preconditioner(
+            A, theta=0.25, smooth_prolongator=False)
+        x, info = gmres_solve(A, b, tol=tol, maxiter=6 * n, restart=30,
+                              M=M)
+        assert bool(info.converged)
+        r = np.asarray(b) - np.asarray(A.matvec(x))
+        assert np.linalg.norm(r) <= 5 * tol
