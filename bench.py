@@ -50,6 +50,8 @@ detail (bytes_streamed / stored_gbps).  Measured v5e: ~900 GB/s effective
                      convection-diffusion (DIA layout — relay-safe upload)
   --config gmres     GMRES(32) per-inner-step cost on the same operator
                      (CGS2 basis traffic dominates; byte model in detail)
+  --config eigs      LOBPCG (k=8, Jacobi M) per-iteration cost +
+                     time-to-tol on the n=256K symmetric operator
   --config mgpcg     full-solve time-to-tolerance A/B on 256^3 Poisson:
                      fused plain CG vs geometric-multigrid PCG
                      (solver/multigrid.py) — the algorithmic speedup on
@@ -1269,6 +1271,79 @@ def bench_gmres(n: int = 1 << 20, inner: int = 128, restart: int = 32):
     }
 
 
+def bench_eigs(n: int = 262144, k: int = 8, iters: int = 24, reps: int = 3):
+    """Bench-scale eigensolver lane (round-5 VERDICT item 7): LOBPCG
+    (k=8) per-iteration cost on the n=256K symmetric blocked-ELL headline
+    operator, with Jacobi preconditioning.
+
+    Each LOBPCG iteration = 3k A-matvecs (multi-RHS: ONE tile stream for
+    all 3k columns via sym_bell_spmv_multi) + k Jacobi applies + one
+    (n, 3k) QR + one (3k)^2 eigh.  value = effective bandwidth of the
+    per-iteration operator work under the symmetric-SpMV convention
+    (full-layout useful bytes x 1 stream per iteration / time); detail
+    carries the raw per-iteration time and a small time-to-tolerance run.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import jacobi_preconditioner
+    from conjugategradient_tpu.solver.lobpcg import lobpcg_eigs
+    from conjugategradient_tpu.utils.benchmarking import rpc_overhead_s
+
+    a = block_tridiag_sym_bell(n, 128, 128, jnp.float32)
+    M = jacobi_preconditioner(a)
+    ovh = rpc_overhead_s()
+
+    def timed(maxiter, tol, tol_absolute=False):
+        res = lobpcg_eigs(a, k=k, M=M, tol=tol, maxiter=maxiter,
+                          which="smallest", tol_absolute=tol_absolute)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = lobpcg_eigs(a, k=k, M=M, tol=tol, maxiter=maxiter,
+                              which="smallest", tol_absolute=tol_absolute)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return res, max(ts[len(ts) // 2] - ovh, 1e-9)
+
+    # fixed-count run: per-iteration cost (tol=0 runs to the cap)
+    res_fix, t_fix = timed(iters, 0.0, tol_absolute=True)
+    per_iter = t_fix / max(int(res_fix.iters), 1)
+    # time-to-tolerance run (relative 1e-5: the bench operator is well-
+    # conditioned, so looser tolerances converge at iteration 0)
+    res_tol, t_tol = timed(200, 1e-5)
+
+    # operator bytes per iteration: ONE symmetric tile stream serves all
+    # 3k matvec columns (sym_bell_spmv_multi); useful bytes follow the
+    # headline full-layout convention
+    full_tile_bytes = (a.full_tile_bytes() // a.dtype.itemsize) * 4
+    # the (n, 3k) block vectors: X/W/P read + A-products written etc. —
+    # dominated at k=8 by the QR's O(n (3k)^2) flops, not bytes; report
+    # the operator-stream rate as the headline and the raw time in detail
+    eff_bytes = full_tile_bytes + 8 * n * 4
+    gbps = eff_bytes / per_iter / 1e9
+    peak = _hbm_peak_gbps()
+    return {
+        "metric": "lobpcg_iteration_effective_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / peak, 4),
+        "detail": {"n": n, "k": k,
+                   "time_per_iter_ms": round(per_iter * 1e3, 3),
+                   "iterations_run": int(res_fix.iters),
+                   "tol_run": {
+                       "rtol": 1e-5,
+                       "iterations": int(res_tol.iters),
+                       "time_s": round(t_tol, 3),
+                       "max_rnorm": float(np.max(np.asarray(
+                           res_tol.residuals))),
+                       "lam_min": float(np.min(np.asarray(
+                           res_tol.values))),
+                   }},
+    }
+
+
 def bench_cg_headline(n: int = 262144, iters: int = 256):
     """The driver's default record: symmetric-storage CG iteration PLUS the
     round-1/2 full-storage configuration in one run, so the longitudinal
@@ -1337,6 +1412,7 @@ _CONFIGS = {
     "minres": bench_minres,
     "bicgstab": bench_bicgstab,
     "gmres": bench_gmres,
+    "eigs": bench_eigs,
     "mgpcg": bench_mgpcg,
     "amg": bench_amg,
 }
