@@ -1135,7 +1135,7 @@ def _convdiff_dia(n_target: int):
     return dia, n
 
 
-def bench_bicgstab(n: int = 1 << 20, iters: int = 128):
+def bench_bicgstab(n: int = 1 << 20, iters: int = 1024):
     """Per-iteration cost of the BiCGStab loop (solver/bicgstab.py) on the
     ~1M-row nonsymmetric convection-diffusion operator — the round-5 chip
     lane for the nonsymmetric family.
@@ -1145,7 +1145,9 @@ def bench_bicgstab(n: int = 1 << 20, iters: int = 128):
     min(structural, XLA cost-analysis) byte model over the measured
     per-iteration time; the DIA operator stream is negligible at this
     pattern, so this measures the vector-stream-bound iteration the
-    portable loop pays.
+    portable loop pays.  iters defaults to 1024: the chain must dominate
+    the ~27 ms RPC overhead (a 128-iteration chain measured pure noise —
+    docs/round5.md chip sessions).
     """
     import time
 
