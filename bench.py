@@ -1273,7 +1273,7 @@ def bench_gmres(n: int = 1 << 20, inner: int = 128, restart: int = 32):
     }
 
 
-def bench_eigs(n: int = 262144, k: int = 8, iters: int = 24, reps: int = 3):
+def bench_eigs(n: int = 262144, k: int = 8, iters: int = 96, reps: int = 3):
     """Bench-scale eigensolver lane (round-5 VERDICT item 7): LOBPCG
     (k=8) per-iteration cost on the n=256K symmetric blocked-ELL headline
     operator, with Jacobi preconditioning.
@@ -1309,9 +1309,15 @@ def bench_eigs(n: int = 262144, k: int = 8, iters: int = 24, reps: int = 3):
         ts.sort()
         return res, max(ts[len(ts) // 2] - ovh, 1e-9)
 
-    # fixed-count run: per-iteration cost (tol=0 runs to the cap)
+    # per-iteration cost from a TWO-POINT difference of fixed-count runs:
+    # each lobpcg_eigs call carries a large fixed cost (host RNG for
+    # X0/P0, (n,k) eigenvector readback through the relay — measured
+    # ~0.4 s at n=256K), so a single run badly overstates the marginal
+    # iteration.  (tol=0, tol_absolute runs exactly to the cap.)
+    res_half, t_half = timed(iters // 2, 0.0, tol_absolute=True)
     res_fix, t_fix = timed(iters, 0.0, tol_absolute=True)
-    per_iter = t_fix / max(int(res_fix.iters), 1)
+    per_iter = max(t_fix - t_half, 1e-9) / max(
+        int(res_fix.iters) - int(res_half.iters), 1)
     # time-to-tolerance run (relative 1e-5: the bench operator is well-
     # conditioned, so looser tolerances converge at iteration 0)
     res_tol, t_tol = timed(200, 1e-5)
@@ -1334,6 +1340,8 @@ def bench_eigs(n: int = 262144, k: int = 8, iters: int = 24, reps: int = 3):
         "detail": {"n": n, "k": k,
                    "time_per_iter_ms": round(per_iter * 1e3, 3),
                    "iterations_run": int(res_fix.iters),
+                   "fixed_call_overhead_s": round(
+                       t_fix - per_iter * int(res_fix.iters), 3),
                    "tol_run": {
                        "rtol": 1e-5,
                        "iterations": int(res_tol.iters),

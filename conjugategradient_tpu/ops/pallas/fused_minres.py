@@ -83,7 +83,6 @@ def _minres_spmv_kernel(R: int, kmax: int, bm: int, bn: int,
             vq_ref[0, 0] = 0.0
             vr1_ref[0, 0] = 0.0
 
-        shift = su_ref[0, SU_SHIFT]
         for rr in range(R):
             row = g * R + rr
             acc = None
@@ -93,13 +92,18 @@ def _minres_spmv_kernel(R: int, kmax: int, bm: int, bn: int,
                 blk = block_ref[rr, k].astype(jnp.float32)  # (bm, bn)
                 part = jnp.sum(blk * xb[None, :], axis=1)
                 acc = part if acc is None else acc + part
-            # the Paige–Saunders shift rides the tile pass: q = (A − σI)v
-            q_ref[rr, :] = acc - shift * pv[row, :]
+            q_ref[rr, :] = acc
 
         base = g * rows_per_g
         vrows = pv[pl.ds(base, rows_per_g), :]
         r1rows = r1_ref[pl.ds(base, rows_per_g), :]
-        vq_ref[0, 0] += jnp.sum(q_ref[:] * vrows.reshape(R, bm))
+        # the Paige–Saunders shift rides the pass as ONE vectorized window
+        # op: q = (A − σI)v.  A per-ROW `acc − σ·xr` inside the tile loop
+        # measured +204 us/iter at the headline shape — it breaks Mosaic's
+        # tile-product schedule (tools/minres_kernel_variants.py).
+        qwin = q_ref[:] - su_ref[0, SU_SHIFT] * vrows.reshape(R, bm)
+        q_ref[:] = qwin
+        vq_ref[0, 0] += jnp.sum(qwin * vrows.reshape(R, bm))
         vr1_ref[0, 0] += jnp.sum(vrows * r1rows)
 
     return kernel
@@ -164,9 +168,18 @@ def minres_dir_spmv_dot(
     )
 
     vec_bytes = ncb * bn * 4
+    # VMEM budget: 10 whole-vector residents (6 inputs + v/w/x' outputs +
+    # pv scratch, +1 with Jacobi) + double-buffered tile groups.  The
+    # default 16 MB scoped-vmem stack is EXCEEDED at headline sizes and
+    # the pipeline crawls without this (measured: fused SLOWER than the
+    # portable loop at n=256K until the limit was raised — CLAUDE.md).
+    resid = (11 if precond else 10) * vec_bytes
+    blk_bytes = 2 * R * kmax * bm * bn * blocks.dtype.itemsize
+    vmem_limit = max(16 << 20, min(110 << 20, resid + blk_bytes + (12 << 20)))
     return pl.pallas_call(
         _minres_spmv_kernel(R, kmax, bm, bn, precond=precond),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         out_shape=(
             jax.ShapeDtypeStruct((ncb, bn), jnp.float32),
             jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
@@ -224,14 +237,13 @@ def _sym_minres_spmv_kernel(R: int, ku: int, bm: int, bn: int,
             vq_ref[0, 0] = 0.0
             vr1_ref[0, 0] = 0.0
 
-        shift = su_ref[0, SU_SHIFT]
         if mirror == "scatter":
             for rr in range(R):
                 row = g * R + rr
                 xr = pv[row, :]
                 acc = jnp.sum(
                     dblk_ref[rr].astype(jnp.float32) * xr[None, :], axis=1
-                ) - shift * xr
+                )
                 for k in range(ku):
                     c = cols_ref[row * ku + k]
                     blk = oblk_ref[rr, k].astype(jnp.float32)
@@ -239,7 +251,12 @@ def _sym_minres_spmv_kernel(R: int, ku: int, bm: int, bn: int,
                     tpart = jnp.sum(blk * xr[:, None], axis=0)
                     q_ref[c, :] = q_ref[c, :] + tpart
                 q_ref[row, :] = q_ref[row, :] + acc
-            qrows = q_ref[pl.ds(g * R, R), :]
+            # window-level shift once the rows are final (see the full
+            # kernel's comment: per-row shift measured +204 us/iter)
+            base = pl.multiple_of(g * R, R)
+            vwin = pv[pl.ds(base, R), :].reshape(R, bm)
+            qrows = q_ref[pl.ds(base, R), :] - su_ref[0, SU_SHIFT] * vwin
+            q_ref[pl.ds(base, R), :] = qrows
         else:  # banded (block-tridiagonal): pure aligned q window write
             carry = scratch[0]
             base = pl.multiple_of(g * R, R)
@@ -250,7 +267,7 @@ def _sym_minres_spmv_kernel(R: int, ku: int, bm: int, bn: int,
                 xr = pv[row, :]
                 acc = jnp.sum(
                     dblk_ref[rr].astype(jnp.float32) * xr[None, :], axis=1
-                ) - shift * xr
+                )
                 c = cols_ref[row]
                 blk = oblk_ref[rr, 0].astype(jnp.float32)
                 acc = acc + jnp.sum(blk * pv[c, :][None, :], axis=1)
@@ -259,6 +276,9 @@ def _sym_minres_spmv_kernel(R: int, ku: int, bm: int, bn: int,
             carry[0, :] = tps[R - 1]
             mirrors = [carry_in] + tps[: R - 1]
             qrows = jnp.stack(accs, axis=0) + jnp.stack(mirrors, axis=0)
+            # window-level shift (per-row measured +204 us/iter)
+            qrows = qrows - su_ref[0, SU_SHIFT] * pv[
+                pl.ds(base, R), :].reshape(R, bm)
             q_ref[pl.ds(base, R), :] = qrows
 
         # rows [gR, (g+1)R) hold every contribution by now (upper tiles
@@ -343,10 +363,15 @@ def sym_minres_dir_spmv_dot(
     vec_bytes = ncb * bn * 4
     tile_bytes = (diag_blocks.size + off_blocks.size) \
         * diag_blocks.dtype.itemsize
+    # +1 resident vs the full kernel: q is a whole-VMEM accumulator here
+    resid = (12 if precond else 11) * vec_bytes
+    blk_bytes = 2 * R * (1 + ku) * bm * bn * diag_blocks.dtype.itemsize
+    vmem_limit = max(16 << 20, min(110 << 20, resid + blk_bytes + (12 << 20)))
     return pl.pallas_call(
         _sym_minres_spmv_kernel(R, ku, bm, bn, precond=precond,
                                 mirror=mirror),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         out_shape=(
             jax.ShapeDtypeStruct((ncb, bn), jnp.float32),
             jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
@@ -366,7 +391,7 @@ def sym_minres_dir_spmv_dot(
 
 
 def _minres_update_kernel(precond: bool):
-    def kernel(sc_ref, q_ref, r1_ref, r2_ref, *rest):
+    def kernel(c1_ref, ia_ref, q_ref, r1_ref, r2_ref, *rest):
         if precond:
             d_ref, r2out_ref, bsq_ref = rest
         else:
@@ -377,8 +402,11 @@ def _minres_update_kernel(precond: bool):
         def _():
             bsq_ref[0, 0] = 0.0
 
-        c1 = sc_ref[0, 0]
-        ia = sc_ref[0, 1]
+        # two (1, 1) SMEM scalars, matching fused_cg._update_kernel — a
+        # packed (1, 8) SMEM row measured 3x slower here (33 vs 11 us at
+        # the headline shape, tools/minres_kernel_variants.py session)
+        c1 = c1_ref[0, 0]
+        ia = ia_ref[0, 0]
         y = q_ref[:] - c1 * r1_ref[:] - ia * r2_ref[:]
         r2out_ref[:] = y
         # β² = r2' · (M⁻¹ r2'): the Lanczos inner product, fused into the
@@ -393,25 +421,27 @@ def minres_update_dot(
     q2d: jax.Array,
     r1_2d: jax.Array,
     r2_2d: jax.Array,
-    sc: jax.Array,
+    c1: jax.Array,
+    ia: jax.Array,
     inv_diag2d: jax.Array = None,
     interpret: bool = False,
 ):
     """K2: ``(r2', βsq) = (q − c1·r1 − ia·r2,  r2'·(M⁻¹ r2'))``.
 
-    ``sc``: (1, 8) float32 device scalars — slot 0 = c1 (= β/oldβ), slot 1
-    = ia (= α/β).  All vectors (rows, 128) f32.
+    ``c1`` (= β/oldβ) and ``ia`` (= α/β): (1, 1) float32 device scalars.
+    All vectors (rows, 128) f32.
     """
     rows, lanes = q2d.shape
     C = _largest_divisor_leq(rows, 1024)
     blk = pl.BlockSpec((C, lanes), lambda g: (g, 0))
-    scalar_in = pl.BlockSpec((1, 8), lambda g: (0, 0),
+    scalar_in = pl.BlockSpec((1, 1), lambda g: (0, 0),
                              memory_space=pltpu.SMEM)
     scalar_out = pl.BlockSpec((1, 1), lambda g: (0, 0),
                               memory_space=pltpu.SMEM)
     precond = inv_diag2d is not None
-    in_specs = [scalar_in, blk, blk, blk] + ([blk] if precond else [])
-    operands = [sc, q2d, r1_2d, r2_2d] + (
+    in_specs = [scalar_in, scalar_in, blk, blk, blk] + (
+        [blk] if precond else [])
+    operands = [c1, ia, q2d, r1_2d, r2_2d] + (
         [inv_diag2d] if precond else [])
     grid_spec = pl.GridSpec(
         grid=(rows // C,),

@@ -713,6 +713,14 @@ def smoothed_aggregation_preconditioner(
     prolongator's rho(D^-1 A) bound degrades — raise ``theta`` and/or
     set ``smooth_prolongator=False`` there, or precondition with
     Jacobi/FSAI instead.
+
+    TPU caveat (round 5, chip-verified): with the default
+    ``level_layout="auto"`` DIA level operators, applying this M inside
+    ``gmres_solve``'s inner Arnoldi ``fori_loop`` crashes the TPU worker
+    (an XLA:TPU kernel fault — reproducible at every problem size, while
+    the same M inside ``cg_solve``/``bicgstab_solve``'s while-loop-only
+    iterations runs fine).  Pass ``level_layout="csr"`` when the consumer
+    is GMRES/FGMRES on a TPU backend; tools/gmres_amg_ab.py does.
     """
     if nu < 1:
         raise ValueError(f"nu must be >= 1, got {nu}")

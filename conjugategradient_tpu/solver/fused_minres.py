@@ -183,11 +183,9 @@ def fused_minres_step(
     c1 = jnp.where(noprev, 0.0, beta0 / jnp.where(noprev, 1.0, oldb0))
     alfa = vq[0, 0] - c1 * vr1[0, 0]
     ia = alfa / beta0
-    z = jnp.zeros((1, 1), jnp.float32)
-    sc = jnp.concatenate(
-        [c1.reshape(1, 1), ia.reshape(1, 1), z, z, z, z, z, z], axis=1)
     r2new, bsq = minres_update_dot(
-        q.reshape(s.r2.shape), s.r1, s.r2, sc,
+        q.reshape(s.r2.shape), s.r1, s.r2,
+        c1.reshape(1, 1), ia.reshape(1, 1),
         inv_diag2d=inv_diag2d, interpret=interpret,
     )
     beta_new = jnp.sqrt(bsq[0, 0])  # NaN iff M not SPD

@@ -119,10 +119,10 @@ class TestKernels:
         q, r1, r2 = (rng.standard_normal(mp).astype(np.float32)
                      for _ in range(3))
         c1, ia = np.float32(0.4), np.float32(0.9)
-        sc = jnp.asarray([[c1, ia, 0, 0, 0, 0, 0, 0]], jnp.float32)
         to2d = lambda v: jnp.asarray(v.reshape(-1, 128))
         r2n, bsq = minres_update_dot(
-            to2d(q), to2d(r1), to2d(r2), sc, interpret=True)
+            to2d(q), to2d(r1), to2d(r2),
+            jnp.full((1, 1), c1), jnp.full((1, 1), ia), interpret=True)
         y = q - c1 * r1 - ia * r2
         np.testing.assert_allclose(np.asarray(r2n).ravel(), y, atol=1e-6)
         np.testing.assert_allclose(float(bsq[0, 0]), y @ y, rtol=1e-5)
@@ -133,10 +133,11 @@ class TestKernels:
         q, r1, r2 = (rng.standard_normal(mp).astype(np.float32)
                      for _ in range(3))
         d = (0.5 + rng.random(mp)).astype(np.float32)
-        sc = jnp.asarray([[0.3, 0.7, 0, 0, 0, 0, 0, 0]], jnp.float32)
         to2d = lambda v: jnp.asarray(v.reshape(-1, 128))
         r2n, bsq = minres_update_dot(
-            to2d(q), to2d(r1), to2d(r2), sc, inv_diag2d=to2d(d),
+            to2d(q), to2d(r1), to2d(r2),
+            jnp.full((1, 1), jnp.float32(0.3)),
+            jnp.full((1, 1), jnp.float32(0.7)), inv_diag2d=to2d(d),
             interpret=True)
         y = q - np.float32(0.3) * r1 - np.float32(0.7) * r2
         np.testing.assert_allclose(float(bsq[0, 0]), (d * y) @ y, rtol=1e-5)
