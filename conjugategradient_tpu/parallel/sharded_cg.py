@@ -990,6 +990,8 @@ def _sharded_solve_batched(
     rcond: Optional[float],
     make_local_matvec_multi: Callable,
     key_extra: tuple = (),
+    op_specs: Optional[Sequence] = None,
+    op_unwrap: Optional[Callable] = None,
 ):
     """The sharded multi-RHS solve core (mesh × lanes composition): each
     shard owns its operator rows and an (m, R) slab of every lane's
@@ -998,7 +1000,9 @@ def _sharded_solve_batched(
     statics it bakes in (``key_extra``).  The loop is
     :func:`~.loops._sharded_lockstep_pcg` (independent lanes) or
     :func:`~.loops._sharded_block_cg` (O'Leary shared space) — both psum
-    (R,)/(R,R) payloads, so R solves ride one solve's collective latency."""
+    (R,)/(R,R) payloads, so R solves ride one solve's collective latency.
+    ``op_specs``/``op_unwrap`` override operator sharding for non-1-D
+    meshes (the 2-D block decomposition), like the single-RHS core."""
     if B.ndim != 2:
         raise ValueError(f"B must be (nrhs, n_padded), got {B.shape}")
     R, n_padded = int(B.shape[0]), int(B.shape[1])
@@ -1012,6 +1016,10 @@ def _sharded_solve_batched(
     rcond = _default_rcond(B.dtype) if rcond is None else float(rcond)
     loop = _batched_loop(method, recompute_r_every, rcond)
     nop = len(op_arrays)
+    op_specs = (
+        tuple(op_specs) if op_specs is not None else (P(axis),) * nop
+    )
+    unwrap = op_unwrap if op_unwrap is not None else (lambda a: a[0])
 
     key = (f"{family}-batched", _mesh_key(mesh), axis, maxiter, R, key_extra,
            str(B.dtype), with_m, tol_arr.shape, recompute_r_every,
@@ -1019,13 +1027,13 @@ def _sharded_solve_batched(
     solve_jit = _cache_get(key)
     if solve_jit is None:
         def solve_shard(*args_s):
-            op_shards = [a[0] for a in args_s[:nop]]
+            op_shards = [unwrap(a) for a in args_s[:nop]]
             tol_a, B_s, X0_s = args_s[nop], args_s[nop + 1], args_s[nop + 2]
             inv_diag_s = args_s[nop + 3] if with_m else None
             lm = make_local_matvec_multi(op_shards)
             return loop(lm, B_s, X0_s, inv_diag_s, tol_a, maxiter, axis)
 
-        in_specs = [P(axis)] * nop + [P(), P(None, axis), P(None, axis)]
+        in_specs = list(op_specs) + [P(), P(None, axis), P(None, axis)]
         if with_m:
             in_specs.append(P(axis))
         solve_jit = jax.jit(shard_map(
@@ -1038,7 +1046,7 @@ def _sharded_solve_batched(
         _cache_put(key, solve_jit)
 
     put = lambda a, spec: jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
-    args = [put(a, P(axis)) for a in op_arrays]
+    args = [put(a, spec) for a, spec in zip(op_arrays, op_specs)]
     args += [put(jnp.broadcast_to(tol_arr, tol_arr.shape), P()),
              put(B, P(None, axis)), put(X0, P(None, axis))]
     if with_m:
@@ -1102,6 +1110,70 @@ def sharded_cg_solve_batched(
         mesh=mesh, axis=axis, tol=tol, maxiter=maxiter, inv_diag=inv_diag,
         recompute_r_every=recompute_r_every, method=method, rcond=rcond,
         make_local_matvec_multi=make_lm, key_extra=(bn,),
+    )
+
+
+def sharded_cg_solve_2d_batched(
+    blocks,
+    block_cols,
+    B: jax.Array,
+    X0: Optional[jax.Array] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    tol=0.0,
+    maxiter: Optional[int] = None,
+    inv_diag: Optional[jax.Array] = None,
+    recompute_r_every: int = 0,
+    method: str = "lockstep",
+    rcond: Optional[float] = None,
+):
+    """Multi-RHS (P)CG on the p×p 2-D block decomposition — the
+    composition of :func:`sharded_cg_solve_2d` (collective bytes n → 2n/p
+    per SpMV: one mesh-transpose ppermute + one column psum, NO n-byte
+    all-gather) with the lockstep lane machinery (operator tiles read
+    ONCE per iteration for all R lanes, (R,)-payload dot psums).
+
+    Args as :func:`sharded_cg_solve_2d` (blocks (p, p, nrb, kmax, bm, bn)
+    from :func:`partition_csr_blocks_2d`) × :func:`sharded_cg_solve_batched`
+    (``B`` (R, n_padded), per-lane ``tol``, ``method`` lockstep/block).
+    Returns (X (R, n_padded), CGInfo with per-lane fields).
+    """
+    if mesh is None:
+        p = int(np.sqrt(len(jax.devices())))
+        mesh = make_mesh_2d(max(p, 1))
+    rp_ax, cp_ax = mesh.axis_names
+    p = mesh.devices.shape[0]
+    assert mesh.devices.shape == (p, p), mesh.devices.shape
+    assert blocks.shape[:2] == (p, p), (blocks.shape, p)
+    bn = int(blocks.shape[-1])
+    transpose_perm = [
+        (a * p + c, c * p + a) for a in range(p) for c in range(p)
+    ]
+
+    def make_lm(ops):
+        blocks_ij, cols_ij = ops
+
+        def local_matvec_multi(v_row):  # (m, R) row piece i
+            # mesh transpose: device (i, j) trades its row piece i for
+            # piece j — the SpMV operand for block A_ij, all lanes at once
+            v_col = jax.lax.ppermute(
+                v_row, (rp_ax, cp_ax), transpose_perm
+            )
+            q_part = _local_bell_matvec_multi(
+                blocks_ij, cols_ij,
+                v_col.reshape(-1, bn, v_row.shape[-1]),
+            )
+            return jax.lax.psum(q_part, cp_ax)
+
+        return local_matvec_multi
+
+    return _sharded_solve_batched(
+        "bell2d", (blocks, block_cols), B, X0,
+        mesh=mesh, axis=rp_ax, tol=tol, maxiter=maxiter, inv_diag=inv_diag,
+        recompute_r_every=recompute_r_every, method=method, rcond=rcond,
+        make_local_matvec_multi=make_lm, key_extra=(bn,),
+        op_specs=(P(rp_ax, cp_ax), P(rp_ax, cp_ax)),
+        op_unwrap=lambda a: a[0, 0],
     )
 
 

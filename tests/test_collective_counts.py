@@ -325,3 +325,45 @@ def test_symdia_collectives_match_full_dia():
     # exists OUTSIDE the loop body
     total_cp = len(re.findall(r"collective-permute(?:-start)?\(", txt))
     assert total_cp > cp, "the once-per-solve diagonal halo went missing"
+
+
+def test_2d_batched_no_allgather():
+    """2-D × multi-RHS (round-5 VERDICT item 10): the lockstep lanes keep
+    the 2-D scheme's collective shape — one mesh-transpose permute + the
+    q-partial psum + 2 (R,)-payload dot psums, ZERO all-gathers."""
+    from conjugategradient_tpu.parallel import (
+        make_mesh_2d,
+        partition_csr_blocks_2d,
+        sharded_cg_solve_2d_batched,
+    )
+
+    rows, cols, vals, shape = poisson2d_coo(16)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    blocks, bcols, n_pad = partition_csr_blocks_2d(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, 2, bm=8, bn=8,
+    )
+    n = shape[0]
+    b = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        jnp.asarray(reference_rhs(n, dtype=np.float32)))
+    B = jnp.stack([b, 2.0 * b, jnp.roll(b, 1)])
+    mesh = make_mesh_2d(2)
+    sc._SOLVE_CACHE.clear()
+    sharded_cg_solve_2d_batched(
+        jnp.asarray(blocks), jnp.asarray(bcols), B, mesh=mesh,
+        tol=0.0, maxiter=4,
+    )
+    ((key, fn),) = list(sc._SOLVE_CACHE.items())
+    put_op = lambda a: jax.device_put(a, NamedSharding(mesh, P("rp", "cp")))
+    put_r = lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+    put_v = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, "rp")))
+    args = [put_op(jnp.asarray(blocks)), put_op(jnp.asarray(bcols)),
+            put_r(jnp.asarray(0.0, jnp.float32)), put_v(B),
+            put_v(jnp.zeros_like(B))]
+    txt = fn.lower(*args).compile().as_text()
+    sc._SOLVE_CACHE.clear()
+    ar, ag = _while_body_collectives(txt)
+    ar2, cp = _body_permutes(txt)
+    assert ag == 0, f"2-D batched loop must not all-gather, got {ag}"
+    assert cp == 1, f"one mesh-transpose permute per iteration, got {cp}"
+    assert ar == 3, f"q-partial psum + 2 lane-dot psums, got {ar}"

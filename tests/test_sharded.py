@@ -1055,3 +1055,72 @@ def test_sharded_pipelined_residual_replacement():
     with _pytest.raises(ValueError, match="residual-replacement"):
         sharded_cg_solve(jnp.asarray(blocks), jnp.asarray(bcols), b,
                          method="minres", recompute_r_every=10)
+
+
+class TestSharded2DBatched:
+    """2-D × multi-RHS composition (round-5 VERDICT item 10): the lockstep
+    lanes on the p×p block decomposition must match the single-device
+    batched solve per-lane exactly (f64)."""
+
+    def _setup(self, nx=16, p=2, R=3):
+        from conjugategradient_tpu.parallel import (
+            make_mesh_2d,
+            partition_csr_blocks_2d,
+        )
+
+        rows, cols, vals, shape = poisson2d_coo(nx)
+        A = CSRMatrix.from_coo(rows, cols, vals, shape)
+        blocks, bcols, n_pad = partition_csr_blocks_2d(
+            np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+            shape, p, bm=8, bn=8,
+        )
+        n = shape[0]
+        rng = np.random.default_rng(11)
+        Bd = rng.standard_normal((R, n))
+        B = jnp.zeros((R, n_pad)).at[:, :n].set(jnp.asarray(Bd))
+        return A, blocks, bcols, B, Bd, n, make_mesh_2d(p)
+
+    def test_matches_single_device_batched_per_lane(self):
+        from conjugategradient_tpu import cg_solve_batched
+        from conjugategradient_tpu.parallel import sharded_cg_solve_2d_batched
+        from conjugategradient_tpu.types import BlockedEllMatrix
+
+        A, blocks, bcols, B, Bd, n, mesh = self._setup()
+        bell = BlockedEllMatrix.from_csr(A, bm=8, bn=8)
+        X_ref, i_ref = cg_solve_batched(bell, jnp.asarray(Bd), tol=1e-10)
+        X, info = sharded_cg_solve_2d_batched(
+            blocks, bcols, B, mesh=mesh, tol=1e-10, maxiter=n + 1)
+        for i in range(B.shape[0]):
+            assert int(info.iterations[i]) == int(i_ref.iterations[i]), i
+            np.testing.assert_allclose(
+                np.asarray(X[i, :n]), np.asarray(X_ref[i]),
+                rtol=1e-8, atol=1e-9)
+
+    def test_per_lane_tol_and_jacobi(self):
+        from conjugategradient_tpu.parallel import sharded_cg_solve_2d_batched
+
+        A, blocks, bcols, B, Bd, n, mesh = self._setup(nx=12)
+        n_pad = int(B.shape[1])
+        inv_d = np.ones((n_pad,))
+        inv_d[:n] = 1.0 / np.asarray(A.diagonal())
+        tols = jnp.asarray([1e-4, 1e-7, 1e-10])
+        X, info = sharded_cg_solve_2d_batched(
+            blocks, bcols, B, mesh=mesh, tol=tols, maxiter=n + 1,
+            inv_diag=jnp.asarray(inv_d))
+        assert bool(jnp.all(info.converged))
+        its = np.asarray(info.iterations)
+        assert its[0] <= its[1] <= its[2]
+        for i in range(3):
+            r = np.asarray(Bd[i]) - np.asarray(A.matvec(X[i, :n]))
+            assert np.linalg.norm(r) <= 5 * float(tols[i])
+
+    def test_block_method_rides_2d(self):
+        from conjugategradient_tpu.parallel import sharded_cg_solve_2d_batched
+
+        A, blocks, bcols, B, Bd, n, mesh = self._setup(nx=12)
+        X, info = sharded_cg_solve_2d_batched(
+            blocks, bcols, B, mesh=mesh, tol=1e-9, maxiter=n + 1,
+            method="block")
+        for i in range(B.shape[0]):
+            r = np.asarray(Bd[i]) - np.asarray(A.matvec(X[i, :n]))
+            assert np.linalg.norm(r) <= 5e-9
