@@ -1258,10 +1258,12 @@ def bench_gmres(n: int = 1 << 20, inner: int = 128, restart: int = 32):
 
     m = restart
     dia_bytes = dia.diags.size * 4
-    # full-cycle-average CGS2 traffic: step j reads V[:m+1] twice and
-    # writes corrections twice -> 4 basis passes of (m+1) rows each (the
-    # rows > j are zero but still stream); + matvec io + basis write
-    model = dia_bytes + 2 * n * 4 + 4 * (m + 1) * n * 4 + 5 * n * 4
+    # full-cycle-average CGS2 traffic with the round-5 UNROLLED Arnoldi
+    # (gmres_solve unroll="auto" on TPU at m <= 48): step j reads only the
+    # j+2 live basis rows, 4 passes each -> cycle average 4*(m+3)/2 rows;
+    # + matvec io + basis write + rotation io.  (The fori form streams
+    # all m+1 rows every step: 4*(m+1).)
+    model = dia_bytes + 2 * n * 4 + 4 * ((m + 3) // 2) * n * 4 + 5 * n * 4
     gbps = model / t / 1e9
     peak = _hbm_peak_gbps()
     return {
@@ -1273,7 +1275,7 @@ def bench_gmres(n: int = 1 << 20, inner: int = 128, restart: int = 32):
                    "inner_steps": k, "cycles": cycles,
                    "time_per_step_us": round(t * 1e6, 2),
                    "bytes_per_step_model": model,
-                   "cgs2_share": round(4 * (m + 1) * n * 4 / model, 3),
+                   "cgs2_share": round(4 * ((m + 3) // 2) * n * 4 / model, 3),
                    "reps_us": [round(x * 1e6, 2) for x in ts]},
     }
 

@@ -299,3 +299,35 @@ class TestFlexible:
         x2, i2 = gmres_solve(A, b, tol=1e-8)
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
         assert int(i1.iterations) == int(i2.iterations)
+
+
+def test_unrolled_arnoldi_matches_fori_to_roundoff():
+    """unroll='always' reads only the live basis rows — the dead rows are
+    exact zeros, so the values agree to reduction-tree roundoff (XLA's
+    contraction association differs with the row count: measured 1e-16
+    absolute in f64 — NOT bitwise), and the counts match."""
+    from conjugategradient_tpu.problems import convection_diffusion_2d_coo
+
+    rows, cols, vals, shape = convection_diffusion_2d_coo(12, peclet=12.0)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape)
+    n = shape[0]
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(n))
+
+    d = jnp.asarray(np.asarray(A.diagonal()))
+
+    def m_jac(v):
+        return v / d
+
+    for kw in (dict(), dict(M=m_jac), dict(M=m_jac, flexible=True)):
+        x_f, i_f = gmres_solve(A, b, tol=1e-9, maxiter=4 * n, restart=17,
+                               unroll="never", **kw)
+        x_u, i_u = gmres_solve(A, b, tol=1e-9, maxiter=4 * n, restart=17,
+                               unroll="always", **kw)
+        assert int(i_u.iterations) == int(i_f.iterations)
+        assert int(i_u.cycles) == int(i_f.cycles)
+        np.testing.assert_allclose(np.asarray(x_u), np.asarray(x_f),
+                                   rtol=0, atol=1e-11)
+        hf, hu = np.asarray(i_f.rnorm_history), np.asarray(i_u.rnorm_history)
+        sel = np.isfinite(hf)
+        np.testing.assert_allclose(hu[sel], hf[sel], rtol=1e-8, atol=1e-13)
