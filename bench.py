@@ -48,6 +48,9 @@ detail (bytes_streamed / stored_gbps).  Measured v5e: ~900 GB/s effective
                      symmetric-indefinite family's chip lane
   --config bicgstab  BiCGStab per-iteration cost, 1M-row nonsymmetric
                      convection-diffusion (DIA layout — relay-safe upload)
+  --config bicgstab-bell  FUSED BiCGStab (3 Pallas kernels/iter,
+                     solver/fused_bicgstab.py) vs portable A/B on a
+                     nonsymmetric dense-tile blocked-ELL operator
   --config gmres     GMRES(32) per-inner-step cost on the same operator
                      (CGS2 basis traffic dominates; byte model in detail)
   --config eigs      LOBPCG (k=8, Jacobi M) per-iteration cost +
@@ -1361,6 +1364,138 @@ def bench_eigs(n: int = 262144, k: int = 8, iters: int = 96, reps: int = 3):
     }
 
 
+def bench_bicgstab_bell(n: int = 262144, iters: int = 128):
+    """Fused BiCGStab iteration A/B vs the portable loop on a NONSYMMETRIC
+    block-tridiagonal blocked-ELL operator (dense 128x128 tiles, kmax=3 —
+    the headline operator shape with asymmetric couplings).
+
+    The fused path is three Pallas kernels per iteration (two tile passes
+    + one elementwise pass, solver/fused_bicgstab.py) vs the portable
+    loop's ~25 XLA ops.  value = effective bandwidth (2 tile streams + 17
+    vector streams over the fused time); detail carries the portable A/B.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solver.bicgstab import (
+        bicgstab_init,
+        bicgstab_step,
+    )
+    from conjugategradient_tpu.solver.fused_bicgstab import (
+        fused_bicgstab_init,
+        fused_bicgstab_step,
+        fused_bicgstab_supported,
+    )
+    from conjugategradient_tpu.types import BlockedEllMatrix
+    from conjugategradient_tpu.utils.benchmarking import (
+        rpc_overhead_s,
+        stream_roofline_gbps,
+    )
+
+    # asymmetric couplings: upper != lower off-diagonal tiles
+    bm = bn = 128
+    nrb = n // bm
+    rng = np.random.default_rng(0)
+    up = (0.08 * rng.standard_normal((bm, bn))).astype(np.float32)
+    lo = (0.08 * rng.standard_normal((bm, bn))).astype(np.float32)
+    diag = np.eye(bm, dtype=np.float32) * (
+        2.0 + np.abs(up).sum() + np.abs(lo).sum())
+    blocks = np.zeros((nrb, 3, bm, bn), dtype=np.float32)
+    bcols = np.zeros((nrb, 3), dtype=np.int32)
+    for i in range(nrb):
+        blocks[i, 0] = diag
+        bcols[i, 0] = i
+        k = 1
+        if i > 0:
+            blocks[i, k] = lo
+            bcols[i, k] = i - 1
+            k += 1
+        if i + 1 < nrb:
+            blocks[i, k] = up
+            bcols[i, k] = i + 1
+            k += 1
+    a = BlockedEllMatrix(jnp.asarray(blocks), jnp.asarray(bcols), (n, n),
+                         nrb * 3 * bm * bn)
+    if not fused_bicgstab_supported(a, dtype=jnp.float32):
+        return {"metric": "bicgstab_bell_iteration_time", "value": -1.0,
+                "unit": "us", "vs_baseline": 0.0,
+                "detail": {"error": "fused path unsupported on this backend"}}
+    b = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+    tol_arr = jnp.asarray(0.0, jnp.float32)
+    shape_static, nnz_static = a.shape, a.nnz
+
+    def make_a(blk, cols):
+        return BlockedEllMatrix(blk, cols, shape_static, nnz_static)
+
+    ovh = rpc_overhead_s()
+
+    def run_fused(K, reps=5):
+        def chain(blk, cols, b_):
+            a_ = make_a(blk, cols)
+            s0 = fused_bicgstab_init(a_, b_, None, K, None)
+            s = jax.lax.fori_loop(
+                0, K, lambda i, s: fused_bicgstab_step(a_, s, tol_arr), s0)
+            return s.rnorm.reshape(1)
+
+        f = jax.jit(chain)
+        args = (a.blocks, a.block_cols, b)
+        float(f(*args)[0])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*args)[0])
+            ts.append(time.perf_counter() - t0)
+        return sorted((x - ovh) / K for x in ts)
+
+    def run_portable(K, reps=3):
+        def chain(blk, cols, b_):
+            a_ = make_a(blk, cols)
+            s0 = bicgstab_init(a_, b_, None, tol_arr, K)
+            s = jax.lax.fori_loop(
+                0, K, lambda i, s: bicgstab_step(a_, s, tol_arr), s0)
+            return s.rnorm.reshape(1)
+
+        f = jax.jit(chain)
+        args = (a.blocks, a.block_cols, b)
+        float(f(*args)[0])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*args)[0])
+            ts.append(time.perf_counter() - t0)
+        return sorted((x - ovh) / K for x in ts)
+
+    tf = run_fused(iters)
+    t = tf[len(tf) // 2]
+    tp = run_portable(max(iters // 2, 32))
+    t_port = tp[len(tp) // 2]
+
+    tile_bytes = a.blocks.size * 4
+    # K1: 4 in + 2 whole out + v; K2: 4 in + 3 out + t; K3: 5 in + 2 out
+    streams = 17
+    eff_bytes = 2 * tile_bytes + streams * n * 4
+    gbps = eff_bytes / t / 1e9
+    peak = _hbm_peak_gbps()
+    roofline = stream_roofline_gbps(nbytes=1 << 27, K=256)
+    return {
+        "metric": "bicgstab_bell_iteration_effective_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / peak, 4),
+        "detail": {"n": n,
+                   "time_per_iter_us": round(t * 1e6, 2),
+                   "time_per_iter_us_portable": round(t_port * 1e6, 2),
+                   "fused_speedup_vs_portable": round(t_port / t, 3),
+                   "iterations_run": iters,
+                   "bytes_per_iter": eff_bytes,
+                   "spmvs_per_iter": 2,
+                   "reps_us": [round(x * 1e6, 2) for x in tf],
+                   "stream_roofline_gbps": round(roofline, 1)},
+    }
+
+
 def bench_cg_headline(n: int = 262144, iters: int = 256):
     """The driver's default record: symmetric-storage CG iteration PLUS the
     round-1/2 full-storage configuration in one run, so the longitudinal
@@ -1428,6 +1563,7 @@ _CONFIGS = {
     "symdia-big": bench_symdia_big,
     "minres": bench_minres,
     "bicgstab": bench_bicgstab,
+    "bicgstab-bell": bench_bicgstab_bell,
     "gmres": bench_gmres,
     "eigs": bench_eigs,
     "mgpcg": bench_mgpcg,

@@ -29,6 +29,7 @@ from .deflated import (
 from .eigs import EigsResult, condition_estimate, lanczos_eigs
 from .lobpcg import lobpcg_eigs
 from .fused import fused_bell_cg_solve, fused_bell_pcg_solve, fused_supported
+from .fused_bicgstab import fused_bicgstab_solve, fused_bicgstab_supported
 from .fused_minres import fused_minres_solve, fused_minres_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
 from .minres import MinresInfo, minres_solve
@@ -83,6 +84,8 @@ __all__ = [
     "fused_bell_cg_solve",
     "fused_bell_pcg_solve",
     "fused_supported",
+    "fused_bicgstab_solve",
+    "fused_bicgstab_supported",
     "fused_minres_solve",
     "fused_minres_supported",
     "fused_stencil_cg_solve",

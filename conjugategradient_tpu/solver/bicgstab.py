@@ -235,6 +235,7 @@ def bicgstab_solve(
     maxiter: Optional[int] = None,
     M: Optional[Callable[[jax.Array], jax.Array]] = None,
     n: Optional[int] = None,
+    fused: str = "auto",
 ) -> Tuple[jax.Array, BicgstabInfo]:
     """Solve the (possibly NONSYMMETRIC) system ``A x = b`` with BiCGStab.
 
@@ -265,9 +266,42 @@ def bicgstab_solve(
       breakdown (shadow-residual de-correlation / stagnation — restart from
       the current ``x`` to continue) from the iteration cap; ``rnorm_true``
       is the recomputed ‖b − Ax‖₂ honesty check.
+
+    ``fused``: "auto" (default) runs the PORTABLE loop — the measured
+    call (v5e, docs/performance.md round-5 table): BiCGStab is
+    2-SpMV-dominated, so at HBM-bound operator sizes the fused
+    three-kernel iteration (solver/fused_bicgstab.py) only ties the
+    portable loop (1.01x at n=256K, both at 0.92 of roofline), and at
+    VMEM-fitting sizes XLA keeps the operator resident ACROSS loop
+    iterations — something per-call Pallas staging cannot — and wins
+    4.8x (66 vs 317 us/iter at n=64K).  "always" opts into the fused
+    path anyway (full blocked-ELL, unpreconditioned or Jacobi);
+    "never" == "auto" today.
     """
     op = as_linear_operator(A, n=n, dtype=getattr(b, "dtype", None))
     N = op.shape[0]
     maxiter = N if maxiter is None else int(maxiter)
+
+    inv_diag = getattr(M, "inv_diag", None)
+    if fused == "always" and (M is None or inv_diag is not None):
+        from .fused_bicgstab import (
+            fused_bicgstab_solve,
+            fused_bicgstab_supported,
+        )
+
+        if fused_bicgstab_supported(op, dtype=getattr(b, "dtype", None)):
+            return fused_bicgstab_solve(
+                op, b, x0, tol=tol, maxiter=maxiter, inv_diag=inv_diag)
+        if fused == "always":
+            raise ValueError(
+                "fused='always' needs a fused-capable full blocked-ELL "
+                "operator on a TPU backend (solver/fused_bicgstab.py)"
+            )
+    if fused == "always":
+        raise ValueError(
+            "fused='always' supports only unpreconditioned or Jacobi "
+            "(jacobi_preconditioner) BiCGStab solves"
+        )
+
     tol_arr = jnp.asarray(tol, dtype=b.dtype)
     return _bicgstab_jit(op, b, x0, tol_arr, maxiter, M)
