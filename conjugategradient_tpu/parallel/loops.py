@@ -748,6 +748,10 @@ def _sharded_bicgstab(
     return x, k, done, rho_out, rho_out, hist
 
 
+#: test hook: force the sharded GMRES Arnoldi form (None = backend auto)
+_GMRES_UNROLL_OVERRIDE = None
+
+
 def _sharded_gmres(
     local_matvec: Callable[[jax.Array], jax.Array],
     b_s: jax.Array,
@@ -789,6 +793,17 @@ def _sharded_gmres(
     recomputed true norm² at each cycle boundary).
     """
     hi = jax.lax.Precision.HIGHEST
+    # mirror solver/gmres.py's unroll="auto": static-j Arnoldi on TPU at
+    # m <= 48 (reads only the live basis rows; roundoff-identical) — kept
+    # backend-matched so CPU parity tests compare fori vs fori
+    if _GMRES_UNROLL_OVERRIDE is not None:  # tests force either form
+        unroll_static = bool(_GMRES_UNROLL_OVERRIDE)
+    else:
+        try:
+            _backend = jax.default_backend()
+        except Exception:  # pragma: no cover
+            _backend = "cpu"
+        unroll_static = _backend == "tpu" and m <= 48
 
     def pdot(u, v):
         acc = jnp.promote_types(u.dtype, jnp.float32)
@@ -833,20 +848,28 @@ def _sharded_gmres(
         cs = jnp.ones((m,), sdt)
         sn = jnp.zeros((m,), sdt)
 
-        def arnoldi(j, ic):
+        def arnoldi(j, ic, static_j=None):
             V, Z, R, g, cs, sn, idone, ibroke, jused, hist = ic
             active = (~idone) & (k + j < maxiter)
             z = precond(V[j]).astype(vdt)
             if flexible:
                 Z = Z.at[j].set(jnp.where(active, z, Z[j]))
             w = local_matvec(z).astype(vdt)
-            # CGS2 with psum'd projections (rows > j of V are zero)
-            Va = V.astype(sdt)
+            # CGS2 with psum'd projections (rows > j of V are zero).  With
+            # a STATIC j (the unrolled TPU form, mirroring solver/gmres.py
+            # unroll=), only the j+2 live rows stream — the values agree
+            # to reduction-tree roundoff, and the psum payload shrinks too.
+            Va = (V if static_j is None else V[: static_j + 2]).astype(sdt)
             wa = w.astype(sdt)
-            h1 = jax.lax.psum(jnp.matmul(Va, wa, precision=hi), axis)
-            w1 = wa - jnp.matmul(Va.T, h1, precision=hi)
-            h2 = jax.lax.psum(jnp.matmul(Va, w1, precision=hi), axis)
-            w2 = w1 - jnp.matmul(Va.T, h2, precision=hi)
+            h1s = jax.lax.psum(jnp.matmul(Va, wa, precision=hi), axis)
+            w1 = wa - jnp.matmul(Va.T, h1s, precision=hi)
+            h2s = jax.lax.psum(jnp.matmul(Va, w1, precision=hi), axis)
+            w2 = w1 - jnp.matmul(Va.T, h2s, precision=hi)
+            if static_j is None:
+                h1, h2 = h1s, h2s
+            else:
+                pad = ((0, m + 1 - (static_j + 2)),)
+                h1, h2 = jnp.pad(h1s, pad), jnp.pad(h2s, pad)
             h = h1 + h2
             hsub = jnp.sqrt(jax.lax.psum(jnp.sum(w2 * w2), axis))
             vnext = jnp.where(hsub > 0, w2 / hsub, jnp.zeros_like(w2))
@@ -887,9 +910,15 @@ def _sharded_gmres(
                     jused, hist)
 
         f = jnp.zeros((), bool)
-        V, Z, R, g, cs, sn, _, ibroke, jused, hist = jax.lax.fori_loop(
-            0, m, arnoldi,
-            (V, Z, R, g, cs, sn, f, f, jnp.zeros((), jnp.int32), hist))
+        ic0 = (V, Z, R, g, cs, sn, f, f, jnp.zeros((), jnp.int32), hist)
+        if unroll_static:
+            ic = ic0
+            for j in range(m):
+                ic = arnoldi(j, ic, static_j=j)
+            V, Z, R, g, cs, sn, _, ibroke, jused, hist = ic
+        else:
+            V, Z, R, g, cs, sn, _, ibroke, jused, hist = jax.lax.fori_loop(
+                0, m, arnoldi, ic0)
 
         valid = jnp.arange(m) < jused
         Rm = jnp.where(valid[None, :], R[:m, :m], jnp.eye(m, dtype=sdt))

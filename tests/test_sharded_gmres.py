@@ -192,3 +192,31 @@ def test_flexible_coincides_with_standard_for_linear_m():
     assert int(info_f.iterations) == int(info_s.iterations)
     np.testing.assert_allclose(np.asarray(x_f[:n]), np.asarray(x_s[:n]),
                                rtol=0, atol=1e-10)
+
+
+def test_unrolled_arnoldi_matches_fori_on_mesh():
+    """The static-j Arnoldi (the TPU form) must match the fori form to
+    roundoff on the mesh, like solver/gmres.py's unroll= (forced here via
+    the loops._GMRES_UNROLL_OVERRIDE test hook; caches cleared so both
+    forms actually compile)."""
+    from conjugategradient_tpu.parallel import loops
+    from conjugategradient_tpu.parallel import sharded_cg_solve as _  # noqa
+    import conjugategradient_tpu.parallel.sharded_cg as sc
+
+    A, n = _convdiff_op(14, peclet=12.0)
+    blocks, bcols, b_pad, b = _bell_setup(A, n, seed=8)
+    kw = dict(tol=1e-9, maxiter=4 * n, method="gmres", gmres_restart=19)
+    results = {}
+    for form in (False, True):
+        loops._GMRES_UNROLL_OVERRIDE = form
+        sc._SOLVE_CACHE.clear()
+        try:
+            results[form] = sharded_cg_solve(blocks, bcols, b_pad, **kw)
+        finally:
+            loops._GMRES_UNROLL_OVERRIDE = None
+            sc._SOLVE_CACHE.clear()
+    (x_f, i_f), (x_u, i_u) = results[False], results[True]
+    assert bool(i_f.converged) and bool(i_u.converged)
+    assert int(i_u.iterations) == int(i_f.iterations)
+    np.testing.assert_allclose(np.asarray(x_u[:n]), np.asarray(x_f[:n]),
+                               rtol=0, atol=1e-10)
