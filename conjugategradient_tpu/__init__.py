@@ -41,6 +41,7 @@ from .solver import (
     BicgstabInfo,
     gmres_solve,
     gmres_solve_batched,
+    minres_solve_batched,
     GmresInfo,
     refined_cg_solve,
     RefineInfo,
@@ -98,6 +99,7 @@ __all__ = [
     "bicgstab_solve_batched",
     "gmres_solve",
     "gmres_solve_batched",
+    "minres_solve_batched",
     "BicgstabInfo",
     "GmresInfo",
     "MinresInfo",

@@ -33,7 +33,11 @@ from .fused_bicgstab import fused_bicgstab_solve, fused_bicgstab_supported
 from .fused_minres import fused_minres_solve, fused_minres_supported
 from .fused_stencil import fused_stencil_cg_solve, fused_stencil_supported
 from .minres import MinresInfo, minres_solve
-from .batched_nonsym import bicgstab_solve_batched, gmres_solve_batched
+from .batched_nonsym import (
+    bicgstab_solve_batched,
+    gmres_solve_batched,
+    minres_solve_batched,
+)
 from .bicgstab import BicgstabInfo, bicgstab_solve
 from .gmres import GmresInfo, gmres_solve
 from .pipelined import pipelined_cg_solve
@@ -96,6 +100,7 @@ __all__ = [
     "bicgstab_solve_batched",
     "gmres_solve",
     "gmres_solve_batched",
+    "minres_solve_batched",
     "GmresInfo",
     "BicgstabInfo",
     "pipelined_cg_solve",

@@ -1,5 +1,5 @@
-"""Batched multi-RHS solvers for the NONSYMMETRIC family: lockstep
-BiCGStab and GMRES(m) over ``A X = B`` column blocks.
+"""Batched multi-RHS solvers for the NONSYMMETRIC / INDEFINITE families:
+lockstep MINRES, BiCGStab, and GMRES(m) over ``A X = B`` column blocks.
 
 The reference solves one RHS per call (CG.hpp:255); solver/batched.py
 showed the multi-RHS amortization for CG (the operator streams ONCE per
@@ -7,6 +7,9 @@ iteration for all R lanes — measured up to 37× per-RHS,
 docs/performance.md §Batched).  This module extends the same lane-masked
 lockstep pattern to the nonsymmetric solvers (round-5 VERDICT item 5):
 
+* :func:`minres_solve_batched` — per-lane Paige–Saunders Lanczos/Givens
+  recurrences over (N, R) columns (symmetric indefinite lanes); one
+  multi-vector SpMV per iteration for all lanes.
 * :func:`bicgstab_solve_batched` — per-lane BiCGStab recurrences over
   (N, R) columns; BOTH per-iteration SpMVs ride the multi-vector kernels
   (bell/sym-bell/sell/dia `_spmv_multi`), per-lane breakdown flags.
@@ -44,6 +47,7 @@ from ..types import (
 from .batched import _dot_cols, _lockstep_ops
 from .bicgstab import BicgstabInfo, bicgstab_solve
 from .gmres import GmresInfo, gmres_solve
+from .minres import MinresInfo, minres_solve
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -249,6 +253,171 @@ def bicgstab_solve_batched(
 
     def solve_one(b, x0, t):
         return bicgstab_solve(op, b, x0, tol=t, maxiter=mi, M=M)
+
+    return jax.vmap(solve_one)(B, X0, tol_lanes)
+
+
+# ---------------------------------------------------------------------------
+# MINRES
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("op_static", "maxiter", "M")
+)
+def _minres_batched_lockstep(
+    op_arrays, op_static, B, X0, tol_lanes, shift_arr, maxiter,
+    M=None, inv_diag=None,
+):
+    op = jax.tree_util.tree_unflatten(op_static, op_arrays)
+    matvec_multi, precond, with_m = _lockstep_ops(op, M, inv_diag)
+    Bt, X0t = B.T, X0.T
+    N, R = Bt.shape
+
+    r1 = Bt - matvec_multi(X0t) + shift_arr * X0t
+    y0 = precond(r1)
+    beta1_sq = _dot_cols(r1, y0)
+    beta1 = jnp.sqrt(beta1_sq)  # per-lane; NaN iff M not SPD on that lane
+    sdt = beta1.dtype
+    tol_l = tol_lanes.astype(sdt)
+    hist = jnp.full((maxiter + 1, R), jnp.nan, dtype=sdt)
+    hist = hist.at[0].set(beta1)
+    zero = jnp.zeros((R,), sdt)
+    carry = (
+        jnp.zeros((R,), jnp.int32),                     # k
+        jnp.isnan(beta1) | (beta1 <= tol_l),            # done
+        jnp.isnan(beta1),                               # nan
+        X0t,                                            # x
+        r1, r1,                                         # r1, r2
+        y0.astype(Bt.dtype),                            # y
+        zero, beta1.astype(sdt),                        # oldb, beta
+        zero, zero,                                     # dbar, epsln
+        beta1.astype(sdt),                              # phibar
+        -jnp.ones((R,), sdt), zero,                     # cs, sn
+        jnp.zeros_like(Bt), jnp.zeros_like(Bt),         # w, w2
+        hist,
+    )
+
+    def body(c):
+        (k, done, nan, x, r1, r2, y, oldb, beta, dbar, epsln, phibar,
+         cs, sn, w, w2, hist) = c
+        active = (~done) & (k < maxiter)
+        # frozen lanes: beta may be 0/NaN — substitute 1 so their columns
+        # stay finite garbage (every reduction is column-wise, so lanes
+        # never mix; the masks below discard the garbage)
+        bsafe = jnp.where(active & (beta != 0) & ~jnp.isnan(beta),
+                          beta, 1.0)
+        v = (y / bsafe).astype(y.dtype)
+        yv = (matvec_multi(v) - shift_arr * v).astype(v.dtype)
+        c1 = jnp.where(oldb == 0, 0.0,
+                       beta / jnp.where(oldb == 0, 1.0, oldb))
+        yv = yv - (c1 * r1).astype(v.dtype)
+        alfa = _dot_cols(v, yv)
+        yv = (yv - (alfa / bsafe) * r2).astype(v.dtype)
+        r1_n, r2_n = r2, yv
+        y_next = precond(r2_n).astype(v.dtype)
+        oldb_n = beta
+        beta_n = jnp.sqrt(_dot_cols(r2_n, y_next))
+
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln_n = sn * beta_n
+        dbar_n = -cs * beta_n
+        tiny = jnp.asarray(jnp.finfo(sdt).tiny, sdt)
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta_n * beta_n), tiny)
+        cs_n = gbar / gamma
+        sn_n = beta_n / gamma
+        phi = cs_n * phibar
+        phibar_n = sn_n * phibar
+
+        w1l, w2l = w2, w
+        w_n = ((v - oldeps * w1l - delta * w2l) / gamma).astype(w.dtype)
+        x_n = (x + phi * w_n).astype(x.dtype)
+
+        sel = lambda a_, b_: jnp.where(active, a_, b_)
+        k_n = jnp.where(active, k + 1, k)
+        is_nan = jnp.isnan(phibar_n) | jnp.isnan(beta_n)
+        done_n = is_nan | (phibar_n <= tol_l) | (beta_n == 0)
+        hist_col = jnp.where(
+            active, phibar_n,
+            jnp.take_along_axis(hist, k_n[None, :], 0)[0])
+        hist = hist.at[k_n, jnp.arange(R)].set(hist_col)
+        return (
+            k_n,
+            jnp.where(active, done_n, done),
+            jnp.where(active, nan | is_nan, nan),
+            sel(x_n, x), sel(r1_n, r1), sel(r2_n, r2), sel(y_next, y),
+            sel(oldb_n, oldb), sel(beta_n, beta),
+            sel(dbar_n, dbar), sel(epsln_n, epsln),
+            sel(phibar_n, phibar), sel(cs_n, cs), sel(sn_n, sn),
+            sel(w_n, w), sel(w2l, w2),  # new w2 = the OLD w (solo's swap)
+            hist,
+        )
+
+    def cond(c):
+        k, done = c[0], c[1]
+        return jnp.any((~done) & (k < maxiter))
+
+    c = jax.lax.while_loop(cond, body, carry)
+    k, done, nan, x = c[0], c[1], c[2], c[3]
+    phibar, hist = c[11], c[16]
+    r_true = Bt - matvec_multi(x) + shift_arr * x
+    info = MinresInfo(
+        iterations=k,
+        converged=done & ~nan,
+        rnorm=phibar,
+        rnorm_history=hist.T,
+        rnorm_true=jnp.sqrt(_dot_cols(r_true, r_true)),
+    )
+    return x.T, info
+
+
+def minres_solve_batched(
+    A: Any,
+    B: jax.Array,
+    X0: Optional[jax.Array] = None,
+    *,
+    tol=0.0,
+    maxiter: Optional[int] = None,
+    M: Optional[Callable[[jax.Array], jax.Array]] = None,
+    shift: float = 0.0,
+    n: Optional[int] = None,
+) -> Tuple[jax.Array, MinresInfo]:
+    """Solve the symmetric (indefinite-OK) systems ``(A − σI) X[i] = B[i]``
+    for every row of ``B`` with lane-masked lockstep MINRES.
+
+    Per-lane semantics identical to :func:`~conjugategradient_tpu.
+    minres_solve` (Paige–Saunders recurrences, per-lane β=0/NaN exits);
+    lockstep-capable layouts stream the operator once per iteration for
+    all lanes.  ``tol`` scalar or (nrhs,).  Returns
+    ``(X (nrhs, N), MinresInfo)`` with a leading lane axis.
+    """
+    op = as_linear_operator(A, n=n, dtype=getattr(B, "dtype", None))
+    if B.ndim != 2:
+        raise ValueError(f"B must be (nrhs, N), got shape {B.shape}")
+    tol_lanes = _lane_tol(tol, B)
+    if X0 is None:
+        X0 = jnp.zeros_like(B)
+    mi = int(op.shape[0] if maxiter is None else maxiter)
+    shift_arr = jnp.asarray(shift, dtype=B.dtype)
+    inv_diag = getattr(M, "inv_diag", None)
+    from .batched import _dia_multi_collapses
+
+    use_lockstep = isinstance(op, _LOCKSTEP_TYPES)
+    if use_lockstep and _dia_multi_collapses(op):
+        if isinstance(op, SymDIAMatrix) and op.diags_blocked is None:
+            use_lockstep = False
+    if use_lockstep:
+        op_arrays, op_static = jax.tree_util.tree_flatten(op)
+        return _minres_batched_lockstep(
+            tuple(op_arrays), op_static, B, X0, tol_lanes, shift_arr, mi,
+            None if inv_diag is not None else M, inv_diag,
+        )
+
+    def solve_one(b, x0, t):
+        return minres_solve(op, b, x0, tol=t, maxiter=mi, M=M,
+                            shift=shift, fused="never")
 
     return jax.vmap(solve_one)(B, X0, tol_lanes)
 

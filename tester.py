@@ -430,18 +430,21 @@ def main(argv=None) -> int:
                 )
             )
     elif args.method == "minres":
-        from conjugategradient_tpu import minres_solve
+        from conjugategradient_tpu import minres_solve, minres_solve_batched
         from conjugategradient_tpu.solver.cg import CGInfo
 
-        if args.nrhs > 1:
-            print("error: --nrhs > 1 uses the lockstep loop, not --method "
-                  "minres", file=sys.stderr)
-            return 2
-
         def solve(b_):
-            x, minfo = minres_solve(
-                A, b_, tol=args.tol, maxiter=args.maxiter, M=M
-            )
+            if args.nrhs > 1:
+                # lockstep multi-RHS lanes (solver/batched_nonsym.py)
+                B = jnp.stack([jnp.roll(b_, j) for j in range(args.nrhs)])
+                X, minfo = minres_solve_batched(
+                    A, B, tol=args.tol, maxiter=args.maxiter, M=M
+                )
+                x = X[0]
+            else:
+                x, minfo = minres_solve(
+                    A, b_, tol=args.tol, maxiter=args.maxiter, M=M
+                )
             # adapt to the CGInfo the printing paths consume: MINRES's
             # history is residual-norm ESTIMATES, CGInfo's is squared norms
             hist = minfo.rnorm_history

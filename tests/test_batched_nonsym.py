@@ -209,3 +209,75 @@ class TestGmresBatched:
                                       restart=5)
         assert list(np.asarray(info.iterations)) == [13, 13]
         assert not bool(jnp.any(info.converged))
+
+
+class TestMinresBatched:
+    def _sym_ops(self, n=180, bw=5, seed=2):
+        from conjugategradient_tpu.problems import banded_spd_coo
+
+        rows, cols, vals, shape = banded_spd_coo(n, bandwidth=bw, seed=seed)
+        csr = CSRMatrix.from_coo(rows, cols, vals, shape)
+        return csr, DIAMatrix.from_csr(csr), shape[0]
+
+    def test_per_lane_matches_solo_exactly(self):
+        from conjugategradient_tpu import minres_solve, minres_solve_batched
+
+        csr, dia, n = self._sym_ops()
+        B = _rhs(n, 4, seed=12)
+        X, info = minres_solve_batched(dia, B, tol=1e-9, maxiter=4 * n)
+        for i in range(4):
+            x_s, i_s = minres_solve(dia, B[i], tol=1e-9, maxiter=4 * n,
+                                    fused="never")
+            assert int(info.iterations[i]) == int(i_s.iterations), i
+            assert bool(info.converged[i]) == bool(i_s.converged)
+            np.testing.assert_allclose(np.asarray(X[i]), np.asarray(x_s),
+                                       rtol=0, atol=1e-10)
+            k = int(i_s.iterations)
+            np.testing.assert_allclose(
+                np.asarray(info.rnorm_history[i])[: k + 1],
+                np.asarray(i_s.rnorm_history)[: k + 1], rtol=1e-7)
+
+    def test_shift_indefinite_lanes(self):
+        from conjugategradient_tpu import minres_solve, minres_solve_batched
+
+        csr, dia, n = self._sym_ops(160, 4, seed=3)
+        B = _rhs(n, 3, seed=13)
+        shift = 1.2  # inside the spectrum: indefinite lanes
+        X, info = minres_solve_batched(dia, B, tol=1e-8, maxiter=6 * n,
+                                       shift=shift)
+        for i in range(3):
+            x_s, i_s = minres_solve(dia, B[i], tol=1e-8, maxiter=6 * n,
+                                    shift=shift, fused="never")
+            # column-sum vs 1-D dot association can flip a knife-edge
+            # tolerance crossing by one iteration in f64
+            assert abs(int(info.iterations[i]) - int(i_s.iterations)) <= 1
+            assert bool(info.converged[i]) == bool(i_s.converged)
+            np.testing.assert_allclose(np.asarray(X[i]), np.asarray(x_s),
+                                       rtol=0, atol=1e-7)
+
+    def test_per_lane_tol_and_jacobi(self):
+        from conjugategradient_tpu import (
+            jacobi_preconditioner,
+            minres_solve_batched,
+        )
+
+        csr, dia, n = self._sym_ops(140, 4, seed=5)
+        B = _rhs(n, 3, seed=14)
+        tols = jnp.asarray([1e-4, 1e-7, 1e-10])
+        M = jacobi_preconditioner(dia)
+        X, info = minres_solve_batched(dia, B, tol=tols, maxiter=6 * n,
+                                       M=M)
+        assert bool(jnp.all(info.converged))
+        its = np.asarray(info.iterations)
+        assert its[0] <= its[1] <= its[2]
+
+    def test_vmap_fallback_csr(self):
+        from conjugategradient_tpu import minres_solve_batched
+
+        csr, dia, n = self._sym_ops(120, 3, seed=6)
+        B = _rhs(n, 2, seed=15)
+        X, info = minres_solve_batched(csr, B, tol=1e-9, maxiter=4 * n)
+        assert bool(jnp.all(info.converged))
+        for i in range(2):
+            r = np.asarray(B[i]) - np.asarray(csr.matvec(X[i]))
+            assert np.linalg.norm(r) <= 5e-9
