@@ -282,8 +282,21 @@ def main(argv=None) -> int:
         if isinstance(A, StencilOperator):
             M = multigrid_preconditioner(A, smoother=args.smoother)
         elif isinstance(A, CSRMatrix):
+            amg_kw = {}
+            if args.method == "gmres":
+                # TPU fault guard: the V-cycle inside GMRES's Arnoldi loop
+                # crashes the TPU worker with DIA-layout levels (any size)
+                # and past ~65K rows even with CSR levels (solver/amg.py
+                # docstring, docs/round5.md).  CSR levels + a warning; the
+                # robust AMG pairing is --method bicgstab.
+                amg_kw["level_layout"] = "csr"
+                print("warning: --precond amg with --method gmres uses "
+                      "csr-layout AMG levels and is known to crash the "
+                      "TPU worker on large problems — prefer --method "
+                      "bicgstab with AMG (docs/round5.md)",
+                      file=sys.stderr)
             M = smoothed_aggregation_preconditioner(
-                A, smoother=args.smoother)
+                A, smoother=args.smoother, **amg_kw)
         else:
             print("error: --precond amg needs --layout csr (the AMG setup "
                   "reads the CSR graph) or a stencil: input",
