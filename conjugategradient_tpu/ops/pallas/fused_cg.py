@@ -158,9 +158,19 @@ def fused_dir_spmv_dot(
     )
 
     vec_bytes = ncb * bn * 4
+    # scoped-vmem cap: whole-vector residents + double-buffered tile
+    # groups + margin (the minres kernels' round-5 sizing).  Chip A/B at
+    # n=1.5M measured NO effect (943.8 without vs 939.0 with — whole-VMEM
+    # operands evidently do not ride the 16 MB scoped stack); kept as a
+    # protective cap for shapes where Mosaic's AOT check WOULD fail
+    # (the symdia-big lesson, CLAUDE.md).
+    resid = (6 if precond else 5) * vec_bytes
+    blk_bytes = 2 * R * kmax * bm * bn * blocks.dtype.itemsize
+    vmem_limit = max(16 << 20, min(110 << 20, resid + blk_bytes + (12 << 20)))
     p_new, q, pap = pl.pallas_call(
         _dir_spmv_kernel(R, kmax, bm, bn, precond=precond),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         out_shape=(
             jax.ShapeDtypeStruct((ncb, bn), jnp.float32),
             jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
@@ -398,9 +408,13 @@ def sym_fused_dir_spmv_dot(
 
     vec_bytes = ncb * bn * 4
     tile_bytes = (diag_blocks.size + off_blocks.size) * diag_blocks.dtype.itemsize
+    resid = (7 if precond else 6) * vec_bytes  # + q whole accumulator
+    blk_bytes = 2 * R * (1 + ku) * bm * bn * diag_blocks.dtype.itemsize
+    vmem_limit = max(16 << 20, min(110 << 20, resid + blk_bytes + (12 << 20)))
     p_new, q, pap = pl.pallas_call(
         _sym_dir_spmv_kernel(R, ku, bm, bn, precond=precond, mirror=mirror),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         out_shape=(
             jax.ShapeDtypeStruct((ncb, bn), jnp.float32),
             jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
