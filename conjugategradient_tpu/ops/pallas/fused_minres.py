@@ -320,6 +320,11 @@ def sym_minres_dir_spmv_dot(
     ncb = r2_2d.shape[0]
     if bm != bn:
         raise ValueError(f"fused kernel needs square tiles, got {bm}x{bn}")
+    # honor an explicit small row_group exactly (q is whole-VMEM here so
+    # any divisor of nrb is Mosaic-legal — same rationale as
+    # fused_cg.sym_fused_dir_spmv_dot, whose unit tests force R=1/4 to
+    # exercise the banded carry across step boundaries); the default hint
+    # matches _row_group_for_blocked_q's selection
     if nrb % row_group == 0:
         R = row_group
     else:

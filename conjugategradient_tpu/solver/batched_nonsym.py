@@ -582,8 +582,8 @@ def _gmres_batched_lockstep(
 
     def body(c):
         k, cyc, done, _, X, rnorm, hist = c
-        # lanes already done enter the cycle masked out: k + 0 < maxiter
-        # holds but idone starts as done, freezing them
+        # lanes already done enter the cycle frozen: their k is
+        # substituted with maxiter so no Arnoldi step is active
         X2, rnorm2, k2, hist2, done2, broke2 = _lane_masked_cycle(
             matvec_multi, precond, Bt, X, rnorm, k, hist, tol_l,
             maxiter, m, sdt, flexible, done)
@@ -596,12 +596,15 @@ def _gmres_batched_lockstep(
             matvec_multi, precond, Bt, X, rnorm,
             jnp.where(done_in, maxiter, k),  # done lanes: no active steps
             hist, tol_l, maxiter, m, sdt, flexible)
-        # done lanes keep their state verbatim
+        # done lanes keep their state verbatim — including their history
+        # COLUMN: the cycle-end true-residual write for a k=maxiter lane
+        # would otherwise land at row maxiter, inside the returned slice
+        # (solo gmres leaves it NaN; caught by round-5 review)
         return (
             jnp.where(done_in, X, X2),
             jnp.where(done_in, rnorm, rnorm2),
             jnp.where(done_in, k, k2),
-            hist2,
+            jnp.where(done_in[None, :], hist, hist2),
             done_in | done2,
             broke2 & ~done_in,
         )

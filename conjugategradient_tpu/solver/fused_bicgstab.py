@@ -62,7 +62,6 @@ class FusedBicgstabState:
     k: jax.Array
     done: jax.Array
     broke: jax.Array
-    half: jax.Array  # this body exited at the half-step
     x: jax.Array
     xprev: jax.Array
     r: jax.Array
@@ -122,12 +121,10 @@ def fused_bicgstab_init(a, b, x0, maxiter, d2d):
     hist = jnp.full((maxiter + 1,), jnp.nan, dtype=jnp.float32)
     hist = hist.at[0].set(rnorm0)
     one = jnp.ones((1, 1), jnp.float32)
-    f = jnp.asarray(False)
     return FusedBicgstabState(
         k=jnp.asarray(0, jnp.int32),
         done=jnp.isnan(rnorm0),  # tol test joins in the driver
         broke=jnp.isnan(rnorm0),
-        half=f,
         x=x2d, xprev=x2d, r=r2d, rhat=r2d,
         p=jnp.zeros_like(r2d), v=jnp.zeros_like(r2d),
         rho=one, rho_next=rnsq.reshape(1, 1),
@@ -189,7 +186,6 @@ def fused_bicgstab_step(a, s: FusedBicgstabState, tol: jax.Array,
         k=k,
         done=s.done | converged_now | broke,
         broke=s.broke | broke,
-        half=half_done,
         x=x_new, xprev=s.x,  # pass-through reference, not a copy
         r=r_new, rhat=s.rhat, p=p_new, v=v_new.reshape(s.r.shape),
         rho=r11(rho_new), rho_next=rho_pref,

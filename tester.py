@@ -442,91 +442,48 @@ def main(argv=None) -> int:
                     recompute_r_every=args.recompute,
                 )
             )
-    elif args.method == "minres":
-        from conjugategradient_tpu import minres_solve, minres_solve_batched
-        from conjugategradient_tpu.solver.cg import CGInfo
-
-        def solve(b_):
-            if args.nrhs > 1:
-                # lockstep multi-RHS lanes (solver/batched_nonsym.py)
-                B = jnp.stack([jnp.roll(b_, j) for j in range(args.nrhs)])
-                X, minfo = minres_solve_batched(
-                    A, B, tol=args.tol, maxiter=args.maxiter, M=M
-                )
-                x = X[0]
-            else:
-                x, minfo = minres_solve(
-                    A, b_, tol=args.tol, maxiter=args.maxiter, M=M
-                )
-            # adapt to the CGInfo the printing paths consume: MINRES's
-            # history is residual-norm ESTIMATES, CGInfo's is squared norms
-            hist = minfo.rnorm_history
-            info = CGInfo(
-                iterations=minfo.iterations,
-                converged=minfo.converged,
-                rho=minfo.rnorm * minfo.rnorm,
-                rnorm_sq=minfo.rnorm * minfo.rnorm,
-                rho_history=hist * hist,
-            )
-            return x, info
-    elif args.method == "gmres":
-        from conjugategradient_tpu import gmres_solve, gmres_solve_batched
-        from conjugategradient_tpu.solver.cg import CGInfo
-
-        def solve(b_):
-            if args.nrhs > 1:
-                # lockstep multi-RHS lanes (solver/batched_nonsym.py):
-                # lane j solves roll(b, j), matching the CG --nrhs lane
-                B = jnp.stack([jnp.roll(b_, j) for j in range(args.nrhs)])
-                X, ginfo = gmres_solve_batched(
-                    A, B, tol=args.tol, maxiter=args.maxiter,
-                    restart=args.restart, M=M,
-                )
-                x = X[0]
-            else:
-                x, ginfo = gmres_solve(
-                    A, b_, tol=args.tol, maxiter=args.maxiter,
-                    restart=args.restart, M=M,
-                )
-            # adapt to the CGInfo the printing paths consume (like the
-            # minres/bicgstab lanes: history carries norm ESTIMATES,
-            # CGInfo squares)
-            hist = ginfo.rnorm_history
-            info = CGInfo(
-                iterations=ginfo.iterations,
-                converged=ginfo.converged,
-                rho=ginfo.rnorm * ginfo.rnorm,
-                rnorm_sq=ginfo.rnorm * ginfo.rnorm,
-                rho_history=hist * hist,
-            )
-            return x, info
-    elif args.method == "bicgstab":
+    elif args.method in ("minres", "gmres", "bicgstab"):
+        # one shared lane for the nonsymmetric/indefinite family: solo or
+        # lockstep multi-RHS (lane j solves roll(b, j), matching the CG
+        # --nrhs construction), then adapt the family's Info to the
+        # CGInfo the printing paths consume — these histories carry norm
+        # ESTIMATES, CGInfo carries squared norms
         from conjugategradient_tpu import (
             bicgstab_solve,
             bicgstab_solve_batched,
+            gmres_solve,
+            gmres_solve_batched,
+            minres_solve,
+            minres_solve_batched,
         )
         from conjugategradient_tpu.solver.cg import CGInfo
 
+        solve_fn, batched_fn, extra_kw = {
+            "minres": (minres_solve, minres_solve_batched, {}),
+            "gmres": (gmres_solve, gmres_solve_batched,
+                      {"restart": args.restart}),
+            "bicgstab": (bicgstab_solve, bicgstab_solve_batched, {}),
+        }[args.method]
+
         def solve(b_):
             if args.nrhs > 1:
-                # lockstep multi-RHS lanes (solver/batched_nonsym.py)
                 B = jnp.stack([jnp.roll(b_, j) for j in range(args.nrhs)])
-                X, binfo = bicgstab_solve_batched(
-                    A, B, tol=args.tol, maxiter=args.maxiter, M=M
+                X, ninfo = batched_fn(
+                    A, B, tol=args.tol, maxiter=args.maxiter, M=M,
+                    **extra_kw,
                 )
                 x = X[0]
             else:
-                x, binfo = bicgstab_solve(
-                    A, b_, tol=args.tol, maxiter=args.maxiter, M=M
+                x, ninfo = solve_fn(
+                    A, b_, tol=args.tol, maxiter=args.maxiter, M=M,
+                    **extra_kw,
                 )
-            # adapt to the CGInfo the printing paths consume (like the
-            # minres lane: history carries norm ESTIMATES, CGInfo squares)
-            hist = binfo.rnorm_history
+            hist = ninfo.rnorm_history
             info = CGInfo(
-                iterations=binfo.iterations,
-                converged=binfo.converged,
-                rho=binfo.rnorm * binfo.rnorm,
-                rnorm_sq=binfo.rnorm * binfo.rnorm,
+                iterations=ninfo.iterations,
+                converged=ninfo.converged,
+                rho=ninfo.rnorm * ninfo.rnorm,
+                rnorm_sq=ninfo.rnorm * ninfo.rnorm,
                 rho_history=hist * hist,
             )
             return x, info

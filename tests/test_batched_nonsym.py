@@ -281,3 +281,24 @@ class TestMinresBatched:
         for i in range(2):
             r = np.asarray(B[i]) - np.asarray(csr.matvec(X[i]))
             assert np.linalg.norm(r) <= 5e-9
+
+
+def test_gmres_batched_done_lane_history_stays_nan():
+    """Round-5 review fix: a lane that converges early must NOT get a
+    spurious rnorm_history entry at row maxiter from later cycles'
+    true-residual writes (solo gmres leaves it NaN)."""
+    _, dia, _, n = _ops(10)
+    B = _rhs(n, 2, seed=20)
+    # lane 0: trivial (b = 0 after one step? simplest: loose tol), lane 1
+    # tight — lane 0 finishes many cycles before lane 1
+    tols = jnp.asarray([1e-1, 1e-10])
+    maxiter = 3 * n
+    X, info = gmres_solve_batched(dia, B, tol=tols, maxiter=maxiter,
+                                  restart=7)
+    assert bool(jnp.all(info.converged))
+    h0 = np.asarray(info.rnorm_history[0])
+    k0 = int(info.iterations[0])
+    # beyond its own final recomputed entry, lane 0's history is NaN —
+    # in particular at row maxiter
+    assert np.isnan(h0[maxiter])
+    assert np.all(np.isnan(h0[k0 + 1:]))

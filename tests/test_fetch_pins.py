@@ -74,3 +74,22 @@ def test_stored_entry_pins_are_consistent_with_expanded_published():
             "bcsstk14": 63454, "nos7": 4617}
     for name, (group, n, stored) in fsp.META.items():
         assert stored == (full[name] + n) // 2, name
+
+
+def test_refetch_verifies_against_final_pin(fake_pin, tmp_path):
+    """Round-5 review fix: the pin lives at the FINAL install location and
+    a re-fetch must verify against it (not silently re-pin)."""
+    final_pin = str(tmp_path / "fake_final.mtx.sha256")
+    fsp.validate("fake", str(fake_pin), pin_path=final_pin)
+    assert os.path.exists(final_pin)
+    digest0 = open(final_pin).read().split()[0]
+    # clean re-validate against the same pin: passes, pin unchanged
+    fsp.validate("fake", str(fake_pin), pin_path=final_pin)
+    assert open(final_pin).read().split()[0] == digest0
+    # tampered content with the SAME header counts must be rejected
+    lines = open(fake_pin).read().splitlines()
+    lines[-1] = "3 3 9.5"  # change a value, not the counts
+    with open(fake_pin, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="sha256"):
+        fsp.validate("fake", str(fake_pin), pin_path=final_pin)

@@ -68,8 +68,12 @@ def _sha256(path: str) -> str:
     return h.hexdigest()
 
 
-def validate(name: str, path: str, strict_nnz: bool = True) -> None:
-    """Header + digest validation; raises on mismatch."""
+def validate(name: str, path: str, strict_nnz: bool = True,
+             pin_path: str = None) -> None:
+    """Header + digest validation; raises on mismatch.  ``pin_path`` is
+    where the sha256 pin lives/is recorded (defaults to ``path`` +
+    '.sha256') — fetch() passes the FINAL install location so re-fetches
+    verify against the existing pin instead of silently re-pinning."""
     group, n_pub, nnz_pub = META[name]
     nr, nc, nnz = _mtx_header(path)
     if (nr, nc) != (n_pub, n_pub):
@@ -84,7 +88,7 @@ def validate(name: str, path: str, strict_nnz: bool = True) -> None:
             f"collection metadata was updated upstream)"
         )
     digest = _sha256(path)
-    pin = path + ".sha256"
+    pin = pin_path if pin_path is not None else path + ".sha256"
     if os.path.exists(pin):
         want = open(pin).read().split()[0]
         if want != digest:
@@ -115,12 +119,12 @@ def fetch(name: str, outdir: str, strict_nnz: bool = True) -> str:
         member = f"{name}/{name}.mtx"
         tf.extract(member, path=outdir)
     path = os.path.join(outdir, member)
-    validate(name, path, strict_nnz=strict_nnz)
     final = os.path.join(outdir, f"{name}.mtx")
+    # validate against the pin at the FINAL location, so a re-fetch is
+    # checked against (not silently replacing) the recorded digest
+    validate(name, path, strict_nnz=strict_nnz,
+             pin_path=final + ".sha256")
     os.replace(path, final)
-    pin_src = path + ".sha256"
-    if os.path.exists(pin_src):
-        os.replace(pin_src, final + ".sha256")
     print(f"wrote {final}")
     return final
 

@@ -36,11 +36,6 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TESTS = os.path.join(REPO, "tests")
 
-_SUMMARY_RE = re.compile(
-    r"(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?(?:, )?(?:(\d+) failed)?"
-)
-
-
 def _counts(output: str):
     """Parse pytest's summary tail into (passed, skipped, failed)."""
     passed = skipped = failed = 0
