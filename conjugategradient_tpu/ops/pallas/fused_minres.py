@@ -468,3 +468,132 @@ def minres_update_dot(
             transcendentals=0,
         ),
     )(*operands)
+
+
+def _minres_shard_kernel(R: int, kmax: int, bm: int, bn: int):
+    """Sharded K1 (the mesh sibling of :func:`_minres_spmv_kernel`): the
+    SpMV operand is the ALL-GATHERED global v (normalization happened
+    shard-locally before the gather), this shard's q rows sit at
+    ``row_offset`` within it, and the pending w/x solution update runs on
+    the shard-LOCAL vectors — no collectives inside the kernel, exactly
+    like ops/pallas/fused_cg.bell_spmv_dot."""
+    rows_per_g = (R * bm) // bn
+
+    def kernel(cols_ref, off_ref, su_ref, block_ref, vfull_ref, r1_ref,
+               vprev_ref, wm1_ref, wm2_ref, x_ref,
+               q_ref, w_ref, xout_ref, vq_ref, vr1_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            wnew = (
+                vprev_ref[:]
+                - su_ref[0, SU_OLDEPS] * wm2_ref[:]
+                - su_ref[0, SU_DELTA] * wm1_ref[:]
+            ) * su_ref[0, SU_IGAMMA]
+            w_ref[:] = wnew
+            xout_ref[:] = x_ref[:] + su_ref[0, SU_PHI] * wnew
+            vq_ref[0, 0] = 0.0
+            vr1_ref[0, 0] = 0.0
+
+        for rr in range(R):
+            row = g * R + rr
+            acc = None
+            for k in range(kmax):
+                c = cols_ref[row * kmax + k]
+                xb = vfull_ref[c, :].astype(jnp.float32)
+                blk = block_ref[rr, k].astype(jnp.float32)
+                part = jnp.sum(blk * xb[None, :], axis=1)
+                acc = part if acc is None else acc + part
+            q_ref[rr, :] = acc
+
+        # this shard's window of the gathered operand (global rows)
+        gbase = off_ref[0] // bn + g * rows_per_g
+        vrows = vfull_ref[pl.ds(gbase, rows_per_g), :].astype(
+            jnp.float32).reshape(R, bm)
+        # window-level shift (per-row inside the tile loop measured
+        # +204 us/iter — see _minres_spmv_kernel)
+        qwin = q_ref[:] - su_ref[0, SU_SHIFT] * vrows
+        q_ref[:] = qwin
+        lbase = g * rows_per_g
+        r1rows = r1_ref[pl.ds(lbase, rows_per_g), :]
+        vq_ref[0, 0] += jnp.sum(qwin * vrows)
+        vr1_ref[0, 0] += jnp.sum(
+            vrows.reshape(rows_per_g, bn) * r1rows)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "row_group"))
+def minres_shard_spmv_dot(
+    blocks: jax.Array,
+    block_cols: jax.Array,
+    vfull2d: jax.Array,
+    r1l2d: jax.Array,
+    vprevl2d: jax.Array,
+    wm1l2d: jax.Array,
+    wm2l2d: jax.Array,
+    xl2d: jax.Array,
+    su: jax.Array,
+    row_offset: jax.Array,
+    interpret: bool = False,
+    row_group: int = 8,
+):
+    """Sharded K1: ``(q_l, w_l, x_l', vq_partial, vr1_partial)``.
+
+    ``vfull2d``: the all-gathered global operand (ncb_global, bn);
+    ``r1l2d``/``vprevl2d``/``wm1l2d``/``wm2l2d``/``xl2d``: this shard's
+    local slices; ``row_offset``: (1,) int32 first global row.  The dot
+    partials psum to the global v·q and v·r1
+    (parallel/loops._sharded_fused_minres)."""
+    nrb, kmax, bm, bn = blocks.shape
+    ncl = r1l2d.shape[0]
+    if bm != bn:
+        raise ValueError(f"fused kernel needs square tiles, got {bm}x{bn}")
+    R = _row_group_for_blocked_q(nrb, row_group)
+
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec((1, 1), lambda g, cols: (0, 0),
+                          memory_space=pltpu.SMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrb // R,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # row_offset (1,)
+            pl.BlockSpec((1, 8), lambda g, cols: (0, 0),
+                         memory_space=pltpu.SMEM),  # su
+            pl.BlockSpec((R, kmax, bm, bn), lambda g, cols: (g, 0, 0, 0)),
+            whole,  # gathered v
+            whole, whole, whole, whole, whole,  # r1 vprev wm1 wm2 x (local)
+        ],
+        out_specs=[
+            pl.BlockSpec((R, bm), lambda g, cols: (g, 0)),  # q_l
+            whole,  # w_l
+            whole,  # x_l'
+            scalar, scalar,  # vq, vr1 partials
+        ],
+    )
+    vec_bytes = ncl * bn * 4
+    resid = vfull2d.size * 4 + 7 * vec_bytes
+    blk_bytes = 2 * R * kmax * bm * bn * blocks.dtype.itemsize
+    vmem_limit = max(16 << 20, min(110 << 20, resid + blk_bytes + (12 << 20)))
+    return pl.pallas_call(
+        _minres_shard_kernel(R, kmax, bm, bn),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        out_shape=(
+            jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
+            jax.ShapeDtypeStruct((ncl, bn), jnp.float32),
+            jax.ShapeDtypeStruct((ncl, bn), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nrb * kmax * bm * bn + 10 * ncl * bn,
+            bytes_accessed=blocks.size * blocks.dtype.itemsize
+            + vfull2d.size * 4 + 8 * vec_bytes + nrb * bm * 4,
+            transcendentals=0,
+        ),
+    )(block_cols.reshape(-1), row_offset, su, blocks, vfull2d,
+      r1l2d, vprevl2d, wm1l2d, wm2l2d, xl2d)

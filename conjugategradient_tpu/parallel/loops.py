@@ -1044,6 +1044,136 @@ def _sharded_fused_cg(
     return x.reshape(-1), k, done, rho, rnorm, hist
 
 
+def _sharded_fused_minres(
+    blocks_s: jax.Array,
+    cols_s: jax.Array,
+    b_s: jax.Array,
+    x0_s: jax.Array,
+    tol_arr: jax.Array,
+    maxiter: int,
+    axis: str,
+    bn: int,
+    interpret: bool,
+    inv_diag_s: Optional[jax.Array] = None,
+):
+    """Per-shard MINRES loop built from the fused Pallas kernels (round 5,
+    the mesh sibling of solver/fused_minres.py): the local Lanczos SpMV,
+    BOTH reduction partials (v·q, v·r1), and the PREVIOUS iteration's
+    hoisted w/x solution update run as ONE kernel on the all-gathered
+    operand (ops/pallas/fused_minres.minres_shard_spmv_dot); the Lanczos
+    projections + the β² partial as another (minres_update_dot).
+    Collectives per iteration: one all_gather + one stacked (2,) psum +
+    one psum — the same count as the fused CG path.  Same semantics as
+    _sharded_minres (hist = φ̄², Jacobi-array preconditioning), f32."""
+    from ..ops.pallas.fused_minres import (
+        minres_shard_spmv_dot,
+        minres_update_dot,
+    )
+
+    m = b_s.shape[0]
+    offset = (jax.lax.axis_index(axis) * m).astype(jnp.int32).reshape(1)
+    precond = inv_diag_s is not None
+    d2 = (
+        inv_diag_s.astype(jnp.float32).reshape(m // 128, 128)
+        if precond
+        else None
+    )
+    tol = tol_arr.astype(jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+
+    b2 = b_s.astype(jnp.float32).reshape(m // 128, 128)
+    x2 = x0_s.astype(jnp.float32).reshape(m // 128, 128)
+    zl = jnp.zeros_like(b2)
+    su0 = jnp.zeros((1, 8), jnp.float32)
+
+    def gather(v2):
+        return jax.lax.all_gather(
+            v2.reshape(-1), axis, tiled=True).reshape(-1, bn)
+
+    # r0 = b − A x0 (su = 0 makes the kernel's pending update a no-op)
+    q0, _, _, _, _ = minres_shard_spmv_dot(
+        blocks_s, cols_s, gather(x2), zl, zl, zl, zl, zl, su0, offset,
+        interpret=interpret)
+    r0 = b2 - q0.reshape(b2.shape)
+    y0 = d2 * r0 if precond else r0
+    beta1 = jnp.sqrt(jax.lax.psum(jnp.sum(r0 * y0), axis))
+    hist = jnp.full((maxiter + 1,), jnp.nan, jnp.float32)
+    hist = hist.at[0].set(beta1 * beta1)
+    carry = (
+        jnp.asarray(0, jnp.int32),                # k
+        jnp.isnan(beta1) | (beta1 <= tol),        # done
+        jnp.isnan(beta1),                         # nan
+        x2, r0, r0, y0,                           # x (lags), r1, r2, y
+        zl, zl, zl,                               # vprev, wm1, wm2
+        zero, beta1,                              # oldb, beta
+        zero, zero, beta1,                        # dbar, epsln, phibar
+        -jnp.ones((), jnp.float32), zero,         # cs, sn
+        zero, zero, zero, zero,                   # pending oldeps/delta/igamma/phi
+        hist,
+    )
+
+    def body(c):
+        (k, done, nan, x, r1, r2, y, vprev, wm1, wm2, oldb, beta, dbar,
+         epsln, phibar, cs, sn, p_oldeps, p_delta, p_igamma, p_phi,
+         hist) = c
+        v_l = (y * (1.0 / beta)).astype(jnp.float32)
+        r11 = lambda a_: a_.reshape(1, 1).astype(jnp.float32)
+        su = jnp.concatenate(
+            [jnp.zeros((1, 2), jnp.float32),  # inv_beta slot unused; shift=0
+             r11(p_oldeps), r11(p_delta), r11(p_igamma), r11(p_phi),
+             jnp.zeros((1, 2), jnp.float32)], axis=1)
+        q_l, w_l, x_l, vq_p, vr1_p = minres_shard_spmv_dot(
+            blocks_s, cols_s, gather(v_l), r1, vprev, wm1, wm2, x, su,
+            offset, interpret=interpret)
+        sums = jax.lax.psum(
+            jnp.stack([vq_p[0, 0], vr1_p[0, 0]]), axis)
+        vq, vr1 = sums[0], sums[1]
+        noprev = oldb == 0
+        c1 = jnp.where(noprev, 0.0, beta / jnp.where(noprev, 1.0, oldb))
+        alfa = vq - c1 * vr1
+        ia = alfa / beta
+        r2n, bsq_l = minres_update_dot(
+            q_l.reshape(r2.shape), r1, r2, r11(c1), r11(ia),
+            inv_diag2d=d2, interpret=interpret)
+        beta_n = jnp.sqrt(jax.lax.psum(bsq_l[0, 0], axis))
+
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln_n = sn * beta_n
+        dbar_n = -cs * beta_n
+        tiny = jnp.asarray(jnp.finfo(jnp.float32).tiny, jnp.float32)
+        gamma = jnp.maximum(
+            jnp.sqrt(gbar * gbar + beta_n * beta_n), tiny)
+        cs_n = gbar / gamma
+        sn_n = beta_n / gamma
+        phi = cs_n * phibar
+        phibar_n = sn_n * phibar
+
+        y_next = d2 * r2n if precond else r2n
+        kn = k + 1
+        hist = hist.at[kn].set(phibar_n * phibar_n)
+        is_nan = jnp.isnan(phibar_n) | jnp.isnan(beta_n)
+        done_n = is_nan | (phibar_n <= tol) | (beta_n == 0)
+        return (kn, done_n, nan | is_nan, x_l, r2, r2n, y_next,
+                v_l, w_l, wm1, beta, beta_n, dbar_n, epsln_n, phibar_n,
+                cs_n, sn_n, oldeps, delta, 1.0 / gamma, phi, hist)
+
+    def cond(c):
+        return (c[0] < maxiter) & (~c[1])
+
+    c = jax.lax.while_loop(cond, body, carry)
+    (k, done, nan, x, r1, r2, y, vprev, wm1, wm2, oldb, beta, dbar,
+     epsln, phibar, cs, sn, p_oldeps, p_delta, p_igamma, p_phi,
+     hist) = c
+    # flush the pending final solution update (local; no-op at k=0)
+    w_fin = (vprev - p_oldeps * wm2 - p_delta * wm1) * p_igamma
+    x = x + p_phi * w_fin
+    rho = phibar * phibar
+    rho = jnp.where(nan, jnp.asarray(jnp.nan, jnp.float32), rho)
+    return x.reshape(-1), k, done, rho, rho, hist
+
+
 def _sharded_pipelined_cg(
     local_matvec: Callable[[jax.Array], jax.Array],
     b_s: jax.Array,

@@ -71,6 +71,7 @@ from .loops import (
     _sharded_block_cg,
     _sharded_deflated_pcg,
     _sharded_fused_cg,
+    _sharded_fused_minres,
     _sharded_lockstep_pcg,
     _sharded_minres,
     _sharded_bicgstab,
@@ -589,7 +590,8 @@ def sharded_cg_solve(
             "the per-shard XLA loop (M_local=None to force fused)"
         )
     fused = (
-        method == "standard" and not recompute_r_every and not with_basis
+        method in ("standard", "minres")
+        and not recompute_r_every and not with_basis
         and M_local is None
         and (
             use_fused == "always"
@@ -600,6 +602,14 @@ def sharded_cg_solve(
     )
 
     def fused_fn(ops, b_s, x0_s, inv_diag_s, tol_arr, maxiter_):
+        if method == "minres":
+            # round 5: the fused per-shard MINRES loop (same collective
+            # count as the fused CG path — one all_gather + two psum
+            # rounds per iteration; loops._sharded_fused_minres)
+            return _sharded_fused_minres(
+                ops[0], ops[1], b_s, x0_s, tol_arr.astype(jnp.float32),
+                maxiter_, axis, bn, interpret, inv_diag_s=inv_diag_s,
+            )
         return _sharded_fused_cg(
             ops[0], ops[1], b_s, x0_s, tol_arr.astype(jnp.float32),
             maxiter_, axis, bn, interpret, inv_diag_s=inv_diag_s,

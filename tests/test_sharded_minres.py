@@ -186,3 +186,74 @@ def test_m_local_callable_matches_inv_diag():
     assert int(info_a.iterations) == int(info_b.iterations)
     np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_a),
                                rtol=1e-10, atol=1e-12)
+
+
+class TestShardedFusedMinres:
+    """Round 5: the fused per-shard MINRES loop (use_fused='always',
+    interpret mode on the CPU mesh) must match the portable sharded loop
+    and the single-device solver."""
+
+    def _setup(self, n=1024, bw=5, seed=7):
+        from conjugategradient_tpu.problems import banded_spd_coo
+
+        rows, cols, vals, shape = banded_spd_coo(n, bandwidth=bw, seed=seed)
+        csr = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+        blocks, bcols, n_pad = partition_csr_rows(
+            np.asarray(csr.data), np.asarray(csr.indices),
+            np.asarray(csr.indptr), shape, N_DEV, bm=128, bn=128)
+        rng = np.random.default_rng(seed)
+        b = rng.standard_normal(n).astype(np.float32)
+        b_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(jnp.asarray(b))
+        return csr, jnp.asarray(blocks), jnp.asarray(bcols), b_pad, b, n
+
+    def test_matches_portable_sharded_loop(self):
+        csr, blocks, bcols, b_pad, b, n = self._setup()
+        x_p, i_p = sharded_cg_solve(
+            blocks, bcols, b_pad, tol=0.0, maxiter=24, method="minres",
+            use_fused="never")
+        x_f, i_f = sharded_cg_solve(
+            blocks, bcols, b_pad, tol=0.0, maxiter=24, method="minres",
+            use_fused="always", interpret=True)
+        assert int(i_f.iterations) == int(i_p.iterations)
+        np.testing.assert_allclose(
+            np.asarray(i_f.rho_history)[:25],
+            np.asarray(i_p.rho_history)[:25], rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(x_f[:n]), np.asarray(x_p[:n]),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_converges_and_matches_single_device(self):
+        from conjugategradient_tpu.solver.fused_minres import (
+            fused_minres_solve,
+        )
+        from conjugategradient_tpu.types import BlockedEllMatrix
+
+        csr, blocks, bcols, b_pad, b, n = self._setup()
+        bell = BlockedEllMatrix.from_csr(csr, bm=128, bn=128)
+        x_sd, i_sd = fused_minres_solve(bell, jnp.asarray(b), tol=1e-4,
+                                        maxiter=4 * n, interpret=True)
+        x_sh, i_sh = sharded_cg_solve(
+            blocks, bcols, b_pad, tol=1e-4, maxiter=4 * n, method="minres",
+            use_fused="always", interpret=True)
+        assert bool(i_sh.converged)
+        kf, kr = int(i_sh.iterations), int(i_sd.iterations)
+        assert abs(kf - kr) <= max(4, kr // 10)
+        r = np.asarray(b) - np.asarray(csr.matvec(x_sh[:n]))
+        assert np.linalg.norm(r) <= 5e-4
+
+    def test_jacobi_composes(self):
+        csr, blocks, bcols, b_pad, b, n = self._setup(seed=9)
+        n_pad = int(b_pad.shape[0])
+        inv_d = np.ones((n_pad,), np.float32)
+        inv_d[:n] = 1.0 / np.asarray(csr.diagonal())
+        x_p, i_p = sharded_cg_solve(
+            blocks, bcols, b_pad, tol=0.0, maxiter=20, method="minres",
+            use_fused="never", inv_diag=jnp.asarray(inv_d))
+        x_f, i_f = sharded_cg_solve(
+            blocks, bcols, b_pad, tol=0.0, maxiter=20, method="minres",
+            use_fused="always", interpret=True,
+            inv_diag=jnp.asarray(inv_d))
+        np.testing.assert_allclose(
+            np.asarray(i_f.rho_history)[:21],
+            np.asarray(i_p.rho_history)[:21], rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(x_f[:n]), np.asarray(x_p[:n]),
+                                   rtol=1e-3, atol=1e-5)
