@@ -367,3 +367,37 @@ def test_2d_batched_no_allgather():
     assert ag == 0, f"2-D batched loop must not all-gather, got {ag}"
     assert cp == 1, f"one mesh-transpose permute per iteration, got {cp}"
     assert ar == 3, f"q-partial psum + 2 lane-dot psums, got {ar}"
+
+
+def test_fused_sharded_minres_collective_pattern():
+    """Round 5: the FUSED sharded MINRES loop (interpret kernels on the
+    CPU mesh) must keep exactly the fused CG path's collective count —
+    one halo all-gather + two all-reduce rounds (the stacked [v·q, v·r1]
+    psum and the β² psum) per iteration."""
+    from conjugategradient_tpu.problems import banded_spd_coo
+
+    rows, cols, vals, shape = banded_spd_coo(1024, bandwidth=4, seed=1)
+    A = CSRMatrix.from_coo(rows, cols, vals, shape, dtype=np.float32)
+    blocks, bcols, n_pad = partition_csr_rows(
+        np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr),
+        shape, N_DEV, bm=128, bn=128,
+    )
+    n = shape[0]
+    b = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        jnp.asarray(reference_rhs(n, dtype=np.float32)))
+    mesh = make_row_mesh(jax.devices()[:N_DEV])
+    sc._SOLVE_CACHE.clear()
+    sharded_cg_solve(
+        jnp.asarray(blocks), jnp.asarray(bcols), b, mesh=mesh,
+        tol=0.0, maxiter=4, method="minres", use_fused="always",
+        interpret=True,
+    )
+    ((key, fn),) = list(sc._SOLVE_CACHE.items())
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P("rows")))
+    args = [put(jnp.asarray(blocks)), put(jnp.asarray(bcols)), put(b),
+            put(jnp.zeros_like(b))]
+    txt = fn.lower(*args).compile().as_text()
+    sc._SOLVE_CACHE.clear()
+    ar, ag = _while_body_collectives(txt)
+    assert ag == 1, f"fused minres: one gather per iteration, got {ag}"
+    assert ar == 2, f"fused minres: two psum rounds per iteration, got {ar}"
