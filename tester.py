@@ -84,6 +84,10 @@ def main(argv=None) -> int:
                          "gmres = restarted GMRES(m) for NONSYMMETRIC "
                          "systems (robust where bicgstab stagnates; "
                          "--restart sets m; right --precond)")
+    ap.add_argument("--shift", type=float, default=0.0,
+                    help="solve (A - shift*I) x = b (with --method minres: "
+                         "the Paige-Saunders spectral shift — indefinite "
+                         "systems near an eigenvalue)")
     ap.add_argument("--restart", type=int, default=30,
                     help="GMRES restart length m (with --method gmres): "
                          "the (m+1, n) Krylov basis held on device; larger "
@@ -394,6 +398,10 @@ def main(argv=None) -> int:
         print("error: --progress drives the standard single-RHS loop "
               "(no --nrhs/--method pipelined)", file=sys.stderr)
         return 2
+    if args.shift and args.method != "minres":
+        print("error: --shift drives --method minres (the Paige-Saunders "
+              "shifted solve)", file=sys.stderr)
+        return 2
     if args.recompute > 0 and (
         args.method not in ("standard", "pipelined") or args.nrhs > 1
         or args.refine != "off" or args.deflate > 0 or args.progress > 0
@@ -459,7 +467,8 @@ def main(argv=None) -> int:
         from conjugategradient_tpu.solver.cg import CGInfo
 
         solve_fn, batched_fn, extra_kw = {
-            "minres": (minres_solve, minres_solve_batched, {}),
+            "minres": (minres_solve, minres_solve_batched,
+                       {"shift": args.shift} if args.shift else {}),
             "gmres": (gmres_solve, gmres_solve_batched,
                       {"restart": args.restart}),
             "bicgstab": (bicgstab_solve, bicgstab_solve_batched, {}),
@@ -612,7 +621,13 @@ def main(argv=None) -> int:
     # metrics (dim, nnz, time, norm ratios, residual history) are all
     # permutation-invariant, so x is not mapped back here.  Use
     # conjugategradient_tpu.reorder.unpermute_vector when extracting x.
-    rel_err = float(accuracy(A, b, x))
+    if args.shift:
+        # the shifted lane solved (A − σI) x = b: the protocol's
+        # relative-error metric must use the operator actually solved
+        A_eff = (lambda v: A.matvec(v) - args.shift * v)
+        rel_err = float(accuracy(A_eff, b, x, n=n))
+    else:
+        rel_err = float(accuracy(A, b, x))
     # The reference's output line "dim NNZ time_ms rel_error",
     # space-separated (test/Tester.cpp:54).  With --nrhs > 1 the line
     # reports lane 0 (whose RHS is the reference's b) and the wall covers
